@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-provided parquet fixtures (see TESTDATA.md /
+  * FIXTURES.md) plus the canonical schema of the engine's own `documents`
+  * store (SURVEY §1.3, mapping `/root/reference/vectolite.py:62-68`).
+  */
+object Tables {
+  /** Read one fixture table from a scale-factor directory. Plain
+    * `read.parquet` keeps the scan declarative so Catalyst pushes filters
+    * and prunes columns into the parquet reader.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+
+  /** Engine-native document-store schema — the Spark mapping of the
+    * reference's single table (`vectolite.py:62-68`): dense long id, UTF-8
+    * text, schema-less JSON metadata kept as a string (values may mix types,
+    * `vectolite.py:508,523`), float32 embedding vector with an explicit,
+    * validated dimension, and a UTC creation timestamp.
+    */
+  val documentStoreSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("metadata", StringType, nullable = true),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("created_at", TimestampType, nullable = false)
+  ))
+}
+
+/** Typed views for the Dataset[T] API where type safety helps. */
+object Schemas {
+  case class Document(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  case class EmbeddingRow(vec_id: Long, embedding: Array[Float], label: Int)
+  case class StoredDoc(id: Long, text: String, metadata: String,
+                       embedding: Array[Float], created_at: java.sql.Timestamp)
+}

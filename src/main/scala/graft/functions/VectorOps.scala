@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Tight loops shared by interpreted eval, codegen, and plain-Scala callers.
+  *
+  * Semantics mirror the reference's cosine (`/root/reference/vectolite.py:155-166`):
+  * `dot(a,b) / (||a||*||b||)` with the exact zero-norm-product → 0.0 guard.
+  * Math is performed in double precision over float32 inputs with a fixed
+  * sequential reduction order, so results are deterministic regardless of
+  * partitioning (SURVEY §7.4).
+  */
+object VectorOps {
+
+  /** Cosine over two Catalyst float arrays — called from codegen'd code,
+    * so it must stay a simple public method on a singleton.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"cosine_sim: dimension mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val normProduct = math.sqrt(na) * math.sqrt(nb)
+    if (normProduct == 0.0) 0.0 else dot / normProduct  // zero-norm guard, vectolite.py:159-162
+  }
+
+  /** Dot product over two Catalyst float arrays (codegen-callable). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"dot: dimension mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /** L2 norm of a Catalyst float array (codegen-callable). */
+  def normF(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Plain-Scala cosine for driver-side / test use. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, "cosine: dimension mismatch")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val np = math.sqrt(na) * math.sqrt(nb)
+    if (np == 0.0) 0.0 else dot / np
+  }
+
+  /** In-place L2 normalization; zero vectors stay zero (matches the
+    * reference's "score 0 for zero norms" posture).
+    */
+  def l2Normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 } }
+    v
+  }
+}
