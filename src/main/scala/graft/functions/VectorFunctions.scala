@@ -1,100 +1,165 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Native Catalyst expression for cosine similarity over two
-  * `ArrayType(FloatType)` columns.
+/** Native Catalyst expressions for vector math over `ArrayType(FloatType)`
+  * columns, plus a plain Scala-UDF fallback.
   *
-  * Why an Expression and not a UDF: the scoring loop is the hot path of the
-  * flagship top-k query (↔ `/root/reference/vectolite.py:151-169`); an
-  * Expression with `doGenCode` stays inside whole-stage codegen — no
-  * ScalaUDF boxing, no Array[Float] ser/de per row — which matters when the
-  * corpus is 100 TB, not 500 rows. The generated code calls the shared
-  * static loop in [[VectorOps]].
+  * Why an Expression: the scoring loop is the hot path of the flagship
+  * top-k query (↔ `/root/reference/vectolite.py:151-169`); an Expression
+  * with `doGenCode` stays inside whole-stage codegen — no ScalaUDF boxing,
+  * no Array[Float] ser/de per row — which matters when the corpus is
+  * 100 TB, not 500 rows. The generated code calls the shared static loop
+  * in [[VectorOps]].
+  *
+  * Only public Spark APIs are used: type checking via an explicit
+  * `checkInputDataTypes` (no `ExpectsInputTypes`/`AbstractDataType`, which
+  * are `private[sql]` in Spark 4.1), and the Column façade goes through
+  * session FunctionRegistry registration + `call_function` (public since
+  * Spark 3.5) rather than internal Column constructors.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+object VectorExpressions {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  private def checkFloatArray(e: Expression, name: String, pos: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name: $pos argument must be array<float>, got ${other.catalogString}")
+    }
 
-  override def dataType: DataType = DoubleType
+  /** cosine(a, b) = dot / (||a||*||b||) with the reference's exact
+    * zero-norm-product → 0.0 guard (`vectolite.py:159-162`).
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
 
-  override def prettyName: String = "cosine_sim"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArray(left, prettyName, "first") match {
+        case TypeCheckResult.TypeCheckSuccess => checkFloatArray(right, prettyName, "second")
+        case f => f
+      }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorOps.cosineF($a, $b)")
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosineF($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** dot(a, b) over two float arrays (codegen'd). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArray(left, prettyName, "first") match {
+        case TypeCheckResult.TypeCheckSuccess => checkFloatArray(right, prettyName, "second")
+        case f => f
+      }
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotF($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** ||a||₂ of a float array (codegen'd). */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArray(child, prettyName, "only")
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "l2_norm"
+
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.normF(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.normF($a)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }
 
-/** Dot product over two `ArrayType(FloatType)` columns (codegen'd). */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "dot_product"
-
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotF($a, $b)")
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** L2 norm of an `ArrayType(FloatType)` column (codegen'd). */
-case class L2Norm(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "l2_norm"
-
-  override protected def nullSafeEval(a: Any): Any =
-    VectorOps.normF(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.normF($a)")
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Column-API + SQL-registry façade for the vector expressions. */
+/** Column-API façade. [[register]] installs the codegen expressions in the
+  * session's function registry (public `classic.SparkSession.sessionState`
+  * + `call_function`); the `*_udf` variants are the always-available plain
+  * Scala UDF fallback (SURVEY §4.3's primary recommendation).
+  */
 object VectorFunctions {
+
+  import VectorExpressions._
+
+  @volatile private var expressionsAvailable = true
+
+  /** Register `cosine_sim` / `dot_product` / `l2_norm` as session SQL
+    * functions backed by the codegen expressions. Idempotent; call once
+    * per session before using [[cosine_sim]] etc. Falls back silently if
+    * the session type doesn't expose a function registry (the `*_udf`
+    * variants then take over via [[cosine_sim]]'s fallback path).
+    */
+  def register(spark: SparkSession): Unit =
+    try {
+      val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
+      expressionsAvailable = true
+    } catch {
+      case _: Throwable => expressionsAvailable = false
+    }
+
+  /** Codegen'd cosine when registered, UDF otherwise. */
   def cosine_sim(a: Column, b: Column): Column =
-    ExpressionUtils.column(
-      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    if (expressionsAvailable) call_function("cosine_sim", a, b) else cosine_udf(a, b)
 
   def dot_product(a: Column, b: Column): Column =
-    ExpressionUtils.column(
-      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    if (expressionsAvailable) call_function("dot_product", a, b) else dot_udf(a, b)
 
   def l2_norm(a: Column): Column =
-    ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
+    if (expressionsAvailable) call_function("l2_norm", a) else norm_udf(a)
 
-  /** Make the expressions callable from SQL text as well. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "builtin")
-  }
+  // ---- plain Scala UDF fallback path (no registration required) ----
+
+  private val cosineScalaUdf =
+    udf((a: Seq[Float], b: Seq[Float]) =>
+      if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(VectorOps.cosineSeq(a, b)))
+
+  private val dotScalaUdf =
+    udf((a: Seq[Float], b: Seq[Float]) =>
+      if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(VectorOps.dotSeq(a, b)))
+
+  private val normScalaUdf =
+    udf((a: Seq[Float]) =>
+      if (a == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(VectorOps.normSeq(a)))
+
+  def cosine_udf(a: Column, b: Column): Column = cosineScalaUdf(a, b)
+  def dot_udf(a: Column, b: Column): Column = dotScalaUdf(a, b)
+  def norm_udf(a: Column): Column = normScalaUdf(a)
 }

@@ -51,6 +51,39 @@ object VectorOps {
     math.sqrt(s)
   }
 
+  /** Cosine over Scala seqs (UDF path — inputs arrive as WrappedArray). */
+  def cosineSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    val ai = a.toIndexedSeq; val bi = b.toIndexedSeq
+    val n = ai.length
+    require(n == bi.length, s"cosine_sim: dimension mismatch $n vs ${bi.length}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = ai(i).toDouble; val y = bi(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val np = math.sqrt(na) * math.sqrt(nb)
+    if (np == 0.0) 0.0 else dot / np
+  }
+
+  /** Dot product over Scala seqs (UDF path). */
+  def dotSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    val ai = a.toIndexedSeq; val bi = b.toIndexedSeq
+    require(ai.length == bi.length, "dot: dimension mismatch")
+    var d = 0.0; var i = 0
+    while (i < ai.length) { d += ai(i).toDouble * bi(i).toDouble; i += 1 }
+    d
+  }
+
+  /** L2 norm over a Scala seq (UDF path). */
+  def normSeq(a: Seq[Float]): Double = {
+    val ai = a.toIndexedSeq
+    var s = 0.0; var i = 0
+    while (i < ai.length) { val x = ai(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
   /** Plain-Scala cosine for driver-side / test use. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length, "cosine: dimension mismatch")
