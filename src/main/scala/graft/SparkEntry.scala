@@ -1,13 +1,578 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions.{cosine_sim, dot_product, l2_norm}
+import graft.operators._
+import graft.store.DocStore
+import graft.streaming.Streams
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY §2 (O1-O17) or a
+  * north-star extension (E1-E6 / the training-data-pipeline brief), and
+  * every ANSI-expressible one has a DuckDB twin in [[oracleSql]] with
+  * IDENTICAL column names, types (counts as BIGINT, scores rounded to 6),
+  * and ORDER BY — the driver hash-compares the two result sets.
+  *
+  * Determinism rules used throughout: explicit total ordering with id
+  * tiebreaks, doubles rounded AFTER filtering/ranking on the unrounded
+  * value, decimal(18,2) for money sums (exact, order-independent), no
+  * wall-clock columns.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** The query vector of the flagship search: embeddings row vec_id=0
+    * (`/root/reference/vectolite.py:118-174`'s embedded query analogue).
+    */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    embs(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * embed-side scan → codegen cosine score → TakeOrderedAndProject top-5 →
+    * broadcast join to document text (SURVEY §7.3).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val q = queryVec(spark, dir)
+    Similarity.topK(embs(spark, dir), "embedding", "vec_id", q, 5)
+      .select(col("vec_id").as("doc_id"), round(col("score"), 6).as("score"))
+      .join(docs(spark, dir).select("doc_id", "text"), Seq("doc_id"))
+      .orderBy(desc("score"), col("doc_id"))
+  }
+
+  // =========================================================== the queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- O5: global count --------------------------------------------
+    "count_documents" -> ((s, dir) =>
+      DocStore.countDocuments(docs(s, dir))),
+
+    // ---- O3: point lookup (predicate pushed to parquet) --------------
+    "point_lookup" -> ((s, dir) =>
+      DocStore.getDocument(docs(s, dir), "doc_id", 42L)
+        .select("doc_id", "text", "lang", "source", "n_chars")),
+
+    // ---- O6/O7: pagination without text ------------------------------
+    "list_page" -> ((s, dir) =>
+      DocStore.listDocuments(docs(s, dir), "doc_id", "doc_id",
+        limit = 10, offset = 5, includeText = false)
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // ---- O6+O8: pagination with truncated display text ---------------
+    "list_page_text" -> ((s, dir) =>
+      DocStore.listDocuments(docs(s, dir), "doc_id", "doc_id",
+        limit = 10, offset = 5, includeText = true, maxTextLength = 100)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("display_text"), col("full_text_length").cast("long").as("full_text_length"))),
+
+    // ---- O4: delete as anti-join rewrite -----------------------------
+    "delete_docs" -> ((s, dir) =>
+      DocStore.deleteByIds(docs(s, dir), "doc_id", Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // ---- O2: insert with dense id assignment after current max -------
+    "insert_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+      DocStore.assignIds(d.filter(col("source") === "src1").select("text"),
+          Seq(col("text")), maxId, "id")
+        .select(col("id"), col("text"))
+        .orderBy("id")
+    }),
+
+    // ---- O16: stats (relational twin) --------------------------------
+    "stats_table" -> ((s, dir) =>
+      DocStore.textStats(docs(s, dir), "text")),
+
+    // ---- O15: JSON metadata round-trip -------------------------------
+    "json_metadata" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          DocStore.packMetadata(col("lang").as("lang"), col("source").as("source")).as("metadata"))
+        .withColumn("lang_rt", DocStore.metadataField(col("metadata"), "lang"))
+        .orderBy("doc_id")),
+
+    // ---- O9: cosine scores of every row vs the query vector ----------
+    "cosine_scores" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      embs(s, dir)
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), typedlit(q.toSeq)), 6).as("score"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- O9 variants: dot product + L2 norm --------------------------
+    "dot_norm" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      embs(s, dir)
+        .select(col("vec_id"),
+          round(dot_product(col("embedding"), typedlit(q.toSeq)), 6).as("dot"),
+          round(l2_norm(col("embedding")), 6).as("norm"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- O10/O11: flagship brute-force top-k (+ doc join) ------------
+    "topk_cosine" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      Similarity.topK(embs(s, dir), "embedding", "vec_id", q, 10)
+        .select(col("vec_id").as("doc_id"), round(col("score"), 6).as("score"))
+        .join(docs(s, dir).select("doc_id", "text"), Seq("doc_id"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
+    // ---- E3: batch top-k per query (k-bounded partial agg) -----------
+    "sim_join_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimJoin.topKPerQuery(
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+          k = 3)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- E4a: exact embedding near-dup pairs (guarded subset) --------
+    "near_dup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairsExact(embs(s, dir).filter(col("vec_id") < 200),
+          "vec_id", "embedding", threshold = 0.3)
+        .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
+        .orderBy("a_id", "b_id")),
+
+    // ---- E4b: exact duplicate groups by content hash -----------------
+    "exact_dup_sha" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exactDupGroups(d.unionAll(d.filter(col("doc_id") < 50)), "doc_id", "text")
+        .orderBy("keep_id")
+    }),
+
+    // ---- E4c: n-gram Jaccard pairs via inverted index ----------------
+    "jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir).filter(col("doc_id") < 60),
+          "doc_id", "text", n = 2, threshold = 0.05)
+        .orderBy("a_id", "b_id")),
+
+    // ---- O12: chunker on single-paragraph text (degenerate, exact) ---
+    "chunk_single" -> ((s, dir) =>
+      Chunker.explodeChunks(docs(s, dir), "text")
+        .select(col("doc_id"),
+          col("chunk_index").cast("long").as("chunk_index"),
+          col("total_chunks").cast("long").as("total_chunks"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_index")),
+
+    // ---- O12: greedy packing on synthesized paragraphs (rows-only) ---
+    "chunk_greedy" -> ((s, dir) =>
+      Chunker.explodeChunks(
+          docs(s, dir).withColumn("paras", regexp_replace(col("text"), " ", "\n\n")),
+          "paras", maxChars = 80, overlap = 10)
+        .select(col("doc_id"),
+          col("chunk_index").cast("long").as("chunk_index"),
+          col("total_chunks").cast("long").as("total_chunks"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_index")),
+
+    // ---- E5/pipeline: token counting ---------------------------------
+    "token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.approxSubwordCount(col("text")).cast("long").as("approx_subwords"))
+        .orderBy("doc_id")),
+
+    // ---- pipeline: quality scoring -----------------------------------
+    "quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // ---- pipeline: language-ID heuristic -----------------------------
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    // ---- pipeline: content fingerprint (md5, cross-engine) -----------
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text"), 8).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- E5: per-(lang, source) corpus rollups -----------------------
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          round(avg(length(col("text"))), 6).as("avg_chars"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("lang", "source")),
+
+    // ---- E6 (batch twin): tumbling-window event rollup ---------------
+    "events_window" -> ((s, dir) =>
+      Streams.eventsWindowAgg(events(s, dir))
+        .orderBy("window_start", "event_type")),
+
+    // ---- E6: gap sessionization --------------------------------------
+    "sessionize" -> ((s, dir) =>
+      Streams.sessionStats(events(s, dir), gapMinutes = 30, tieCols = Seq("event_id"))
+        .orderBy("user_id")),
+
+    // ---- set ops: purchasers who hit no errors (day-1 slice) ---------
+    "events_setops" -> ((s, dir) => {
+      val e = events(s, dir).filter(col("ts") < to_timestamp(lit("2024-01-02 00:00:00")))
+      e.filter(col("event_type") === "purchase").select("user_id").distinct()
+        .except(e.filter(col("event_type") === "error").select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    // ---- O15 over events: JSON prop extraction -----------------------
+    "json_props" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // ---- relational: grouped aggregation (TPC-H Q1 shape) ------------
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- relational: broadcast join + agg ----------------------------
+    "join_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    // ---- relational: per-group top-n window --------------------------
+    "window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).filter(col("o_custkey") < 50)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- multimodal: binary payload metadata -------------------------
+    "multimodal_bytes" -> ((s, dir) =>
+      Multimodal.fakeAssets(docs(s, dir), "text")
+        .select(col("doc_id"),
+          col("asset_meta.n_bytes").cast("long").as("n_bytes"),
+          col("asset_meta.mime").as("mime"))
+        .orderBy("doc_id")),
+
+    // ================= rows-only queries (no ANSI-SQL oracle) =========
+
+    // E1: batch embedding with the deterministic hashing embedder
+    "embed_hash" -> ((s, dir) =>
+      HashingEmbedder(64).embed(docs(s, dir), "text", "embedding")
+        .select("doc_id", "embedding")
+        .orderBy("doc_id")),
+
+    // E4: MinHash-LSH near-dup candidates (MLlib, seeded)
+    "minhash_pairs" -> ((s, dir) =>
+      MinHashDedup.nearDupPairs(docs(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text", n = 1, maxDistance = 0.5)
+        .orderBy("a_id", "b_id")),
+
+    // E4: SimHash banding near-dup candidates
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          "doc_id", "text", maxHamming = 12)
+        .orderBy("a_id", "b_id")),
+
+    // E2: LSH index build + probe (approximate top-k, exact re-rank)
+    "ann_topk" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      // 6 bits × 16 tables ≈ 500/2^6×16 ≈ 125 candidates over this corpus
+      // size; at real scale raise nBits with |corpus| (buckets ∝ 2^bits).
+      AnnIndex.approxTopK(embs(s, dir), "vec_id", "embedding", q, 10,
+          AnnIndex.Config(dim = 64, nBits = 6, nTables = 16))
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("id"))
+    }),
+
+    // multimodal: fake decode → feature vectors (plumbing check)
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.featurize(docs(s, dir).filter(col("doc_id") < 50), "text", 32)
+        .select("doc_id", "features")
+        .orderBy("doc_id"))
+  )
+
+  // ======================================================== the oracles
+
+  /** DuckDB cosine machinery: dim is fixed at 64 by the fixtures
+    * (FIXTURES.md), so positions come from `range(1,65)`; products are
+    * CAST to DOUBLE first so both engines do float32→float64 math; the
+    * zero-norm guard mirrors `vectolite.py:159-162`.
+    */
+  private val qVecCte =
+    "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+
+  private val scoreVsQ =
+    s"""WITH $qVecCte,
+       |s AS (
+       |  SELECT e.vec_id,
+       |    SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+       |    SQRT(SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE))) AS na,
+       |    SQRT(SUM(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE))) AS nb
+       |  FROM embeddings e CROSS JOIN q CROSS JOIN range(1,65) r(i)
+       |  GROUP BY e.vec_id
+       |),
+       |sc AS (SELECT vec_id, CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS score,
+       |              dot, na FROM s)""".stripMargin
+
+  private val langCase = {
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(tok, x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val en = hits(Seq("the", "and", "of", "is", "with", "for"))
+    val de = hits(Seq("der", "die", "und", "ist", "mit", "für"))
+    val es = hits(Seq("el", "la", "los", "es", "con", "para"))
+    val fr = hits(Seq("le", "la", "les", "est", "avec", "pour"))
+    // Tie-break mirrors Spark's array_max over (hits, lang) structs:
+    // equal hit counts resolve to the lexicographically larger lang code.
+    s"""CASE WHEN GREATEST($en,$de,$es,$fr) = 0 THEN 'und'
+       |     WHEN $fr >= $en AND $fr >= $de AND $fr >= $es THEN 'fr'
+       |     WHEN $es >= $en AND $es >= $de THEN 'es'
+       |     WHEN $en >= $de THEN 'en'
+       |     ELSE 'de' END""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "count_documents" ->
+      "SELECT COUNT(*) AS n_docs FROM documents",
+
+    "point_lookup" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
+
+    "list_page" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id DESC LIMIT 10 OFFSET 5""".stripMargin,
+
+    "list_page_text" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...' ELSE text END AS display_text,
+        |  CAST(length(text) AS BIGINT) AS full_text_length
+        |FROM documents ORDER BY doc_id DESC LIMIT 10 OFFSET 5""".stripMargin,
+
+    "delete_docs" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (1,2,3,5,8,13,21,34) ORDER BY doc_id""".stripMargin,
+
+    "insert_append" ->
+      """SELECT (SELECT MAX(doc_id) FROM documents) + ROW_NUMBER() OVER (ORDER BY text) AS id, text
+        |FROM documents WHERE source = 'src1' ORDER BY id""".stripMargin,
+
+    "stats_table" ->
+      """SELECT COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  ROUND(AVG(length(text)), 6) AS avg_chars FROM documents""".stripMargin,
+
+    "json_metadata" ->
+      """SELECT doc_id,
+        |  '{"lang":"' || lang || '","source":"' || source || '"}' AS metadata,
+        |  lang AS lang_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "cosine_scores" ->
+      s"""$scoreVsQ
+         |SELECT vec_id, ROUND(score, 6) AS score FROM sc ORDER BY vec_id""".stripMargin,
+
+    "dot_norm" ->
+      s"""$scoreVsQ
+         |SELECT vec_id, ROUND(dot, 6) AS dot, ROUND(na, 6) AS norm FROM sc ORDER BY vec_id""".stripMargin,
+
+    "topk_cosine" ->
+      s"""$scoreVsQ,
+         |top AS (SELECT vec_id AS doc_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10)
+         |SELECT t.doc_id, ROUND(t.score, 6) AS score, d.text
+         |FROM top t JOIN documents d ON d.doc_id = t.doc_id
+         |ORDER BY ROUND(t.score, 6) DESC, t.doc_id""".stripMargin,
+
+    "sim_join_topk" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |    SUM(CAST(b.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE)) AS dot,
+        |    SQRT(SUM(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE))) AS na,
+        |    SQRT(SUM(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE))) AS nb
+        |  FROM embeddings a CROSS JOIN embeddings b CROSS JOIN range(1,65) r(i)
+        |  WHERE a.vec_id < 10
+        |  GROUP BY 1, 2
+        |),
+        |sc AS (SELECT q_id, c_id, CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS score FROM s),
+        |rk AS (
+        |  SELECT q_id, c_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS BIGINT) AS "rank"
+        |  FROM sc QUALIFY "rank" <= 3
+        |)
+        |SELECT q_id, c_id, ROUND(score, 6) AS score, "rank" FROM rk ORDER BY q_id, "rank"""".stripMargin,
+
+    "near_dup_pairs" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    SUM(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+        |    SQRT(SUM(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE))) AS na,
+        |    SQRT(SUM(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE))) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+        |  CROSS JOIN range(1,65) r(i)
+        |  GROUP BY 1, 2
+        |),
+        |sc AS (SELECT a_id, b_id, CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS score FROM s)
+        |SELECT a_id, b_id, ROUND(score, 6) AS score FROM sc WHERE score > 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "exact_dup_sha" ->
+      """WITH u AS (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT * FROM documents WHERE doc_id < 50
+        |)
+        |SELECT sha256(text) AS text_sha, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |FROM u GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 60)
+        |),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS asz, len(b.sh) AS bsz
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, ROUND(CAST(common AS DOUBLE) / (asz + bsz - common), 6) AS jaccard
+        |FROM p WHERE CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.05
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // single-paragraph texts (no blank lines in the fixture) → exactly one
+    // chunk = trimmed text; the greedy path is unit-tested, not oracled.
+    "chunk_single" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index, CAST(1 AS BIGINT) AS total_chunks,
+        |  trim(text) AS chunk
+        |FROM documents ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |       x -> GREATEST(CAST(CEIL(length(x) / 4.0) AS BIGINT), 1))) AS BIGINT) AS approx_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id,
+        |    LEAST(len / 200.0, 1.0) AS len_score,
+        |    LEAST(len(tok) / 40.0, 1.0) AS tok_score,
+        |    GREATEST(1.0 - ((len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len) * 4.0, 0.0) AS punct_score,
+        |    LEAST((len(list_filter(tok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(len(tok) AS DOUBLE)) * 5.0, 1.0) AS stop_score
+        |  FROM t
+        |)
+        |SELECT doc_id, ROUND((len_score + tok_score + punct_score + stop_score) / 4.0, 6) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok FROM documents
+         |)
+         |SELECT doc_id, $langCase AS lang_guess FROM t ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))[1:8], ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  ROUND(AVG(length(text)), 6) AS avg_chars,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |g AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s
+        |),
+        |c AS (SELECT user_id, session_seq, COUNT(*) AS n_events FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(n_events), 6) AS avg_events_per_session
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_setops" ->
+      """SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+        |ORDER BY user_id""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |FROM orders WHERE o_custkey < 50
+        |QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "multimodal_bytes" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Loaders for the driver-provided parquet fixtures (see TESTDATA.md /
@@ -17,7 +18,19 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4.x rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw
+    * nanos (legacy conf) and truncate to a microsecond TimestampType with
+    * integer division — the same truncation DuckDB applies, so oracle
+    * comparisons stay exact. (`a div b`, not `/`: nanos exceed 2^53, double
+    * math would corrupt them.)
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

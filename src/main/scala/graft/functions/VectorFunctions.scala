@@ -1,5 +1,10 @@
 package graft.functions
 
+import java.util.Collections
+import java.util.WeakHashMap
+
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
@@ -17,6 +22,10 @@ import org.apache.spark.sql.types._
   * no Array[Float] ser/de per row — which matters when the corpus is
   * 100 TB, not 500 rows. The generated code calls the shared static loop
   * in [[VectorOps]].
+  *
+  * Null semantics: a null array → null result (BinaryExpression default);
+  * a null *element* inside an array → treated as 0.0 on BOTH the codegen
+  * and the UDF path (the boxed-UDF fallback mirrors the ArrayData loop).
   *
   * Only public Spark APIs are used: type checking via an explicit
   * `checkInputDataTypes` (no `ExpectsInputTypes`/`AbstractDataType`, which
@@ -103,61 +112,76 @@ object VectorExpressions {
   }
 }
 
-/** Column-API façade. [[register]] installs the codegen expressions in the
-  * session's function registry (public `classic.SparkSession.sessionState`
-  * + `call_function`); the `*_udf` variants are the always-available plain
-  * Scala UDF fallback (SURVEY §4.3's primary recommendation).
+/** Column-API façade.
+  *
+  * The codegen expressions need a per-session FunctionRegistry entry
+  * (`call_function` resolves by name at analysis time). Rather than making
+  * callers remember to [[register]], every Column method lazily registers
+  * on the current active session and falls back to the plain Scala UDF if
+  * there is no active session or the registry isn't reachable. Registration
+  * is tracked per session (weak map — sessions are not leaked), so one
+  * session's failure never disables another's codegen path.
   */
 object VectorFunctions {
 
   import VectorExpressions._
 
-  @volatile private var expressionsAvailable = true
+  /** Sessions whose registries already hold our functions. */
+  private val registeredSessions =
+    Collections.synchronizedMap(new WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Register `cosine_sim` / `dot_product` / `l2_norm` as session SQL
-    * functions backed by the codegen expressions. Idempotent; call once
-    * per session before using [[cosine_sim]] etc. Falls back silently if
-    * the session type doesn't expose a function registry (the `*_udf`
-    * variants then take over via [[cosine_sim]]'s fallback path).
+    * functions backed by the codegen expressions. Idempotent per session;
+    * returns false (UDF fallback stays in force) if the session doesn't
+    * expose a function registry.
     */
-  def register(spark: SparkSession): Unit =
-    try {
-      val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.functionRegistry
-      reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
-      reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
-      reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
-      expressionsAvailable = true
-    } catch {
-      case _: Throwable => expressionsAvailable = false
-    }
+  def register(spark: SparkSession): Boolean =
+    if (registeredSessions.containsKey(spark)) true
+    else
+      try {
+        val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.functionRegistry
+        reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+        reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+        reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
+        registeredSessions.put(spark, java.lang.Boolean.TRUE)
+        true
+      } catch {
+        case NonFatal(_) => false
+      }
 
-  /** Codegen'd cosine when registered, UDF otherwise. */
+  /** True iff the active session has (or just got) the codegen functions. */
+  private def ensureRegistered(): Boolean =
+    SparkSession.getActiveSession.exists(register)
+
+  /** Codegen'd cosine when a session registry is reachable, UDF otherwise. */
   def cosine_sim(a: Column, b: Column): Column =
-    if (expressionsAvailable) call_function("cosine_sim", a, b) else cosine_udf(a, b)
+    if (ensureRegistered()) call_function("cosine_sim", a, b) else cosine_udf(a, b)
 
   def dot_product(a: Column, b: Column): Column =
-    if (expressionsAvailable) call_function("dot_product", a, b) else dot_udf(a, b)
+    if (ensureRegistered()) call_function("dot_product", a, b) else dot_udf(a, b)
 
   def l2_norm(a: Column): Column =
-    if (expressionsAvailable) call_function("l2_norm", a) else norm_udf(a)
+    if (ensureRegistered()) call_function("l2_norm", a) else norm_udf(a)
 
   // ---- plain Scala UDF fallback path (no registration required) ----
+  // Boxed Float signatures so a null array *element* behaves like the
+  // ArrayData path (null slot reads as 0.0) instead of NPE-ing.
 
   private val cosineScalaUdf =
-    udf((a: Seq[Float], b: Seq[Float]) =>
+    udf((a: Seq[java.lang.Float], b: Seq[java.lang.Float]) =>
       if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-      else java.lang.Double.valueOf(VectorOps.cosineSeq(a, b)))
+      else java.lang.Double.valueOf(VectorOps.cosineBoxed(a, b)))
 
   private val dotScalaUdf =
-    udf((a: Seq[Float], b: Seq[Float]) =>
+    udf((a: Seq[java.lang.Float], b: Seq[java.lang.Float]) =>
       if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-      else java.lang.Double.valueOf(VectorOps.dotSeq(a, b)))
+      else java.lang.Double.valueOf(VectorOps.dotBoxed(a, b)))
 
   private val normScalaUdf =
-    udf((a: Seq[Float]) =>
+    udf((a: Seq[java.lang.Float]) =>
       if (a == null) null.asInstanceOf[java.lang.Double]
-      else java.lang.Double.valueOf(VectorOps.normSeq(a)))
+      else java.lang.Double.valueOf(VectorOps.normBoxed(a)))
 
   def cosine_udf(a: Column, b: Column): Column = cosineScalaUdf(a, b)
   def dot_udf(a: Column, b: Column): Column = dotScalaUdf(a, b)

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * `dot(a,b) / (||a||*||b||)` with the exact zero-norm-product → 0.0 guard.
   * Math is performed in double precision over float32 inputs with a fixed
   * sequential reduction order, so results are deterministic regardless of
-  * partitioning (SURVEY §7.4).
+  * partitioning (SURVEY §7.4). A null array element reads as 0.0 on every
+  * path (codegen ArrayData, boxed UDF, plain arrays can't hold nulls).
   */
 object VectorOps {
 
@@ -22,8 +23,8 @@ object VectorOps {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -38,7 +39,12 @@ object VectorOps {
       s"dot: dimension mismatch ${n} vs ${b.numElements()}")
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
+      dot += x * y
+      i += 1
+    }
     dot
   }
 
@@ -47,19 +53,26 @@ object VectorOps {
     var s = 0.0
     var i = 0
     val n = a.numElements()
-    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      s += x * x; i += 1
+    }
     math.sqrt(s)
   }
 
-  /** Cosine over Scala seqs (UDF path — inputs arrive as WrappedArray). */
-  def cosineSeq(a: Seq[Float], b: Seq[Float]): Double = {
+  /** Cosine over boxed seqs (UDF fallback path — mirrors [[cosineF]]'s
+    * null-element-is-zero contract).
+    */
+  def cosineBoxed(a: Seq[java.lang.Float], b: Seq[java.lang.Float]): Double = {
     val ai = a.toIndexedSeq; val bi = b.toIndexedSeq
     val n = ai.length
     require(n == bi.length, s"cosine_sim: dimension mismatch $n vs ${bi.length}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = ai(i).toDouble; val y = bi(i).toDouble
+      val xe = ai(i); val ye = bi(i)
+      val x = if (xe == null) 0.0 else xe.toDouble
+      val y = if (ye == null) 0.0 else ye.toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -67,20 +80,28 @@ object VectorOps {
     if (np == 0.0) 0.0 else dot / np
   }
 
-  /** Dot product over Scala seqs (UDF path). */
-  def dotSeq(a: Seq[Float], b: Seq[Float]): Double = {
+  /** Dot product over boxed seqs (UDF fallback path). */
+  def dotBoxed(a: Seq[java.lang.Float], b: Seq[java.lang.Float]): Double = {
     val ai = a.toIndexedSeq; val bi = b.toIndexedSeq
     require(ai.length == bi.length, "dot: dimension mismatch")
     var d = 0.0; var i = 0
-    while (i < ai.length) { d += ai(i).toDouble * bi(i).toDouble; i += 1 }
+    while (i < ai.length) {
+      val xe = ai(i); val ye = bi(i)
+      d += (if (xe == null) 0.0 else xe.toDouble) * (if (ye == null) 0.0 else ye.toDouble)
+      i += 1
+    }
     d
   }
 
-  /** L2 norm over a Scala seq (UDF path). */
-  def normSeq(a: Seq[Float]): Double = {
+  /** L2 norm over a boxed seq (UDF fallback path). */
+  def normBoxed(a: Seq[java.lang.Float]): Double = {
     val ai = a.toIndexedSeq
     var s = 0.0; var i = 0
-    while (i < ai.length) { val x = ai(i).toDouble; s += x * x; i += 1 }
+    while (i < ai.length) {
+      val xe = ai(i)
+      val x = if (xe == null) 0.0 else xe.toDouble
+      s += x * x; i += 1
+    }
     math.sqrt(s)
   }
 

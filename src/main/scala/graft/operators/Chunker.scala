@@ -46,23 +46,38 @@ object Chunker {
     chunks.toSeq
   }
 
-  /** Column form: `chunk(text)` → `array<string>`. */
-  def chunkCol(text: Column, maxChars: Int, overlap: Int): Column = {
+  /** Column form: `chunk(text)` → `array<string>`. The UDF object is built
+    * once per query construction (not per row).
+    */
+  def chunkCol(text: Column, maxChars: Int = 2000, overlap: Int = 200): Column = {
     val f = udf((s: String) => chunkText(s, maxChars, overlap))
     f(text)
   }
+
+  // Internal scratch column; prefixed so it cannot collide with any of the
+  // driver fixtures and is vanishingly unlikely to collide with user data.
+  private val TmpChunks = "__graft_chunks"
 
   /** Distributed 1→N chunk pipeline: each input row becomes one row per
     * chunk with `chunk_index` / `total_chunks` bookkeeping — the same
     * metadata the reference attaches per chunk (`vectolite.py:523`), but
     * produced in a single distributed pass instead of a driver loop.
+    *
+    * The source text column is KEPT (callers that want the reference's
+    * replace-text-with-chunk shape can `.drop(textCol)` themselves); output
+    * column names are parameters so callers with conflicting schemas can
+    * rename. Rows whose text yields zero chunks (empty/whitespace) produce
+    * no output rows, matching the reference's `[]`.
     */
   def explodeChunks(df: DataFrame, textCol: String,
-                    maxChars: Int = 2000, overlap: Int = 200): DataFrame = {
-    val withChunks = df.withColumn("_chunks", chunkCol(col(textCol), maxChars, overlap))
-    withChunks
-      .withColumn("total_chunks", size(col("_chunks")))
-      .select(col("*"), posexplode(col("_chunks")).as(Seq("chunk_index", "chunk")))
-      .drop("_chunks", textCol)
+                    maxChars: Int = 2000, overlap: Int = 200,
+                    chunkCol_ : String = "chunk",
+                    indexCol: String = "chunk_index",
+                    totalCol: String = "total_chunks"): DataFrame = {
+    require(!df.columns.contains(TmpChunks), s"input already has $TmpChunks")
+    df.withColumn(TmpChunks, chunkCol(col(textCol), maxChars, overlap))
+      .withColumn(totalCol, size(col(TmpChunks)))
+      .select(col("*"), posexplode(col(TmpChunks)).as(Seq(indexCol, chunkCol_)))
+      .drop(TmpChunks)
   }
 }

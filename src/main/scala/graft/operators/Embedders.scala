@@ -5,6 +5,7 @@ import scala.util.hashing.MurmurHash3
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.EmbedError
 import graft.functions.VectorOps
 
 /** Batch embedding — the Spark mapping of the reference's injected
@@ -21,17 +22,41 @@ import graft.functions.VectorOps
   * OpenAI paths, `vectolite.py:312-346`) slot behind the same trait: heavy
   * model state belongs in a lazily-initialized per-executor singleton — the
   * distributed analogue of the reference's `lru_cache` (`vectolite.py:305`).
+  *
+  * Empty-text contract: the reference hard-rejects empty text before it ever
+  * reaches the embed function (`vectolite.py:97-98,134-135`), so the default
+  * batch path does the same — an empty/null text fails the job with
+  * [[EmbedError]]. [[embedLenient]] keeps the zero-vector behavior for
+  * pipelines that prefer poison-row tolerance over parity.
   */
 trait Embedder extends Serializable {
   def dim: Int
-  /** Embed one text (driver-side / per-row). */
+
+  /** Embed one non-validated text (null → zero vector). */
   def embedOne(text: String): Array[Float]
-  /** Add `outCol: array<float>` computed from `textCol`. */
-  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val f = udf((s: String) => embedOne(s))
-    df.withColumn(outCol, f(col(textCol)))
+
+  // Hoisted once per Embedder instance — not re-allocated per query build.
+  @transient private lazy val strictUdf = udf { (s: String) =>
+    if (s == null || s.trim.isEmpty)
+      throw new EmbedError("Text cannot be empty.")
+    embedOne(s)
   }
-  def embedCol(text: Column): Column = udf((s: String) => embedOne(s)).apply(text)
+  @transient private lazy val lenientUdf = udf((s: String) => embedOne(s))
+
+  /** Add `outCol: array<float>` computed from `textCol`; empty/null text
+    * fails the job (reference parity, `vectolite.py:97-98`).
+    */
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, embedCol(col(textCol)))
+
+  /** Column form of the strict path. */
+  def embedCol(text: Column): Column = strictUdf(text)
+
+  /** Lenient column form: empty/null text → zero vector (no job failure). */
+  def embedLenientCol(text: Column): Column = lenientUdf(text)
+
+  def embedLenient(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, embedLenientCol(col(textCol)))
 }
 
 /** Deterministic signed feature-hashing embedder: lowercase word tokens,

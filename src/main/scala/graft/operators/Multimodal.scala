@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Multimodal column plumbing (builder brief): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run
+  * decode / feature-extraction / frame-sampling as distributed batch
+  * transforms.
+  *
+  * The container ships no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC FAKE (clearly marked below): it derives "features" from
+  * the raw bytes with the same hashing scheme as [[HashingEmbedder]]. The
+  * Spark-side plumbing — schema, binary handling, batch shape, 1→N frame
+  * explode, partition-parallel UDF signature — is real and tested; swapping
+  * the fake for a JNI/ONNX decoder changes only the function body.
+  */
+object Multimodal {
+
+  /** Asset metadata struct: mime + declared shape + byte size. */
+  def assetMeta(bytes: Column, mime: Column, width: Column, height: Column): Column =
+    struct(
+      mime.as("mime"),
+      width.cast("int").as("width"),
+      height.cast("int").as("height"),
+      length(bytes).as("n_bytes"))
+
+  /** Wrap a text corpus as fake binary assets (UTF-8 bytes) so the binary
+    * pipeline is exercisable on the driver fixtures, which have no real
+    * media columns.
+    */
+  def fakeAssets(df: DataFrame, textCol: String): DataFrame = {
+    val bytes = col(textCol).cast("binary")
+    df.withColumn("asset_bytes", bytes)
+      .withColumn("asset_meta",
+        assetMeta(bytes, lit("text/plain"),
+          lit(0), lit(0)))
+  }
+
+  // ----------------------------------------------------------------- STUB
+  /** FAKE DECODER — stands in for a real image/audio decode. Deterministic:
+    * hashes 8-byte strides of the payload into `dim` signed buckets, then
+    * L2-normalizes, so tests and oracles are stable. A real implementation
+    * replaces ONLY this body (e.g. JPEG decode → CNN features) keeping the
+    * exact `Array[Byte] => Array[Float]` batch-parallel signature.
+    */
+  def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (bytes == null || bytes.isEmpty) return v
+    var i = 0
+    while (i < bytes.length) {
+      var h = 1125899906842597L // FNV-ish rolling hash over an 8-byte stride
+      var j = i
+      val end = math.min(i + 8, bytes.length)
+      while (j < end) { h = h * 31 + bytes(j); j += 1 }
+      val idx = (((h % dim) + dim) % dim).toInt
+      v(idx) += (if ((h & 1L) == 0L) 1f else -1f)
+      i += 8
+    }
+    VectorOps.l2Normalize(v)
+  }
+
+  /** Column form of the (fake) feature extractor. */
+  def decodeFeaturesCol(bytes: Column, dim: Int = 64): Column = {
+    val f = udf((b: Array[Byte]) => fakeDecodeFeatures(b, dim))
+    f(bytes)
+  }
+
+  /** Frame sampling: split a binary payload into `frameBytes`-sized slices
+    * and keep every `stride`-th one — the 1→N explode shape of video frame
+    * extraction (a real impl swaps the slicer for a codec's keyframe
+    * reader; the distributed explode/bookkeeping stays identical).
+    */
+  def sampleFrames(df: DataFrame, bytesCol: String,
+                   frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val slicer = udf { (b: Array[Byte]) =>
+      if (b == null) Seq.empty[Array[Byte]]
+      else b.grouped(frameBytes).grouped(stride).map(_.head).toSeq
+    }
+    df.withColumn("__graft_frames", slicer(col(bytesCol)))
+      .withColumn("n_frames", size(col("__graft_frames")))
+      .select(col("*"), posexplode(col("__graft_frames")).as(Seq("frame_index", "frame_bytes")))
+      .drop("__graft_frames")
+  }
+
+  /** End-to-end fake pipeline over a text corpus: bytes → features →
+    * similarity-ready embedding column. Partition-parallel, no driver hops.
+    */
+  def featurize(df: DataFrame, textCol: String, dim: Int = 64): DataFrame =
+    fakeAssets(df, textCol)
+      .withColumn("features", decodeFeaturesCol(col("asset_bytes"), dim))
+}

@@ -1,0 +1,185 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.core.Validate
+import graft.operators.Embedder
+
+/** The document-store surface — Spark mappings of the reference's ten
+  * user-facing verbs over its single `documents` table
+  * (`/root/reference/vectolite.py:59-298,538-555`).
+  *
+  * Storage model: an immutable parquet-backed DataFrame. Mutation verbs
+  * (insert/delete) are expressed as *transformations* that produce the next
+  * table state — the caller (or [[append]]/[[rewrite]]) persists it. That is
+  * the idiomatic big-data shape: copy-on-write over immutable files, exactly
+  * what table formats layer over parquet, and it keeps every verb a
+  * declarative plan Catalyst can optimize.
+  */
+object DocStore {
+
+  // ---------------------------------------------------------------- O1 scan
+  /** Full scan (`SELECT ... FROM documents`, `vectolite.py:145-146`) —
+    * unlike the reference, nothing is materialized on the driver; the scan
+    * stays a distributed `FileSourceScanExec` and Catalyst prunes
+    * columns/pushes filters into it.
+    */
+  def scan(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  // ------------------------------------------------------- O2 insert/append
+  /** Dense id assignment for a batch of new rows, continuing after
+    * `startId` — the Spark analogue of SQLite's AUTOINCREMENT + `lastrowid`
+    * (`vectolite.py:63,111`). Dense-and-ordered requires a total order, so
+    * this shape is for *append batches* (the reference inserts one row per
+    * call; batches of millions are fine, the window is a single sort of the
+    * new batch only, never of the existing table).
+    */
+  def assignIds(newDocs: DataFrame, orderBy: Seq[Column], startId: Long,
+                idCol: String = "id"): DataFrame =
+    newDocs.withColumn(
+      idCol, row_number().over(Window.orderBy(orderBy: _*)) + lit(startId))
+
+  /** Scalable dense id assignment for huge batches: per-partition counts →
+    * prefix-sum offsets (one tiny extra job, no global sort/shuffle). Ids
+    * are dense and unique but ordered by partition layout, not by a key —
+    * the documented trade-off vs [[assignIds]] at 100 TB scale.
+    */
+  def assignIdsScalable(newDocs: DataFrame, startId: Long,
+                        idCol: String = "id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val schema = StructType(newDocs.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val indexed = newDocs.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (startId + 1 + i))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** Full insert pipeline (↔ `insert`, `vectolite.py:81-116`): validate
+    * non-empty text, embed, serialize metadata JSON, assign ids after the
+    * current max, stamp `created_at`. The clock is injectable so declared
+    * queries stay deterministic (SURVEY §7.4).
+    */
+  def prepareInsert(existingMaxId: Long, newDocs: DataFrame, textCol: String,
+                    embedder: Embedder, metadataCols: Seq[String],
+                    createdAt: Column = current_timestamp()): DataFrame = {
+    val withEmb = embedder.embed(newDocs, textCol, "embedding") // strict: empty text fails (vectolite.py:97-98)
+    val withMeta =
+      if (metadataCols.nonEmpty)
+        withEmb.withColumn("metadata", packMetadata(metadataCols.map(c => col(c).as(c)): _*))
+      else withEmb.withColumn("metadata", lit(null).cast("string"))
+    assignIds(withMeta, Seq(col(textCol)), existingMaxId)
+      .withColumn("created_at", createdAt)
+  }
+
+  /** Persist an append batch (the write side of O2). */
+  def append(batch: DataFrame, path: String): Unit =
+    batch.write.mode("append").parquet(path)
+
+  // --------------------------------------------------------- O3 point lookup
+  /** `get_document(id)` (`vectolite.py:268-298`): equality predicate is
+    * pushed into the parquet scan (row-group stat pruning), `limit(1)`
+    * short-circuits — O(pruned scan), no shuffle.
+    */
+  def getDocument(docs: DataFrame, idCol: String, id: Long): DataFrame =
+    docs.filter(col(idCol) === id).limit(1)
+
+  // -------------------------------------------------------------- O4 delete
+  /** `delete_document(id)` (`vectolite.py:186-199`) — no in-place mutation
+    * on immutable files, so delete is the left-anti-join rewrite: the next
+    * table state excludes the ids. For a literal id list the anti-join
+    * collapses to a pushed-down NOT IN filter; for a DataFrame of ids Spark
+    * broadcasts the (small) delete set — no shuffle of the big table.
+    */
+  def deleteByIds(docs: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
+    docs.filter(!col(idCol).isin(ids: _*))
+
+  def deleteByIds(docs: DataFrame, idCol: String, ids: DataFrame): DataFrame =
+    docs.join(broadcast(ids), docs(idCol) === ids(ids.columns.head), "left_anti")
+
+  /** Deleted-row count — the analogue of `rowcount > 0` (`vectolite.py:197`). */
+  def deleteCount(docs: DataFrame, idCol: String, ids: Seq[Long]): Long =
+    docs.filter(col(idCol).isin(ids: _*)).count()
+
+  // --------------------------------------------------------------- O5 count
+  /** `count_documents()` (`vectolite.py:176-184`) — partial+final
+    * HashAggregate; each executor contributes one partial count.
+    */
+  def countDocuments(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"))
+
+  // ------------------------------------------------ O6/O7/O8 list + truncate
+  /** Display-text truncation (`vectolite.py:240-251`): first `maxLen` chars
+    * + "..." only when longer, else unchanged.
+    */
+  def displayText(text: Column, maxLen: Int): Column =
+    when(length(text) > maxLen, concat(substring(text, 1, maxLen), lit("...")))
+      .otherwise(text)
+
+  /** `list_documents(limit, offset, include_text, max_text_length)`
+    * (`vectolite.py:201-266`): total order (desc + id tiebreak, the
+    * distributed substitute for SQLite's stable scan), OFFSET/LIMIT pushed
+    * into a single GlobalLimit(+offset) — only `offset+limit` rows ever
+    * reach the driver side of the sort. Projection variants prune columns
+    * into the scan (O7).
+    */
+  def listDocuments(docs: DataFrame, orderCol: String, idCol: String,
+                    limit: Int, offset: Int,
+                    includeText: Boolean, textCol: String = "text",
+                    maxTextLength: Int = 100): DataFrame = {
+    val ordered = docs.orderBy(col(orderCol).desc, col(idCol).asc)
+    val page = (if (offset > 0) ordered.offset(offset) else ordered).limit(limit)
+    if (includeText)
+      page.withColumn("display_text", displayText(col(textCol), maxTextLength))
+        .withColumn("full_text_length", length(col(textCol)))  // vectolite.py:249
+        .drop(textCol)
+    else
+      page.drop(textCol)
+  }
+
+  // ------------------------------------------------------- O15 JSON metadata
+  /** `json.dumps(metadata)` analogue (`vectolite.py:103`): canonical
+    * compact JSON with struct-declared key order, for oracle-stable output.
+    */
+  def packMetadata(fields: Column*): Column = to_json(struct(fields: _*))
+
+  /** `json.loads(metadata or "{}")[key]` analogue (`vectolite.py:168,250`):
+    * NULL metadata collapses to the empty object, so a missing key is null
+    * not an error.
+    */
+  def metadataField(metadata: Column, key: String): Column =
+    get_json_object(coalesce(metadata, lit("{}")), s"$$.$key")
+
+  // --------------------------------------------------------------- O16 stats
+  /** `stats` (`vectolite.py:538-555`): document count + storage size. The
+    * reference reports the SQLite file size; ours reports the sum of
+    * parquet file sizes backing the table (same "how big is my DB" answer).
+    */
+  def stats(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = p.getFileSystem(conf).getContentSummary(p).getLength
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      lit(bytes).as("storage_bytes"),
+      round(lit(bytes / 1048576.0), 6).as("storage_mb"))
+  }
+
+  /** Pure-relational stats twin (oracle-checkable): count + char totals. */
+  def textStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol))).as("total_chars"),
+      round(avg(length(col(textCol))), 6).as("avg_chars"))
+
+  // ---------------------------------------------------------- O17 validation
+  /** Driver-side input guards, same messages as the reference
+    * (`vectolite.py:97-98,137-138,419-420`).
+    */
+  def validateInsertText(text: String): Unit = Validate.nonEmptyText(text)
+  def validateTopK(k: Int): Unit = Validate.positiveTopK(k)
+  def validatePath(path: String): Unit = Validate.supportedSuffix(path)
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Streaming ingest/aggregation over the `events` fixture (SURVEY §2.3 E6).
+  * The reference is strictly batch/request-response (`/root/reference/
+  * vectolite.py` has no streaming surface), so this extension is pure
+  * Structured Streaming idiom: file source → watermark → windowed
+  * aggregation, with a *batch twin* of every streaming query so the DuckDB
+  * oracle can check the semantics (streams themselves aren't
+  * SQL-oracle-checkable; the batch twin over the same file is).
+  */
+object Streams {
+
+  /** Tumbling-window rollup, batch form (the oracle twin): events per
+    * (hour, event_type) with value mass. The window start is emitted as a
+    * formatted string so engines with different timestamp internals
+    * hash-compare identically.
+    */
+  def eventsWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+
+  /** The same rollup as an actual stream: file source + 1-hour watermark
+    * (late events beyond the watermark are dropped, the standard bounded-
+    * state contract). Caller picks the sink via the returned writer-ready
+    * frame; state is bounded by (#open windows × #event types).
+    */
+  def eventsWindowAggStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    eventsWindowAgg(
+      spark.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", "1 hour"))
+
+  /** Convenience writer: append mode to an in-memory table for tests. */
+  def toMemorySink(stream: DataFrame, queryName: String): DataStreamWriter[Row] =
+    stream.writeStream.format("memory").queryName(queryName).outputMode("complete")
+
+  /** Gap-based sessionization (batch): a new session starts when the gap
+    * to the previous event of the same user exceeds `gapMinutes`. The
+    * standard lag + running-sum construction — two window passes over a
+    * single user-keyed shuffle. Gap arithmetic is in integer microseconds
+    * (`unix_micros`) and the order includes `tieCols`, so the session
+    * assignment is bit-deterministic and oracle-reproducible.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+                 tieCols: Seq[String] = Nil): DataFrame = {
+    val order = col("ts") +: tieCols.map(col)
+    val byUser = Window.partitionBy("user_id").orderBy(order: _*)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .drop("prev_ts", "new_session")
+  }
+
+  /** Sessions per user + mean session length (events per session). */
+  def sessionStats(events: DataFrame, gapMinutes: Int,
+                   tieCols: Seq[String] = Nil): DataFrame =
+    sessionize(events, gapMinutes, tieCols)
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 6).as("avg_events_per_session"))
+}

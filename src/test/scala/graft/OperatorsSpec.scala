@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.EmbedError
+import graft.functions.VectorFunctions.cosine_sim
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+
+  // ------------------------------------------------------------- SimJoin
+  test("topKPerQuery matches the brute-force rank window") {
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = embs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+
+    val fast = SimJoin.topKPerQuery(queries, corpus, 4)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+
+    val w = Window.partitionBy("q_id").orderBy(desc("score"), col("c_id"))
+    val slow = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", cosine_sim(col("c_emb"), col("q_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+
+    assert(fast == slow)
+  }
+
+  test("topKPerQuery plans a partial aggregation before the exchange") {
+    val queries = embs.limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = embs.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val plan = SimJoin.topKPerQuery(queries, corpus, 3)
+      .queryExecution.executedPlan.toString
+    // two-phase object hash aggregate: partial top-k runs map-side, so the
+    // exchange carries ≤k rows per (query, partition), not the cross product
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.toLowerCase.contains("partial_topkagg"))
+  }
+
+  // --------------------------------------------------------------- Dedup
+  test("exactDupGroups finds injected duplicates; dedupExact keeps min id") {
+    val base = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"), (5L, "bb"))
+      .toDF("id", "text")
+    val groups = Dedup.exactDupGroups(base, "id", "text")
+      .select("n_dups", "keep_id").as[(Long, Long)].collect().toSet
+    assert(groups == Set((2L, 1L), (2L, 2L)))
+    val kept = Dedup.dedupExact(base, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("jaccardPairs (inverted index) matches brute-force jaccard") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"), (4L, "a b c d")
+    ).toDF("id", "text")
+    val got = Dedup.jaccardPairs(df, "id", "text", n = 1, threshold = 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // sets: {abcd},{abce},{xyzw},{abcd}: (1,2): 3/5=0.6, (1,4): 1.0, (2,4): 0.6
+    assert(got == Set((1L, 2L, 0.6), (1L, 4L, 1.0), (2L, 4L, 0.6)))
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    assert(Dedup.simhash64("spark query engine") == Dedup.simhash64("spark query engine"))
+    val df = Seq((1L, "spark query engine fast"), (2L, "spark query engine fast"),
+      (3L, "totally different words entirely")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("nearDupPairsExact refuses tables beyond maxRows (scale guard)") {
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupPairsExact(embs, "vec_id", "embedding", 0.5, maxRows = 10).collect()
+    }
+  }
+
+  test("MinHash near-dup pairs are deterministic and find real overlaps") {
+    val subset = docs.filter(col("doc_id") < 40)
+    val p1 = MinHashDedup.nearDupPairs(subset, "doc_id", "text", 1, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val p2 = MinHashDedup.nearDupPairs(subset, "doc_id", "text", 1, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p1 == p2)
+    assert(p1.nonEmpty)
+    assert(p1.forall { case (a, b) => a < b })
+  }
+
+  // ------------------------------------------------------------ AnnIndex
+  test("ANN recall ≥ 0.5 at k=10 on the fixture, and probes are deterministic") {
+    val q = embs.filter(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    val cfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 16)
+    val recall = AnnIndex.recallAtK(embs, "vec_id", "embedding", q, 10, cfg)
+    assert(recall >= 0.5, s"recall $recall")
+    val a = AnnIndex.approxTopK(embs, "vec_id", "embedding", q, 10, cfg)
+      .select("id").as[Long].collect().toSeq
+    val b = AnnIndex.approxTopK(embs, "vec_id", "embedding", q, 10, cfg)
+      .select("id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  // -------------------------------------------------------- TextAnalysis
+  test("token counting handles empty and multi-space text") {
+    val df = Seq((1L, "a  b   c"), (2L, ""), (3L, "   ")).toDF("id", "text")
+    val counts = df.select(col("id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(counts == Map(1L -> 3, 2L -> 0, 3L -> 0))
+  }
+
+  test("langId picks marker-hit argmax, 'und' when nothing matches") {
+    val df = Seq(
+      (1L, "the cat is on the mat and of course"),
+      (2L, "der hund ist mit der katze und so"),
+      (3L, "zzz qqq www")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprint is stable under token order permutation") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"), 8)).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("qualityScore stays within [0,1]") {
+    val stats = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+  }
+
+  // ------------------------------------------------------------ Embedder
+  test("hashing embedder: deterministic, unit-norm, strict on empty text") {
+    val e = HashingEmbedder(32)
+    val v1 = e.embedOne("hello world")
+    val v2 = e.embedOne("hello world")
+    assert(v1.toSeq == v2.toSeq)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+
+    val df = Seq((1L, "ok"), (2L, "  ")).toDF("id", "text")
+    val ex = intercept[Exception] { e.embed(df, "text", "emb").collect() }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[EmbedError]))
+    // lenient path: zero vector instead of failure
+    val z = e.embedLenient(df, "text", "emb").filter(col("id") === 2)
+      .select("emb").as[Seq[Float]].head
+    assert(z.forall(_ == 0f))
+  }
+
+  // ---------------------------------------------------------- Multimodal
+  test("multimodal plumbing: byte metadata, fake features, frame explode") {
+    val df = Seq((1L, "abcdefgh" * 32)).toDF("id", "text")
+    val feat = Multimodal.featurize(df, "text", dim = 16)
+    val row = feat.select(col("asset_meta.n_bytes"), col("features")).head
+    assert(row.getInt(0) == 256)
+    assert(row.getSeq[Float](1).length == 16)
+
+    val frames = Multimodal.sampleFrames(feat, "asset_bytes", frameBytes = 64, stride = 2)
+    // 256 bytes → 4 frames of 64 → stride 2 keeps 2
+    assert(frames.count() == 2)
+    assert(frames.select("n_frames").head.getInt(0) == 2)
+    assert(frames.columns.contains("frame_index") && frames.columns.contains("frame_bytes"))
+  }
+}

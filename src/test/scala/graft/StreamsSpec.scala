@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize: gap > threshold starts a new session") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:10:00"), 1L), // 10 min gap → same session
+      (3L, ts("2024-01-01 11:00:00"), 1L), // 50 min gap → new session
+      (4L, ts("2024-01-01 10:00:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val sess = Streams.sessionize(events, gapMinutes = 30, tieCols = Seq("event_id"))
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(sess == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("streaming windowed agg equals its batch twin on the events fixture") {
+    val batchEvents = Tables.events(spark, Sf0001)
+    val expected = Streams.eventsWindowAgg(batchEvents)
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    // Stream the same rows from a micro-batch-friendly copy (the fixture's
+    // NANOS timestamps can't flow through readStream's parquet source, so
+    // re-write the already-truncated frame).
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = Streams.eventsWindowAggStream(spark, dir, batchEvents.schema)
+    val q = Streams.toMemorySink(stream, "win_agg_test").trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_agg_test")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+}
