@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftError
+import graft.operators.HashingEmbedder
+import graft.store.GraftStore
+
+/** Command-line twin of the reference's typer CLI
+  * (`/root/reference/vectolite.py:424-652`): the same seven verbs over
+  * [[GraftStore]]. The embedder is the offline deterministic hashing
+  * embedder (the reference's `--model/--local` flags select among injected
+  * embedders; this build has exactly one, `vectolite.py:48`'s design point).
+  *
+  * Usage: graft.Cli <store-path> <command> [args...]
+  *   add <text> [metaKey=value ...]
+  *   query <text> [topK]
+  *   ingest-file <file> [maxChars] [overlap]
+  *   stats | delete <id> | show <id> | list [limit] [offset]
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val store = new GraftStore(spark, args(0), HashingEmbedder(64))
+    try run(store, args(1), args.drop(2))
+    catch {
+      case e: GraftError => System.err.println(s"Error: ${e.getMessage}"); sys.exit(1)
+    } finally spark.stop()
+  }
+
+  private def run(store: GraftStore, cmd: String, rest: Array[String]): Unit = cmd match {
+    case "add" =>
+      val meta = rest.drop(1).flatMap { kv =>
+        kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+      }.toMap
+      val id = store.insert(rest(0), meta)
+      println(s"Document added with ID: $id") // vectolite.py:440
+
+    case "query" =>
+      val k = if (rest.length > 1) rest(1).toInt else 3 // default top_k=3, vectolite.py:453
+      store.query(rest(0), k).collect().zipWithIndex.foreach { case (r, i) =>
+        val preview = Option(r.getString(2)).map(t =>
+          if (t.length > 200) t.take(200) + "..." else t).getOrElse("") // 200-char preview, :473
+        println(f"${i + 1}. id=${r.getLong(0)} score=${r.getDouble(1)}%.4f text=$preview")
+      }
+
+    case "ingest-file" =>
+      val maxChars = if (rest.length > 1) rest(1).toInt else 2000 // defaults, vectolite.py:487-489
+      val overlap = if (rest.length > 2) rest(2).toInt else 200
+      val ids = store.ingestFile(rest(0), maxChars = maxChars, overlap = overlap)
+      println(s"Ingested ${ids.length} chunks with IDs: ${ids.mkString(", ")}")
+
+    case "stats" =>
+      val (n, bytes) = store.stats()
+      println(f"Documents: $n%d  Size: ${bytes / 1048576.0}%.2f MB") // vectolite.py:546
+
+    case "delete" =>
+      if (store.deleteDocument(rest(0).toLong)) println(s"Deleted document ${rest(0)}")
+      else { System.err.println(s"Document ${rest(0)} not found"); sys.exit(1) }
+
+    case "show" =>
+      store.getDocument(rest(0).toLong) match {
+        case Some(r) =>
+          println(s"id=${r.getAs[Long]("id")}\nmetadata=${r.getAs[String]("metadata")}\ntext=${r.getAs[String]("text")}")
+        case None => System.err.println(s"Document ${rest(0)} not found"); sys.exit(1)
+      }
+
+    case "list" =>
+      val limit = if (rest.nonEmpty) rest(0).toInt else 10 // defaults, vectolite.py:578-581
+      val offset = if (rest.length > 1) rest(1).toInt else 0
+      store.listDocuments(limit, offset, includeText = true, maxTextLength = 100)
+        .collect().foreach { r =>
+          println(s"id=${r.getAs[Long]("id")}  ${r.getAs[String]("display_text")}")
+        }
+
+    case other =>
+      System.err.println(s"Unknown command: $other\n$usage"); sys.exit(2)
+  }
+
+  private val usage =
+    """usage: graft.Cli <store-path> <add|query|ingest-file|stats|delete|show|list> [args...]"""
+}

@@ -281,6 +281,21 @@ object SparkEntry {
           col("asset_meta.mime").as("mime"))
         .orderBy("doc_id")),
 
+    // ---- O13: ingest pipeline composition (chunk→meta→ids, no clock) --
+    "ingest_pipeline" -> ((s, dir) => {
+      val chunked = Chunker.explodeChunks(
+        docs(s, dir).select(col("doc_id"), col("text"), col("source")), "text")
+      val withMeta = chunked.withColumn("metadata",
+        DocStore.packMetadata(col("source").as("source"),
+          col("chunk_index").as("chunk_index"), col("total_chunks").as("total_chunks")))
+      DocStore.assignIds(withMeta, Seq(col("doc_id"), col("chunk_index")), 10000L)
+        .select(col("id"), col("doc_id"),
+          col("chunk_index").cast("long").as("chunk_index"),
+          col("total_chunks").cast("long").as("total_chunks"),
+          col("metadata"), col("chunk"))
+        .orderBy("id")
+    }),
+
     // ================= rows-only queries (no ANSI-SQL oracle) =========
 
     // E1: batch embedding with the deterministic hashing embedder
@@ -472,6 +487,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index, CAST(1 AS BIGINT) AS total_chunks,
         |  trim(text) AS chunk
         |FROM documents ORDER BY doc_id, chunk_index""".stripMargin,
+
+    // single-paragraph fixture text → 1 chunk per doc; ids continue after
+    // the seed (10000), ordered by (doc_id, chunk_index) like the
+    // reference's sequential insert loop (vectolite.py:521-525).
+    "ingest_pipeline" ->
+      """SELECT 10000 + ROW_NUMBER() OVER (ORDER BY doc_id) AS id, doc_id,
+        |  CAST(0 AS BIGINT) AS chunk_index, CAST(1 AS BIGINT) AS total_chunks,
+        |  '{"source":"' || source || '","chunk_index":0,"total_chunks":1}' AS metadata,
+        |  trim(text) AS chunk
+        |FROM documents ORDER BY id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -1,0 +1,132 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, Validate}
+import graft.operators.{Chunker, Embedder, Ingest, Similarity}
+
+/** Programmatic façade with the reference's verb-for-verb API
+  * (`/root/reference/vectolite.py` class `Vectolite` + its CLI): a
+  * parquet-backed document store at `path` with a pluggable [[Embedder]].
+  *
+  * Semantics parity map:
+  *  - insert → `vectolite.py:81-116` (validate, embed, JSON metadata,
+  *    returned id = AUTOINCREMENT analogue)
+  *  - query → `:118-174` (embed query, exact cosine top-k, ties by id)
+  *  - countDocuments → `:176-184`; deleteDocument → `:186-199` (returns
+  *    whether a row was deleted); listDocuments → `:201-266`;
+  *    getDocument → `:268-298`; chunkText → `:369-409`;
+  *    ingestFile → `:483-535`; stats → `:538-555`.
+  *
+  * Mutation is copy-on-write: a new file set is written, then swapped in —
+  * the idiomatic immutable-storage shape (SURVEY §7.4). Single-row verbs
+  * exist for parity; bulk pipelines should use [[Ingest.ingestFiles]] /
+  * [[DocStore]] batch forms directly.
+  */
+final class GraftStore(spark: SparkSession, path: String, embedder: Embedder) {
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(path))
+
+  /** Current table state (empty frame with the canonical schema if the
+    * store has no files yet).
+    */
+  def table(): DataFrame =
+    if (exists) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Tables.documentStoreSchema)
+
+  private def maxId(): Long = {
+    val t = table()
+    if (t.isEmpty) 0L
+    else t.agg(max(col("id"))).head.getLong(0)
+  }
+
+  /** Copy-on-write swap: write `next` beside the store, then rename over
+    * it — never reads and overwrites the same files in one job.
+    */
+  private def rewrite(next: DataFrame): Unit = {
+    val tmp = new Path(path + s".tmp-${System.nanoTime()}")
+    next.write.parquet(tmp.toString)
+    val p = new Path(path)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Insert one document, returning its assigned id (`lastrowid` parity,
+    * `vectolite.py:111`).
+    */
+  def insert(text: String, metadata: Map[String, String] = Map.empty): Long = {
+    Validate.nonEmptyText(text)
+    import spark.implicits._
+    val start = maxId()
+    val metaFields = metadata.toSeq.sortBy(_._1).map { case (k, v) => lit(v).as(k) }
+    val row = Seq(text).toDF("text")
+      .withColumn("embedding", embedder.embedCol(col("text")))
+      .withColumn("metadata",
+        if (metaFields.isEmpty) lit(null).cast("string")
+        else DocStore.packMetadata(metaFields: _*))
+      .withColumn("id", lit(start + 1))
+      .withColumn("created_at", current_timestamp())
+      .select("id", "text", "metadata", "embedding", "created_at")
+    DocStore.append(row, path)
+    start + 1
+  }
+
+  /** Exact top-k similarity search; output rows (id, score, text, metadata)
+    * mirror the reference's result dicts (`vectolite.py:164-169`).
+    */
+  def query(text: String, topK: Int = 3): DataFrame = {
+    Validate.nonEmptyText(text, "Query text")
+    Validate.positiveTopK(topK)
+    Similarity.topK(table(), "embedding", "id", embedder.embedOne(text), topK)
+      .select(col("id"), col("score"), col("text"), col("metadata"))
+  }
+
+  def countDocuments(): Long = table().count()
+
+  /** Delete by id; true iff a row existed (`rowcount > 0`,
+    * `vectolite.py:197`). Copy-on-write rewrite of the table.
+    */
+  def deleteDocument(id: Long): Boolean = {
+    val t = table().cache()
+    try {
+      val hit = t.filter(col("id") === id).count() > 0
+      if (hit) rewrite(DocStore.deleteByIds(t, "id", Seq(id)))
+      hit
+    } finally t.unpersist()
+  }
+
+  def getDocument(id: Long): Option[Row] =
+    DocStore.getDocument(table(), "id", id).collect().headOption
+
+  def listDocuments(limit: Int = 50, offset: Int = 0,
+                    includeText: Boolean = true, maxTextLength: Int = 100): DataFrame =
+    DocStore.listDocuments(table(), "created_at", "id",
+      limit, offset, includeText, "text", maxTextLength)
+
+  def chunkText(text: String, maxChars: Int = 2000, overlap: Int = 200): Seq[String] =
+    Chunker.chunkText(text, maxChars, overlap)
+
+  /** Chunked file ingestion; returns the assigned ids
+    * (`vectolite.py:527-528`'s summary analogue).
+    */
+  def ingestFile(filePath: String, metadata: Map[String, String] = Map.empty,
+                 chunk: Boolean = true, maxChars: Int = 2000, overlap: Int = 200): Seq[Long] = {
+    Ingest.validatePath(filePath)
+    val batch = Ingest.ingestFiles(spark, filePath, embedder, maxId(), metadata,
+      chunk, maxChars, overlap)
+    DocStore.append(batch, path)
+    batch.select("id").collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  /** (document count, storage bytes) — `vectolite.py:538-555`. */
+  def stats(): (Long, Long) = {
+    val n = countDocuments()
+    val bytes = if (exists) fs.getContentSummary(new Path(path)).getLength else 0L
+    (n, bytes)
+  }
+}
