@@ -273,6 +273,50 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // ---- as-of join (backward, per user): click ← latest purchase ----
+    "asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("purchase_value"))
+      TemporalJoins.asofJoin(clicks, purchases,
+          keyCol = "user_id", leftTs = "ts", rightTs = "p_ts",
+          rightPayload = Seq("purchase_value"))
+        .select("event_id", "user_id", "purchase_value")
+        .orderBy("event_id")
+    }),
+
+    // ---- range join (bucketized equi): clicks within 1h of purchase --
+    "range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + 3600000000L).as("end_us"))
+      TemporalJoins.rangeJoin(clicks, purchases, "c_us", "start_us", "end_us",
+          bucketWidth = 3600000000L, extraKeys = Seq("user_id"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
+    // ---- relational: rollup (grouping sets) --------------------------
+    "rollup_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // ---- relational: distinct aggregation ----------------------------
+    "distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
     // ---- multimodal: binary payload metadata -------------------------
     "multimodal_bytes" -> ((s, dir) =>
       Multimodal.fakeAssets(docs(s, dir), "text")
@@ -314,6 +358,13 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           "doc_id", "text", maxHamming = 12)
+        .orderBy("a_id", "b_id")),
+
+    // E4/E2: LSH-bucketed embedding near-dup (corpus×corpus scale path)
+    "near_dup_lsh" -> ((s, dir) =>
+      AnnIndex.nearDupPairsLSH(embs(s, dir), "vec_id", "embedding",
+          threshold = 0.3, AnnIndex.Config(dim = 64, nBits = 4, nTables = 12))
+        .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
         .orderBy("a_id", "b_id")),
 
     // E2: LSH index build + probe (approximate top-k, exact re-rank)
@@ -595,6 +646,31 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |FROM orders WHERE o_custkey < 50
         |QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "range_join" ->
+      """SELECT p.event_id, COUNT(*) AS n_clicks
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime

@@ -101,6 +101,33 @@ object AnnIndex {
                  queryVec: Array[Float], k: Int, cfg: Config): DataFrame =
     queryTopK(buildIndex(emb, idCol, embCol, cfg), queryVec, k, cfg)
 
+  /** Scale path for embedding near-duplicate pairs (the corpus×corpus case
+    * [[graft.operators.Dedup.nearDupPairsExact]] refuses): candidates are
+    * LSH bucket collisions (same table, same bucket), deduped across
+    * tables, then verified with the exact codegen cosine. Shuffle volume
+    * is Σ bucket² per table — governed by nBits — never |corpus|².
+    *
+    * Parameter rule of thumb: per-table collision probability for a pair
+    * at cosine s is `(1 - acos(s)/π)^nBits`, overall recall
+    * `1 - (1 - p)^nTables`. High thresholds (0.8+) tolerate 8-16 bits;
+    * LOW thresholds need few bits — e.g. s=0.3 → p≈0.6^nBits, so 4 bits ×
+    * 12 tables ≈ 0.80 recall while 8 bits ≈ 0.18.
+    */
+  def nearDupPairsLSH(emb: DataFrame, idCol: String, embCol: String,
+                      threshold: Double, cfg: Config): DataFrame = {
+    val index = buildIndex(emb, idCol, embCol, cfg)
+    val a = index.select(col("table"), col("bucket"),
+      col("id").as("a_id"), col("embedding").as("a_emb"))
+    val b = index.select(col("table"), col("bucket"),
+      col("id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("score", graft.functions.VectorFunctions.cosine_sim(col("a_emb"), col("b_emb")))
+      .filter(col("score") > threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
+
   /** Exact brute-force recall baseline for tests: |approx ∩ exact| / k. */
   def recallAtK(emb: DataFrame, idCol: String, embCol: String,
                 queryVec: Array[Float], k: Int, cfg: Config): Double = {
