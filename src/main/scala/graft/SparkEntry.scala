@@ -223,6 +223,21 @@ object SparkEntry {
       Streams.eventsWindowAgg(events(s, dir))
         .orderBy("window_start", "event_type")),
 
+    // ---- E6: the SAME rollup through actual Structured Streaming -----
+    // (file stream + watermark + AvailableNow into a memory sink; shares
+    // the batch twin's oracle — stream and batch must agree exactly)
+    "events_window_stream" -> ((s, dir) => {
+      val batch = events(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ewstream").toString
+      batch.write.mode("overwrite").parquet(tmp) // nanos→micros normalized copy
+      val sinkName = "graft_events_window_stream"
+      val q = Streams.toMemorySink(
+          Streams.eventsWindowAggStream(s, tmp, batch.schema), sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(sinkName).orderBy("window_start", "event_type")
+    }),
+
     // ---- E6: gap sessionization --------------------------------------
     "sessionize" -> ((s, dir) =>
       Streams.sessionStats(events(s, dir), gapMinutes = 30, tieCols = Seq("event_id"))
@@ -593,6 +608,12 @@ object SparkEntry {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_window_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events,
         |  ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value
