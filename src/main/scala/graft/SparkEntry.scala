@@ -471,7 +471,7 @@ object SparkEntry {
 
     "json_metadata" ->
       """SELECT doc_id,
-        |  '{"lang":"' || lang || '","source":"' || source || '"}' AS metadata,
+        |  CAST(to_json(struct_pack(lang := lang, source := source)) AS VARCHAR) AS metadata,
         |  lang AS lang_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -560,7 +560,7 @@ object SparkEntry {
     "ingest_pipeline" ->
       """SELECT 10000 + ROW_NUMBER() OVER (ORDER BY doc_id) AS id, doc_id,
         |  CAST(0 AS BIGINT) AS chunk_index, CAST(1 AS BIGINT) AS total_chunks,
-        |  '{"source":"' || source || '","chunk_index":0,"total_chunks":1}' AS metadata,
+        |  CAST(to_json(struct_pack(source := source, chunk_index := 0, total_chunks := 1)) AS VARCHAR) AS metadata,
         |  trim(text) AS chunk
         |FROM documents ORDER BY id""".stripMargin,
 
@@ -693,8 +693,12 @@ object SparkEntry {
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // octet_length(encode(..)): UTF-8 BYTES, matching Spark's
+    // length(binary) — plain length() counts characters and diverges on
+    // any non-ASCII text.
     "multimodal_bytes" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -69,8 +69,11 @@ object AnnIndex {
     * nTables × |corpus| rows — linear, shuffle-free (narrow map).
     */
   def buildIndex(emb: DataFrame, idCol: String, embCol: String, cfg: Config): DataFrame = {
+    // Planes are computed ONCE here and captured by the closure — per-row
+    // regeneration would cost ~3 murmur hashes per plane element per row.
+    val planes = Array.tabulate(cfg.nTables)(t => tablePlanes(cfg, t))
     val bucketUdf = udf { (v: Seq[Float], table: Int) =>
-      bucketOf(v.toArray, tablePlanes(cfg, table))
+      bucketOf(v.toArray, planes(table))
     }
     emb.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
       .withColumn("table", explode(array((0 until cfg.nTables).map(lit): _*)))

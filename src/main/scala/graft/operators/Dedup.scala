@@ -40,14 +40,19 @@ object Dedup {
   }
 
   // ------------------------------------------- n-gram Jaccard (inverted idx)
-  /** Word n-gram shingle set (distinct) of a text column. n=1 → token set. */
+  /** Word n-gram shingle set (distinct) of a text column. n=1 → token set;
+    * texts with fewer than n tokens yield the empty set (guarded — an
+    * unguarded `sequence(1, size-n+1)` would count DOWN to 0 and hit
+    * element_at's forbidden index 0).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
     val sh =
       if (n <= 1) toks
-      else transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+      else when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
     array_distinct(sh)
   }
 
@@ -63,15 +68,17 @@ object Dedup {
                    threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val sets = df.select(col(idCol).cast("long").as("id"),
                          shingles(col(textCol), n).as("sh"))
-      .withColumn("set_size", size(col("sh")))
-    val posting = sets
-      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
-    val filtered =
-      if (maxDocFreq == Long.MaxValue) posting
+    val posting0 = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val filtered0 =
+      if (maxDocFreq == Long.MaxValue) posting0
       else {
-        val hot = posting.groupBy("shingle").count().filter(col("count") > maxDocFreq)
-        posting.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+        val hot = posting0.groupBy("shingle").count().filter(col("count") > maxDocFreq)
+        posting0.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
       }
+    // Set sizes AFTER hot-shingle removal, so the Jaccard numerator and
+    // denominator are over the same (filtered) universe.
+    val sizes = filtered0.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val filtered = filtered0.join(sizes, "id")
     val a = filtered.select(col("shingle"), col("id").as("a_id"), col("set_size").as("a_size"))
     val b = filtered.select(col("shingle"), col("id").as("b_id"), col("set_size").as("b_size"))
     a.join(b, Seq("shingle"))
@@ -110,20 +117,30 @@ object Dedup {
 
   private val simhashUdf = udf((s: String) => simhash64(s))
 
-  /** Near-dup pairs by SimHash banding: 4 bands of 16 bits; by pigeonhole,
-    * any pair within Hamming distance ≤ 3 shares at least one full band, so
-    * the band self-join generates a complete candidate set for `maxHamming
-    * ≤ 3` (larger radii require more bands). Candidates are then verified
-    * with an exact popcount — no cross join anywhere.
+  /** Near-dup pairs by SimHash banding with a COMPLETE candidate set: the
+    * 64-bit signature is split into `maxHamming + 1` bands, so by
+    * pigeonhole any pair within Hamming distance ≤ maxHamming agrees on at
+    * least one full band and is generated by the band self-join.
+    * Candidates are then verified with an exact popcount — no cross join
+    * anywhere. (More bands = shorter bands = more candidates: the usual
+    * radius/volume trade.)
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    // width = floor(64 / (maxHamming+1)) ensures at least maxHamming+1
+    // bands, the pigeonhole requirement; the last band may be narrower.
+    val width = math.max(1, 64 / math.min(maxHamming + 1, 64))
+    val nBands = (64 + width - 1) / width
     val sigs = df.select(col(idCol).cast("long").as("id"),
                          simhashUdf(col(textCol)).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), (shiftright(col("sig"), b * 16) bitwiseAND lit(0xffffL)).as("key"))
+      explode(array((0 until nBands).map { b =>
+        val lo = b * width
+        val w = math.min(width, 64 - lo)
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        struct(lit(b).as("band"), (shiftright(col("sig"), lo) bitwiseAND lit(mask)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band"), col("key"), col("id").as("a_id"), col("sig").as("a_sig"))

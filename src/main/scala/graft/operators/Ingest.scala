@@ -79,8 +79,12 @@ object Ingest {
         .withColumn("chunk_index", lit(0))
         .withColumn("total_chunks", lit(1))
         .drop("text")
+    // Reference semantics are a dict merge where the pipeline's keys win
+    // ({**metadata, "source": ..., ...}, vectolite.py:507-508,523): drop
+    // colliding user keys so the JSON has single, pipeline-valued keys.
+    val reserved = Set("source", "filename", "chunk_index", "total_chunks")
     val userFields = userMetadata.toSeq.sortBy(_._1)
-      .map { case (k, v) => lit(v).as(k) }
+      .collect { case (k, v) if !reserved(k) => lit(v).as(k) }
     val withMeta = chunked.withColumn("metadata",
       DocStore.packMetadata(
         (userFields :+ col("source").as("source") :+ col("filename").as("filename") :+

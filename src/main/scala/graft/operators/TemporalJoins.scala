@@ -35,23 +35,31 @@ object TemporalJoins {
 
     // tag=1 left, tag=0 right: a right row at an EQUAL timestamp sorts
     // before the left row, so same-instant matches are visible (ts <=).
+    // The payload travels as ONE struct so every output row reflects a
+    // single right row — carrying columns independently would resurrect
+    // older non-null values into newer rows (and mix rows).
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     val lSide = left.select(
-      leftCols.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+      leftCols.map(col) :+
+        lit(null).cast(payloadStructType).as("__graft_payload") :+
         col(leftTs).as("__graft_ts") :+ lit(1).as("__graft_tag"): _*)
     val rSide = right.select(
       leftCols.map(c => if (c == keyCol) col(c)
-                        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col) :+
+                        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__graft_payload") :+
         col(rightTs).as("__graft_ts") :+ lit(0).as("__graft_tag"): _*)
 
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__graft_ts"), col("__graft_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val carried = lSide.unionByName(rSide)
+      .withColumn("__graft_payload", last(col("__graft_payload"), ignoreNulls = true).over(w))
+    val unpacked = rightPayload.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col(s"__graft_payload.$c"))
     }
-    carried.filter(col("__graft_tag") === 1).drop("__graft_ts", "__graft_tag")
+    unpacked.filter(col("__graft_tag") === 1)
+      .drop("__graft_ts", "__graft_tag", "__graft_payload")
   }
 
   /** Range (interval) join: rows of `points` whose `ptCol` falls inside

@@ -72,9 +72,10 @@ object TextAnalysis {
   }
 
   /** Stopword-hit language ID: counts hits against per-language marker
-    * lists and takes the argmax (ties → first listed). A standard cheap
-    * n-gram/stopword heuristic; languages with zero hits fall through to
-    * "und" (undetermined).
+    * lists and takes the argmax via struct-max over (hits, lang) — ties
+    * therefore resolve to the LEXICOGRAPHICALLY LARGEST lang code (the
+    * declared oracle encodes the same rule). Languages with zero hits
+    * fall through to "und" (undetermined).
     */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "with", "for"),

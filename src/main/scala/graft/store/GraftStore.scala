@@ -45,15 +45,24 @@ final class GraftStore(spark: SparkSession, path: String, embedder: Embedder) {
     else t.agg(max(col("id"))).head.getLong(0)
   }
 
-  /** Copy-on-write swap: write `next` beside the store, then rename over
-    * it — never reads and overwrites the same files in one job.
+  /** Copy-on-write swap: write `next` beside the store, move the live
+    * store aside, promote the new files, then drop the backup. Every FS
+    * return value is checked and the backup is restored on a failed
+    * promote, so no step can silently destroy the store.
     */
   private def rewrite(next: DataFrame): Unit = {
-    val tmp = new Path(path + s".tmp-${System.nanoTime()}")
-    next.write.parquet(tmp.toString)
     val p = new Path(path)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(tmp, p)
+    val tmp = new Path(path + s".tmp-${System.nanoTime()}")
+    val bak = new Path(path + s".bak-${System.nanoTime()}")
+    next.write.parquet(tmp.toString)
+    if (fs.exists(p) && !fs.rename(p, bak))
+      throw new graft.core.EngineError(s"could not move live store aside: $p")
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(bak)) fs.rename(bak, p) // restore
+      throw new graft.core.EngineError(s"could not promote new store files: $tmp -> $p")
+    }
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new graft.core.EngineError(s"store updated but backup not removed: $bak")
   }
 
   /** Insert one document, returning its assigned id (`lastrowid` parity,
@@ -118,9 +127,11 @@ final class GraftStore(spark: SparkSession, path: String, embedder: Embedder) {
                  chunk: Boolean = true, maxChars: Int = 2000, overlap: Int = 200): Seq[Long] = {
     Ingest.validatePath(filePath)
     val batch = Ingest.ingestFiles(spark, filePath, embedder, maxId(), metadata,
-      chunk, maxChars, overlap)
-    DocStore.append(batch, path)
-    batch.select("id").collect().map(_.getLong(0)).toSeq.sorted
+      chunk, maxChars, overlap).cache() // one execution serves both the append and the id readback
+    try {
+      DocStore.append(batch, path)
+      batch.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    } finally batch.unpersist()
   }
 
   /** (document count, storage bytes) — `vectolite.py:538-555`. */

@@ -66,6 +66,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.6), (1L, 4L, 1.0), (2L, 4L, 0.6)))
   }
 
+  test("shingles: texts shorter than n yield the empty set, not a crash") {
+    val df = Seq((1L, "solo"), (2L, ""), (3L, "two words here")).toDF("id", "text")
+    val sizes = df.select(col("id"), size(Dedup.shingles(col("text"), 2)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(sizes == Map(1L -> 0, 2L -> 0, 3L -> 2))
+    // and the pair pipeline survives a short doc in the corpus
+    val pairs = Dedup.jaccardPairs(
+      Seq((1L, "a b c"), (2L, "a b c"), (3L, "x")).toDF("id", "text"),
+      "id", "text", n = 2, threshold = 0.5)
+    assert(pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+
+  test("jaccardPairs maxDocFreq: denominator uses the filtered shingle universe") {
+    // 'a b' is hot (appears in all three docs); after dropping it, docs 1+2
+    // share {b c} of sets {b c, c d}/{b c, c e} → jaccard 1/3; the pre-fix
+    // behavior divided by unfiltered sizes (3) → 1/5 and missed threshold.
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a b x y")).toDF("id", "text")
+    val got = Dedup.jaccardPairs(df, "id", "text", n = 2, threshold = 0.3, maxDocFreq = 2)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 0.333333)))
+  }
+
+  test("simhashPairs: banding stays COMPLETE for maxHamming > 3") {
+    // Construct ids whose simhash distance is moderate; verify banding
+    // output equals the brute-force popcount filter at the same radius.
+    val df = docs.filter(col("doc_id") < 80)
+    val got = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 12)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sigs = df.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.simhash64(t) }
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 12
+    } yield (a, b)).toSet
+    assert(got == brute)
+  }
+
   test("simhash: identical texts collide, disjoint texts differ") {
     assert(Dedup.simhash64("spark query engine") == Dedup.simhash64("spark query engine"))
     val df = Seq((1L, "spark query engine fast"), (2L, "spark query engine fast"),

@@ -38,6 +38,18 @@ class TemporalJoinsSpec extends SparkSpec {
     ))
   }
 
+  test("asofJoin: multi-column payload comes from ONE right row; nulls in the latest row stay null") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), Option(10.0), Option(5L)),
+      (10L, ts("2024-01-01 11:00:00"), None: Option[Double], Option(7L))
+    ).toDF("user_id", "p_ts", "px", "qty")
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts", Seq("px", "qty"))
+      .select("px", "qty").as[(Option[Double], Option[Long])].head()
+    // latest right row is (null, 7): px must NOT resurrect the older 10.0
+    assert(out == (None, Some(7L)))
+  }
+
   test("rangeJoin (bucketized equi) matches the brute-force theta join") {
     val rnd = new scala.util.Random(42)
     val points = (1 to 300).map { i =>
