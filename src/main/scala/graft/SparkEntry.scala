@@ -238,6 +238,15 @@ object SparkEntry {
       s.table(sinkName).orderBy("window_start", "event_type")
     }),
 
+    // ---- E6: SLIDING windows (1h window, 30m slide) ------------------
+    "events_sliding" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
     // ---- E6: gap sessionization --------------------------------------
     "sessionize" -> ((s, dir) =>
       Streams.sessionStats(events(s, dir), gapMinutes = 30, tieCols = Seq("event_id"))
@@ -276,6 +285,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"))
         .orderBy("c_mktsegment")),
+
+    // ---- relational: cube grouping sets ------------------------------
+    "cube_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // ---- relational: exact interpolated median -----------------------
+    "median_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
+        .orderBy("l_returnflag")),
 
     // ---- relational: per-group top-n window --------------------------
     "window_topn" -> ((s, dir) => {
@@ -618,6 +642,30 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each event lands in exactly two 1h/30m sliding windows: starts at
+    // time_bucket(30m, ts) and 30 minutes earlier.
+    "events_sliding" ->
+      """WITH cand AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - k.s * INTERVAL '30 minutes' AS ws,
+        |         event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) k(s)
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+        |FROM cand GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "median_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sessionize" ->
       """WITH s AS (
