@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Scale rehearsal: amplifies the fixtures ~Nx (deterministic copies with
+  * perturbed embeddings / re-keyed ids) and runs the operators whose
+  * 100 TB story matters most, printing row counts and wall-clock. This is
+  * the local stand-in for "would this survive 100x the data" — the plan
+  * SHAPES are already pinned in PLANS.md; this checks the constants.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [amplification]
+  */
+object ScaleProbe {
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val amp = if (args.length > 1) args(1).toInt else 50
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- amplified corpora (deterministic) ---------------------------
+    val copies = explode(sequence(lit(0), lit(amp - 1))).as("copy")
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nBase = baseEmb.count()
+
+    // per-copy deterministic perturbation so copies are near but not
+    // identical (pure column ops — xxhash64-seeded pseudo-noise)
+    val emb = baseEmb.select(col("vec_id"), col("embedding"), copies)
+      .select(
+        (col("vec_id") + col("copy") * nBase).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x + (pmod(xxhash64(col("vec_id"), col("copy"), i), lit(1000L)).cast("float")
+            - 500f) / 50000f).cast("float")).as("embedding"))
+      .cache()
+    val docs = baseDocs.select(col("doc_id"), col("text"), copies)
+      .select((col("doc_id") + col("copy") * 100000L).as("doc_id"),
+        concat(col("text"), lit(" tail"), col("copy")).as("text"))
+      .cache()
+    val nEmb = timed(s"amplify embeddings x$amp")(emb.count())
+    val nDocs = timed(s"amplify documents x$amp")(docs.count())
+    println(s"[scale] corpus: $nEmb vectors, $nDocs docs")
+
+    val q = baseEmb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0).toArray
+
+    // ---- the operators whose constants matter at scale ---------------
+    timed("topk exact (full scan)") {
+      Similarity.topK(emb, "embedding", "vec_id", q, 10).collect()
+    }
+    timed("sim_join 100q x corpus") {
+      SimJoin.topKPerQuery(
+        emb.filter(col("vec_id") < 100).select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), 5).count()
+    }
+    val cfg = AnnIndex.Config(dim = 64, nBits = 12, nTables = 8)
+    val index = timed("ann index build") {
+      val i = AnnIndex.buildIndex(emb, "vec_id", "embedding", cfg).cache()
+      i.count(); i
+    }
+    timed("ann probe top-10")(AnnIndex.queryTopK(index, q, 10, cfg).collect())
+    timed("exact dedup (sha groupBy)") {
+      Dedup.dedupExact(docs, "doc_id", "text").count()
+    }
+    timed("simhash pairs r<=3") {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
+    }
+    timed("fingerprint + quality scan") {
+      docs.select(TextAnalysis.fingerprint(col("text"), 8), TextAnalysis.qualityScore(col("text")))
+        .agg(count(lit(1))).collect()
+    }
+    timed("embed batch (hashing)") {
+      HashingEmbedder(64).embed(docs, "text", "e").agg(count(lit(1))).collect()
+    }
+    spark.stop()
+  }
+}

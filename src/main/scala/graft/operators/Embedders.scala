@@ -59,6 +59,22 @@ trait Embedder extends Serializable {
     df.withColumn(outCol, embedLenientCol(col(textCol)))
 }
 
+/** Wrapper giving any embedder a lazily-initialized PER-EXECUTOR model —
+  * the distributed analogue of the reference's `lru_cache`-cached
+  * SentenceTransformer (`vectolite.py:304-310`): `buildModel` runs once
+  * per executor JVM on first use (transient lazy), never on the driver,
+  * and is never serialized. Model-backed embedders (ONNX/JNI/etc.) extend
+  * this and implement `buildModel` + `embedWithModel`.
+  */
+abstract class CachedModelEmbedder[M] extends Embedder {
+  /** Expensive, executor-local construction (load weights, open session). */
+  protected def buildModel(): M
+  protected def embedWithModel(model: M, text: String): Array[Float]
+
+  @transient private lazy val model: M = buildModel()
+  final def embedOne(text: String): Array[Float] = embedWithModel(model, text)
+}
+
 /** Deterministic signed feature-hashing embedder: lowercase word tokens,
   * murmur3-hash each into one of `dim` buckets with a ±1 sign from a second
   * hash, accumulate, then L2-normalize. Stateless, so executors need no

@@ -192,6 +192,26 @@ class OperatorsSpec extends SparkSpec {
     assert(z.forall(_ == 0f))
   }
 
+  test("GraftExtensions injects the SQL functions; CachedModelEmbedder builds once per JVM") {
+    // extensions injection (unit level: the injector registers cleanly)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+
+    // cached-model embedder: buildModel exactly once per (deserialized) instance
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    class Counting extends CachedModelEmbedder[HashingEmbedder] {
+      val dim = 8
+      protected def buildModel(): HashingEmbedder = { builds.incrementAndGet(); HashingEmbedder(8) }
+      protected def embedWithModel(m: HashingEmbedder, t: String): Array[Float] = m.embedOne(t)
+    }
+    val e = new Counting
+    val out = e.embedLenient(Seq("a", "b", "c").toDF("text"), "text", "emb")
+      .select("emb").as[Seq[Float]].collect()
+    assert(out.forall(_.length == 8))
+    assert(builds.get() >= 1) // built lazily, not per row (3 rows, ≤ partitions builds)
+    assert(builds.get() <= 3)
+  }
+
   // ---------------------------------------------------------- Multimodal
   test("multimodal plumbing: byte metadata, fake features, frame explode") {
     val df = Seq((1L, "abcdefgh" * 32)).toDF("id", "text")
