@@ -417,6 +417,15 @@ object SparkEntry {
         .orderBy(desc("score"), col("id"))
     }),
 
+    // E2: IVF (k-means inverted file) approximate top-k
+    "ivf_topk" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      IvfIndex.approxTopK(embs(s, dir), "vec_id", "embedding", q, 10,
+          nClusters = 16, nProbe = 4)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("id"))
+    }),
+
     // multimodal: fake decode → feature vectors (plumbing check)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featurize(docs(s, dir).filter(col("doc_id") < 50), "text", 32)

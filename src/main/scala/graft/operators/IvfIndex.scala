@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** IVF (inverted-file) ANN index — the k-means twin of the hyperplane-LSH
+  * path in [[AnnIndex]] (the builder brief asks for "an IVF or LSH-bucketed
+  * variant"; this engine ships both):
+  *
+  *  - BUILD: fit a coarse quantizer (MLlib KMeans, seeded → deterministic)
+  *    on the corpus, assign every vector to its nearest centroid; the
+  *    index is `(cluster, id, embedding)`, written partitionBy("cluster")
+  *    so probes prune partitions.
+  *  - PROBE: rank centroids by cosine to the query DRIVER-side (k tiny),
+  *    scan only the `nProbe` nearest clusters, exact-rerank with the
+  *    codegen cosine.
+  *
+  * IVF vs LSH trade: IVF adapts buckets to the data distribution (better
+  * recall per candidate on clustered corpora) at the cost of a training
+  * pass; LSH is data-independent and build-free. Both keep probe cost
+  * sub-scan: candidates ≈ |corpus| × nProbe / k.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def nearestClusters(v: Array[Float], n: Int): Seq[Int] =
+      centroids.indices
+        .sortBy(i => (-VectorOps.cosine(centroids(i), v), i))
+        .take(n)
+  }
+
+  /** Fit the coarse quantizer. `k` rule of thumb: ~sqrt(|corpus|). */
+  def fit(emb: DataFrame, embCol: String, k: Int, seed: Long = 42L): Model = {
+    val vecs = emb.select(array_to_vector(col(embCol)).as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(vecs)
+    Model(km.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** Assign every vector to its nearest centroid (one narrow map pass). */
+  def buildIndex(emb: DataFrame, idCol: String, embCol: String, model: Model): DataFrame = {
+    val assign = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      var best = 0; var bestScore = Double.MinValue
+      var i = 0
+      while (i < model.centroids.length) {
+        val s = VectorOps.cosine(model.centroids(i), a)
+        if (s > bestScore) { bestScore = s; best = i }
+        i += 1
+      }
+      best
+    }
+    emb.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
+      .withColumn("cluster", assign(col("embedding")))
+      .select("cluster", "id", "embedding")
+  }
+
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Probe the `nProbe` nearest clusters and exact-rerank. The cluster
+    * filter is a literal IN-list → partition pruning on a written index.
+    */
+  def queryTopK(index: DataFrame, model: Model, queryVec: Array[Float],
+                k: Int, nProbe: Int): DataFrame = {
+    val probes = model.nearestClusters(queryVec, nProbe)
+    val candidates = index.filter(col("cluster").isin(probes: _*))
+      .select("id", "embedding")
+    Similarity.topK(candidates, "embedding", "id", queryVec, k)
+  }
+
+  /** Build + probe in one shot (index not persisted). */
+  def approxTopK(emb: DataFrame, idCol: String, embCol: String,
+                 queryVec: Array[Float], k: Int, nClusters: Int,
+                 nProbe: Int, seed: Long = 42L): DataFrame = {
+    val model = fit(emb, embCol, nClusters, seed)
+    queryTopK(buildIndex(emb, idCol, embCol, model), model, queryVec, k, nProbe)
+  }
+}

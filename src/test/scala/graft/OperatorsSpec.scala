@@ -142,6 +142,18 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF index: deterministic, recall ≥ 0.5 at k=10 with 4/16 probes") {
+    val q = embs.filter(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    val exact = graft.operators.Similarity.topK(embs, "embedding", "vec_id", q, 10)
+      .select(col("vec_id")).as[Long].collect().toSet
+    def run() = IvfIndex.approxTopK(embs, "vec_id", "embedding", q, 10,
+      nClusters = 16, nProbe = 4).select("id").as[Long].collect().toSeq
+    val a = run(); val b = run()
+    assert(a == b) // seeded k-means → deterministic
+    val recall = a.toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   // -------------------------------------------------------- TextAnalysis
   test("token counting handles empty and multi-space text") {
     val df = Seq((1L, "a  b   c"), (2L, ""), (3L, "   ")).toDF("id", "text")
