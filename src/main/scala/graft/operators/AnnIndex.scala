@@ -118,14 +118,20 @@ object AnnIndex {
     */
   def nearDupPairsLSH(emb: DataFrame, idCol: String, embCol: String,
                       threshold: Double, cfg: Config): DataFrame = {
-    val index = buildIndex(emb, idCol, embCol, cfg)
-    val a = index.select(col("table"), col("bucket"),
-      col("id").as("a_id"), col("embedding").as("a_emb"))
-    val b = index.select(col("table"), col("bucket"),
-      col("id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, Seq("table", "bucket"))
+    // Band-join IDS ONLY — the candidate shuffle carries 24-byte rows, not
+    // embedding payloads; vectors are joined back per side after the pair
+    // set is deduped (dim-independent candidate generation).
+    val index = buildIndex(emb, idCol, embCol, cfg).select("table", "bucket", "id")
+    val a = index.select(col("table"), col("bucket"), col("id").as("a_id"))
+    val b = index.select(col("table"), col("bucket"), col("id").as("b_id"))
+    val pairs = a.join(b, Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(embCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("a_id"), col("v").as("a_emb")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("v").as("b_emb")), "b_id")
       .withColumn("score", graft.functions.VectorFunctions.cosine_sim(col("a_emb"), col("b_emb")))
       .filter(col("score") > threshold)
       .select(col("a_id"), col("b_id"), col("score"))
