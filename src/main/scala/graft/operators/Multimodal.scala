@@ -68,6 +68,26 @@ object Multimodal {
     f(bytes)
   }
 
+  /** Batch-shaped decode via mapPartitions — the Scala analogue of a
+    * pandas `mapInPandas` batch UDF: decoder state (in a real impl, a
+    * codec/model handle) is initialized ONCE PER PARTITION and amortized
+    * over its rows, the shape heavyweight decoders need. Output schema:
+    * (idCol, features array<float>).
+    */
+  def decodeFeaturesPartitioned(df: DataFrame, idCol: String, bytesCol: String,
+                                dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: val decoder = Codec.open() — once per partition
+        val decode: Array[Byte] => Array[Float] = fakeDecodeFeatures(_, dim)
+        rows.map { case (id, bytes) => (id, decode(bytes)) }
+      }
+      .toDF(idCol, "features")
+  }
+
   /** Frame sampling: split a binary payload into `frameBytes`-sized slices
     * and keep every `stride`-th one — the 1→N explode shape of video frame
     * extraction (a real impl swaps the slicer for a codec's keyframe

@@ -11,9 +11,12 @@ class EntrySpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).contains(0L)) // self-match ranks first
   }
 
-  test("every oracleSql key has a queries twin") {
+  test("every oracleSql key has a queries twin; oracle coverage never shrinks") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
+    // a typo'd key silently downgrades a query to rows-only — pin the floor
+    assert(SparkEntry.oracleSql.size >= 38, s"oracle count ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size >= 46, s"query count ${SparkEntry.queries.size}")
   }
 
   test("all declared queries execute on sf0.001 and return rows") {

@@ -225,6 +225,31 @@ class OperatorsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------- Multimodal
+  test("ANN persisted index: probes prune partitions of the written index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/idx"
+    val cfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 4)
+    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), dir)
+    val index = spark.read.parquet(dir)
+    val q = embs.filter(col("vec_id") === 3).select("embedding").head.getSeq[Float](0).toArray
+    val result = AnnIndex.queryTopK(index, q, 5, cfg)
+    val scan = result.queryExecution.executedPlan.toString
+    // 4 probed (table,bucket) partitions out of 4×2^6 — the scan must
+    // carry partition filters, not read the whole index
+    assert(scan.contains("PartitionFilters: ["), scan.take(500))
+    assert(!scan.matches("(?s).*PartitionFilters: \\[\\].*"), "partition filters empty")
+    assert(result.count() > 0)
+  }
+
+  test("decodeFeaturesPartitioned (mapPartitions batch shape) matches the scalar UDF path") {
+    val df = Seq((1L, "alpha bravo"), (2L, "charlie delta")).toDF("id", "text")
+    val assets = Multimodal.fakeAssets(df, "text")
+    val viaPart = Multimodal.decodeFeaturesPartitioned(assets, "id", "asset_bytes", 16)
+      .orderBy("id").select("features").as[Seq[Float]].collect()
+    val viaUdf = assets.orderBy("id")
+      .select(Multimodal.decodeFeaturesCol(col("asset_bytes"), 16)).as[Seq[Float]].collect()
+    assert(viaPart.toSeq == viaUdf.toSeq)
+  }
+
   test("multimodal plumbing: byte metadata, fake features, frame explode") {
     val df = Seq((1L, "abcdefgh" * 32)).toDF("id", "text")
     val feat = Multimodal.featurize(df, "text", dim = 16)
