@@ -25,6 +25,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val amp = if (args.length > 1) args(1).toInt else 50
+    require(amp >= 1, s"amplification must be >= 1, got $amp")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -48,8 +49,9 @@ object ScaleProbe {
           (x, i) => (x + (pmod(xxhash64(col("vec_id"), col("copy"), i), lit(1000L)).cast("float")
             - 500f) / 50000f).cast("float")).as("embedding"))
       .cache()
+    val nBaseDocs = baseDocs.count()
     val docs = baseDocs.select(col("doc_id"), col("text"), copies)
-      .select((col("doc_id") + col("copy") * 100000L).as("doc_id"),
+      .select((col("doc_id") + col("copy") * nBaseDocs).as("doc_id"),
         concat(col("text"), lit(" tail"), col("copy")).as("text"))
       .cache()
     val nEmb = timed(s"amplify embeddings x$amp")(emb.count())

@@ -421,7 +421,7 @@ object SparkEntry {
     "ivf_topk" -> ((s, dir) => {
       val q = queryVec(s, dir)
       IvfIndex.approxTopK(embs(s, dir), "vec_id", "embedding", q, 10,
-          nClusters = 16, nProbe = 4)
+          nClusters = 16, nProbe = 6)
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), col("id"))
     }),

@@ -59,20 +59,34 @@ trait Embedder extends Serializable {
     df.withColumn(outCol, embedLenientCol(col(textCol)))
 }
 
-/** Wrapper giving any embedder a lazily-initialized PER-EXECUTOR model —
-  * the distributed analogue of the reference's `lru_cache`-cached
-  * SentenceTransformer (`vectolite.py:304-310`): `buildModel` runs once
-  * per executor JVM on first use (transient lazy), never on the driver,
-  * and is never serialized. Model-backed embedders (ONNX/JNI/etc.) extend
-  * this and implement `buildModel` + `embedWithModel`.
+/** Wrapper giving any embedder a lazily-initialized PER-EXECUTOR-JVM
+  * model — the distributed analogue of the reference's `lru_cache`-cached
+  * SentenceTransformer (`vectolite.py:304-310`). The model lives in a
+  * JVM-wide cache keyed by [[modelKey]], NOT in an instance field: task
+  * closures deserialize a fresh wrapper per task, so an instance-level
+  * lazy val would rebuild the model per task — the exact cost this class
+  * amortizes. Model-backed embedders (ONNX/JNI/etc.) extend this and
+  * implement `buildModel` + `embedWithModel`.
   */
 abstract class CachedModelEmbedder[M] extends Embedder {
   /** Expensive, executor-local construction (load weights, open session). */
   protected def buildModel(): M
   protected def embedWithModel(model: M, text: String): Array[Float]
 
-  @transient private lazy val model: M = buildModel()
+  /** JVM-wide cache key; override when differently-configured instances of
+    * one class must hold distinct models (include the config in the key).
+    */
+  protected def modelKey: String = getClass.getName
+
+  private def model: M = CachedModelEmbedder.cache
+    .computeIfAbsent(modelKey, _ => buildModel().asInstanceOf[AnyRef])
+    .asInstanceOf[M]
+
   final def embedOne(text: String): Array[Float] = embedWithModel(model, text)
+}
+
+object CachedModelEmbedder {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 }
 
 /** Deterministic signed feature-hashing embedder: lowercase word tokens,

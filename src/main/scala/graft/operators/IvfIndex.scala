@@ -34,10 +34,16 @@ object IvfIndex {
         .take(n)
   }
 
-  /** Fit the coarse quantizer. `k` rule of thumb: ~sqrt(|corpus|). */
+  /** Fit the coarse quantizer. `k` rule of thumb: ~sqrt(|corpus|).
+    * Trained with COSINE distance to match the cosine assignment/probe
+    * metric — Euclidean centroids would separate by magnitude on
+    * unnormalized corpora while assignment ignores it, skewing clusters.
+    */
   def fit(emb: DataFrame, embCol: String, k: Int, seed: Long = 42L): Model = {
     val vecs = emb.select(array_to_vector(col(embCol)).as("features"))
-    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(vecs)
+    val km = new KMeans().setK(k).setSeed(seed)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features").fit(vecs)
     Model(km.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 

@@ -7,6 +7,19 @@ import graft.core.EmbedError
 import graft.functions.VectorFunctions.cosine_sim
 import graft.operators._
 
+/** Top-level so task deserialization gets a stable class (and the builds
+  * counter lives in a JVM singleton, visible from executor threads).
+  */
+object CountingEmbedder {
+  val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+  class Counting extends CachedModelEmbedder[HashingEmbedder] {
+    val dim = 8
+    protected def buildModel(): HashingEmbedder = { builds.incrementAndGet(); HashingEmbedder(8) }
+    protected def embedWithModel(m: HashingEmbedder, t: String): Array[Float] = m.embedOne(t)
+  }
+  val instance = new Counting
+}
+
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -142,12 +155,12 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("IVF index: deterministic, recall ≥ 0.5 at k=10 with 4/16 probes") {
+  test("IVF index: deterministic, recall ≥ 0.5 at k=10 with 6/16 probes") {
     val q = embs.filter(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
     val exact = graft.operators.Similarity.topK(embs, "embedding", "vec_id", q, 10)
       .select(col("vec_id")).as[Long].collect().toSet
     def run() = IvfIndex.approxTopK(embs, "vec_id", "embedding", q, 10,
-      nClusters = 16, nProbe = 4).select("id").as[Long].collect().toSeq
+      nClusters = 16, nProbe = 6).select("id").as[Long].collect().toSeq
     val a = run(); val b = run()
     assert(a == b) // seeded k-means → deterministic
     val recall = a.toSet.intersect(exact).size.toDouble / exact.size
@@ -209,19 +222,16 @@ class OperatorsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
 
-    // cached-model embedder: buildModel exactly once per (deserialized) instance
-    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
-    class Counting extends CachedModelEmbedder[HashingEmbedder] {
-      val dim = 8
-      protected def buildModel(): HashingEmbedder = { builds.incrementAndGet(); HashingEmbedder(8) }
-      protected def embedWithModel(m: HashingEmbedder, t: String): Array[Float] = m.embedOne(t)
-    }
-    val e = new Counting
-    val out = e.embedLenient(Seq("a", "b", "c").toDF("text"), "text", "emb")
+    // cached-model embedder: buildModel exactly ONCE per JVM per key, even
+    // across repeated jobs (task closures deserialize fresh instances; the
+    // JVM-wide cache is what makes the cost once-per-executor)
+    val out = CountingEmbedder.instance
+      .embedLenient(Seq("a", "b", "c").toDF("text"), "text", "emb")
       .select("emb").as[Seq[Float]].collect()
     assert(out.forall(_.length == 8))
-    assert(builds.get() >= 1) // built lazily, not per row (3 rows, ≤ partitions builds)
-    assert(builds.get() <= 3)
+    CountingEmbedder.instance
+      .embedLenient(Seq("d", "e").toDF("text"), "text", "emb").collect()
+    assert(CountingEmbedder.builds.get() == 1)
   }
 
   // ---------------------------------------------------------- Multimodal
