@@ -78,6 +78,25 @@ class DocStoreSpec extends SparkSpec {
     assert(rows.forall(_.getTimestamp(3).toString.startsWith("2024-06-01")))
   }
 
+  test("bucketed tables join with NO exchange on either side") {
+    val orders = spark.read.parquet(s"$Sf0001/orders.parquet")
+    val customer = spark.read.parquet(s"$Sf0001/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    graft.store.Bucketing.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    graft.store.Bucketing.writeBucketed(customer, "b_customer", "o_custkey", 4)
+    // disable auto-broadcast so the bucketed sort-merge path (the one that
+    // matters when BOTH sides are huge) is what gets planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.store.Bucketing.cogroupJoin(spark, "b_orders", "b_customer", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"), plan.take(800)) // co-located: zero shuffle
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stats reports document count and on-disk size") {
     val st = DocStore.stats(spark, docs, s"$Sf0001/documents.parquet").head
     assert(st.getLong(0) == 500L)
