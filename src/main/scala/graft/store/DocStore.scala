@@ -79,6 +79,36 @@ object DocStore {
   def append(batch: DataFrame, path: String): Unit =
     batch.write.mode("append").parquet(path)
 
+  /** Compact a store that accumulated small append files into
+    * `targetFiles` parquet files, optionally RANGE-SORTED on a column —
+    * sort-on-write is the Spark-native substitute for the reference's
+    * `idx_documents_created_at` B-tree (`vectolite.py:70`, SURVEY §1.3):
+    * parquet min/max row-group stats then prune time-range scans the way
+    * the index accelerated `list` queries. Copy-on-write via temp + swap.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+              sortBy: Option[String] = Some("created_at")): Unit = {
+    val df = spark.read.parquet(path)
+    val arranged = sortBy match {
+      case Some(c) => df.repartitionByRange(targetFiles, col(c))
+        .sortWithinPartitions(col(c))
+      case None => df.repartition(targetFiles)
+    }
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + s".compact-${System.nanoTime()}")
+    arranged.write.parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
+    if (!fs.rename(fsPath, bak))
+      throw new graft.core.EngineError(s"compact: could not move live store aside: $path")
+    if (!fs.rename(tmp, fsPath)) {
+      fs.rename(bak, fsPath)
+      throw new graft.core.EngineError(s"compact: could not promote compacted files: $path")
+    }
+    if (!fs.delete(bak, true))
+      throw new graft.core.EngineError(s"compact: backup not removed: $bak")
+  }
+
   // --------------------------------------------------------- O3 point lookup
   /** `get_document(id)` (`vectolite.py:268-298`): equality predicate is
     * pushed into the parquet scan (row-group stat pruning), `limit(1)`

@@ -107,6 +107,21 @@ class IngestStoreSpec extends SparkSpec {
     intercept[EngineError](store.query("ok", topK = 0))
   }
 
+  test("compact: collapses append files, preserves data, keeps sort column pruneable") {
+    val dir = tmpDir().resolve("store.parquet").toString
+    val store = new GraftStore(spark, dir, HashingEmbedder(8))
+    (1 to 6).foreach(i => store.insert(s"document number $i"))
+    def dataFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles >= 6) // one append per insert → small-files problem
+    val before = spark.read.parquet(dir).orderBy("id").collect().map(_.getLong(0)).toSeq
+
+    graft.store.DocStore.compact(spark, dir, targetFiles = 1)
+    assert(dataFiles == 1)
+    val after = spark.read.parquet(dir).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(after == before)
+    assert(store.countDocuments() == 6)
+  }
+
   test("stateful sessionizer (flatMapGroupsWithState) matches window sessionize on closed sessions") {
     def ts(s: String) = Timestamp.valueOf(s)
     val evs = Seq(
