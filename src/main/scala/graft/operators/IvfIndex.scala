@@ -43,6 +43,7 @@ object IvfIndex {
     val vecs = emb.select(array_to_vector(col(embCol)).as("features"))
     val km = new KMeans().setK(k).setSeed(seed)
       .setDistanceMeasure("cosine")
+      .setMaxIter(10) // coarse quantizer: convergence beyond ~10 iters buys no recall
       .setFeaturesCol("features").fit(vecs)
     Model(km.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
