@@ -33,7 +33,15 @@ object Cli {
     val store = new GraftStore(spark, args(0), HashingEmbedder(64))
     try run(store, args(1), args.drop(2))
     catch {
-      case e: GraftError => System.err.println(s"Error: ${e.getMessage}"); sys.exit(1)
+      // executor-side GraftErrors (strict embed, UTF-8 decode) surface
+      // wrapped in SparkException — unwrap the cause chain so the user
+      // sees the reference-parity message either way
+      case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .collectFirst { case g: GraftError => g } match {
+          case Some(g) => System.err.println(s"Error: ${g.getMessage}"); sys.exit(1)
+          case None => throw e
+        }
     } finally spark.stop()
   }
 

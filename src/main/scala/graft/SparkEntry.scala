@@ -234,7 +234,9 @@ object SparkEntry {
       val q = Streams.toMemorySink(
           Streams.eventsWindowAggStream(s, tmp, batch.schema), sinkName)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      if (!q.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "events_window_stream: stream did not finish within 300s — refusing to return a partial sink")
       s.table(sinkName).orderBy("window_start", "event_type")
     }),
 
@@ -582,9 +584,11 @@ object SparkEntry {
 
     // single-paragraph texts (no blank lines in the fixture) → exactly one
     // chunk = trimmed text; the greedy path is unit-tested, not oracled.
+    // trim char set matches Java String.trim (space/tab/LF/CR), not
+    // DuckDB's space-only default.
     "chunk_single" ->
       """SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index, CAST(1 AS BIGINT) AS total_chunks,
-        |  trim(text) AS chunk
+        |  trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS chunk
         |FROM documents ORDER BY doc_id, chunk_index""".stripMargin,
 
     // single-paragraph fixture text → 1 chunk per doc; ids continue after
@@ -594,29 +598,40 @@ object SparkEntry {
       """SELECT 10000 + ROW_NUMBER() OVER (ORDER BY doc_id) AS id, doc_id,
         |  CAST(0 AS BIGINT) AS chunk_index, CAST(1 AS BIGINT) AS total_chunks,
         |  CAST(to_json(struct_pack(source := source, chunk_index := 0, total_chunks := 1)) AS VARCHAR) AS metadata,
-        |  trim(text) AS chunk
+        |  trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS chunk
         |FROM documents ORDER BY id""".stripMargin,
 
+    // guard: DuckDB splits '' into [''] (1 token) while the engine's
+    // tokenizer filters empties — blank text must count 0 on both sides.
     "token_count" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
-        |       x -> GREATEST(CAST(CEIL(length(x) / 4.0) AS BIGINT), 1))) AS BIGINT) AS approx_subwords
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |            x -> GREATEST(CAST(CEIL(length(x) / 4.0) AS BIGINT), 1))) AS BIGINT) END AS approx_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // ntok mirrors the engine tokenizer (blank text → 0, not ['']); the
+    // len=0 / ntok=0 guards reproduce the Column implementation's
+    // when(...) branches (punct ratio 0 and stopword ratio 0 for blanks).
     "quality_score" ->
       """WITH t AS (
         |  SELECT doc_id, text,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
         |    CAST(length(text) AS DOUBLE) AS len
         |  FROM documents
         |),
         |c AS (
         |  SELECT doc_id,
         |    LEAST(len / 200.0, 1.0) AS len_score,
-        |    LEAST(len(tok) / 40.0, 1.0) AS tok_score,
-        |    GREATEST(1.0 - ((len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len) * 4.0, 0.0) AS punct_score,
-        |    LEAST((len(list_filter(tok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(len(tok) AS DOUBLE)) * 5.0, 1.0) AS stop_score
+        |    LEAST(ntok / 40.0, 1.0) AS tok_score,
+        |    GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |      ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) AS punct_score,
+        |    LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE len(list_filter(tok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0) AS stop_score
         |  FROM t
         |)
         |SELECT doc_id, ROUND((len_score + tok_score + punct_score + stop_score) / 4.0, 6) AS quality
@@ -637,7 +652,8 @@ object SparkEntry {
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
         |  ROUND(AVG(length(text)), 6) AS avg_chars,
-        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |  CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "events_window" ->
@@ -725,17 +741,24 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 50
         |QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to the same
+    // microsecond precision Spark reads (Tables.events) — boundary
+    // comparisons are then precision-identical by construction.
     "asof_join" ->
       """SELECT l.event_id, l.user_id, r.value AS purchase_value
-        |FROM (SELECT * FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |      WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "range_join" ->
       """SELECT p.event_id, COUNT(*) AS n_clicks
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') c
         |  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 

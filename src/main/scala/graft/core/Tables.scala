@@ -22,9 +22,12 @@ object Tables {
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark 4.x rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw
     * nanos (legacy conf) and truncate to a microsecond TimestampType with
-    * integer division — the same truncation DuckDB applies, so oracle
-    * comparisons stay exact. (`a div b`, not `/`: nanos exceed 2^53, double
-    * math would corrupt them.)
+    * integer division. NOTE: DuckDB reads the same column as full-precision
+    * TIMESTAMP_NS — boundary-sensitive oracles therefore CAST ts to
+    * microsecond TIMESTAMP on the DuckDB side too (the fixtures are
+    * µs-aligned, but the cast makes the comparison precision-identical by
+    * construction). (`a div b`, not `/`: nanos exceed 2^53, double math
+    * would corrupt them.)
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -54,10 +54,12 @@ object AnnIndex {
     var sig = 0
     var b = 0
     while (b < planes.length) {
-      var dot = 0.0
       val p = planes(b)
+      require(p.length == v.length,
+        s"ann bucket: dimension mismatch ${v.length} vs cfg.dim ${p.length}")
+      var dot = 0.0
       var i = 0
-      while (i < p.length && i < v.length) { dot += p(i).toDouble * v(i); i += 1 }
+      while (i < p.length) { dot += p(i).toDouble * v(i); i += 1 }
       if (dot > 0) sig |= (1 << b)
       b += 1
     }

@@ -46,7 +46,10 @@ object Dedup {
     * element_at's forbidden index 0).
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
+    // filter '' so empty/whitespace-only text yields the EMPTY set on the
+    // n=1 path too (split("") returns [""]) — otherwise two blank docs
+    // would count as jaccard-1.0 near-duplicates.
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
     val sh =
       if (n <= 1) toks
       else when(size(toks) < n, array().cast("array<string>"))

@@ -40,7 +40,11 @@ object IvfIndex {
     * unnormalized corpora while assignment ignores it, skewing clusters.
     */
   def fit(emb: DataFrame, embCol: String, k: Int, seed: Long = 42L): Model = {
-    val vecs = emb.select(array_to_vector(col(embCol)).as("features"))
+    // zero vectors are legal table content (cosine paths score them 0.0)
+    // but cosine k-means rejects them — exclude from training; they are
+    // assigned the reserved cluster -1 at build time and never probed.
+    val vecs = emb.filter(exists(col(embCol), x => x =!= 0f))
+      .select(array_to_vector(col(embCol)).as("features"))
     val km = new KMeans().setK(k).setSeed(seed)
       .setDistanceMeasure("cosine")
       .setMaxIter(10) // coarse quantizer: convergence beyond ~10 iters buys no recall
@@ -52,14 +56,17 @@ object IvfIndex {
   def buildIndex(emb: DataFrame, idCol: String, embCol: String, model: Model): DataFrame = {
     val assign = udf { (v: Seq[Float]) =>
       val a = v.toArray
-      var best = 0; var bestScore = Double.MinValue
-      var i = 0
-      while (i < model.centroids.length) {
-        val s = VectorOps.cosine(model.centroids(i), a)
-        if (s > bestScore) { bestScore = s; best = i }
-        i += 1
+      if (a.forall(_ == 0f)) -1 // reserved: zero vectors match nothing
+      else {
+        var best = 0; var bestScore = Double.MinValue
+        var i = 0
+        while (i < model.centroids.length) {
+          val s = VectorOps.cosine(model.centroids(i), a)
+          if (s > bestScore) { bestScore = s; best = i }
+          i += 1
+        }
+        best
       }
-      best
     }
     emb.select(col(idCol).cast("long").as("id"), col(embCol).as("embedding"))
       .withColumn("cluster", assign(col("embedding")))

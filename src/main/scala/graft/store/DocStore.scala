@@ -79,12 +79,34 @@ object DocStore {
   def append(batch: DataFrame, path: String): Unit =
     batch.write.mode("append").parquet(path)
 
+  /** Copy-on-write replacement of a store's contents: write `next` beside
+    * `path`, move the live files aside, promote, drop the backup — every
+    * FS return value checked, backup restored on a failed promote. The ONE
+    * swap protocol shared by delete-rewrite and compaction.
+    */
+  def replaceContents(spark: SparkSession, path: String, next: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + s".tmp-${System.nanoTime()}")
+    val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
+    next.write.parquet(tmp.toString)
+    if (fs.exists(p) && !fs.rename(p, bak))
+      throw new graft.core.EngineError(s"could not move live store aside: $p")
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(bak)) fs.rename(bak, p) // restore
+      throw new graft.core.EngineError(s"could not promote new store files: $tmp -> $p")
+    }
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new graft.core.EngineError(s"store updated but backup not removed: $bak")
+  }
+
   /** Compact a store that accumulated small append files into
     * `targetFiles` parquet files, optionally RANGE-SORTED on a column —
     * sort-on-write is the Spark-native substitute for the reference's
     * `idx_documents_created_at` B-tree (`vectolite.py:70`, SURVEY §1.3):
     * parquet min/max row-group stats then prune time-range scans the way
-    * the index accelerated `list` queries. Copy-on-write via temp + swap.
+    * the index accelerated `list` queries. Copy-on-write via
+    * [[replaceContents]].
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
               sortBy: Option[String] = Some("created_at")): Unit = {
@@ -94,19 +116,7 @@ object DocStore {
         .sortWithinPartitions(col(c))
       case None => df.repartition(targetFiles)
     }
-    val fsPath = new org.apache.hadoop.fs.Path(path)
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + s".compact-${System.nanoTime()}")
-    arranged.write.parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
-    if (!fs.rename(fsPath, bak))
-      throw new graft.core.EngineError(s"compact: could not move live store aside: $path")
-    if (!fs.rename(tmp, fsPath)) {
-      fs.rename(bak, fsPath)
-      throw new graft.core.EngineError(s"compact: could not promote compacted files: $path")
-    }
-    if (!fs.delete(bak, true))
-      throw new graft.core.EngineError(s"compact: backup not removed: $bak")
+    replaceContents(spark, path, arranged)
   }
 
   // --------------------------------------------------------- O3 point lookup

@@ -45,25 +45,11 @@ final class GraftStore(spark: SparkSession, path: String, embedder: Embedder) {
     else t.agg(max(col("id"))).head.getLong(0)
   }
 
-  /** Copy-on-write swap: write `next` beside the store, move the live
-    * store aside, promote the new files, then drop the backup. Every FS
-    * return value is checked and the backup is restored on a failed
-    * promote, so no step can silently destroy the store.
+  /** Copy-on-write swap — the shared checked protocol lives in
+    * [[DocStore.replaceContents]].
     */
-  private def rewrite(next: DataFrame): Unit = {
-    val p = new Path(path)
-    val tmp = new Path(path + s".tmp-${System.nanoTime()}")
-    val bak = new Path(path + s".bak-${System.nanoTime()}")
-    next.write.parquet(tmp.toString)
-    if (fs.exists(p) && !fs.rename(p, bak))
-      throw new graft.core.EngineError(s"could not move live store aside: $p")
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(bak)) fs.rename(bak, p) // restore
-      throw new graft.core.EngineError(s"could not promote new store files: $tmp -> $p")
-    }
-    if (fs.exists(bak) && !fs.delete(bak, true))
-      throw new graft.core.EngineError(s"store updated but backup not removed: $bak")
-  }
+  private def rewrite(next: DataFrame): Unit =
+    DocStore.replaceContents(spark, path, next)
 
   /** Insert one document, returning its assigned id (`lastrowid` parity,
     * `vectolite.py:111`).

@@ -43,7 +43,9 @@ object Streams {
       spark.readStream.schema(schema).parquet(dir)
         .withWatermark("ts", "1 hour"))
 
-  /** Convenience writer: append mode to an in-memory table for tests. */
+  /** Convenience writer: COMPLETE-mode memory sink (full rollup visible
+    * each micro-batch; the watermark bounds state, not output).
+    */
   def toMemorySink(stream: DataFrame, queryName: String): DataStreamWriter[Row] =
     stream.writeStream.format("memory").queryName(queryName).outputMode("complete")
 

@@ -39,10 +39,17 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
-    names = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    dirs = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    # union with oracle keys: a query that CRASHED in Verify has no output
+    # dir and must show up as failing, not be silently skipped
+    names = sorted(dirs | set(oracle))
     results = {}
     for name in names:
         entry = {"oracle": name in oracle}
+        if name not in dirs:
+            entry["err"] = "no output directory — query failed in graft.Verify"
+            results[name] = entry
+            continue
         try:
             got_cols, got = table_rows(con.sql(f"FROM '{out_dir}/{name}/*.parquet'"))
             entry["rows"] = len(got)
@@ -62,7 +69,7 @@ def main(sf_dir, out_dir):
     ok = sum(1 for e in results.values()
              if e.get("hash_match") and e.get("cols_match") and e.get("rows_match"))
     bad = [n for n, e in results.items()
-           if e.get("oracle") and not e.get("hash_match")]
+           if (e.get("oracle") and not e.get("hash_match")) or "err" in e]
     noracle = [n for n, e in results.items() if not e.get("oracle")]
     print(json.dumps(results, indent=1))
     print(f"\nGREEN {ok}/{len(oracle)} oracle-checked; rows-only: {noracle}; FAILING: {bad}")
