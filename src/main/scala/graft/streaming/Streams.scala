@@ -70,6 +70,25 @@ object Streams {
       .drop("prev_ts", "new_session")
   }
 
+  /** Streaming similarity filter: embed + score incoming documents against
+    * a fixed query vector, keep matches above `threshold` — the streaming
+    * face of the flagship scan (stateless map, so it composes with any
+    * source/sink and needs no watermark). A global streaming top-k is
+    * deliberately NOT offered: unbounded "best ever" requires complete
+    * mode over all-time state; per-window top-k composes from
+    * [[eventsWindowAgg]]-style windows + [[graft.operators.SimJoin]].
+    */
+  def similarityFilter(stream: DataFrame, textCol: String,
+                       embedder: graft.operators.Embedder,
+                       queryVec: Array[Float], threshold: Double): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    stream
+      .withColumn("embedding", embedder.embedLenientCol(col(textCol)))
+      .withColumn("score",
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), typedlit(queryVec.toSeq)))
+      .filter(col("score") > threshold)
+  }
+
   // ------------------------------------------------- custom state (F MGWS)
   /** Minimal event view for the stateful sessionizer. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)
