@@ -88,6 +88,15 @@ object ScaleProbe {
     timed("embed batch (hashing)") {
       HashingEmbedder(64).embed(docs, "text", "e").agg(count(lit(1))).collect()
     }
+    // codegen Expression vs ScalaUDF on the identical scoring pass — the
+    // measured justification for the custom Expression (SURVEY §4.3).
+    import graft.functions.VectorFunctions
+    timed("score pass (codegen expr)") {
+      emb.select(sum(VectorFunctions.cosine_sim(col("embedding"), typedlit(q.toSeq)))).collect()
+    }
+    timed("score pass (scala udf)") {
+      emb.select(sum(VectorFunctions.cosine_udf(col("embedding"), typedlit(q.toSeq)))).collect()
+    }
     spark.stop()
   }
 }
