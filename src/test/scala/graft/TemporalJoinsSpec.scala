@@ -50,6 +50,39 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == (None, Some(7L)))
   }
 
+  test("asofJoin matches brute-force per-row maximum on randomized data") {
+    val rnd = new scala.util.Random(1234)
+    def t(n: Int) = new Timestamp(1700000000000L + n * 1000L)
+    val left = (1 to 300).map(i => (i.toLong, (i % 9).toLong, t(rnd.nextInt(5000))))
+      .toDF("event_id", "user_id", "ts")
+    val right = (1 to 200).map(i => (((i * 7) % 9).toLong, t(rnd.nextInt(5000)), i.toDouble))
+      .toDF("user_id", "p_ts", "pv")
+
+    val got = TemporalJoins.asofJoin(left, right, "user_id", "ts", "p_ts", Seq("pv"))
+      .select("event_id", "pv").as[(Long, Option[Double])].collect().toMap
+
+    val rightRows = right.as[(Long, Timestamp, Double)].collect()
+    val leftRows = left.as[(Long, Long, Timestamp)].collect()
+    val expect = leftRows.map { case (eid, uid, ts) =>
+      val candidates = rightRows.filter(r => r._1 == uid && !r._2.after(ts))
+      // brute-force pick: max ts; ties broken by max pv (matches the
+      // window's last-in-order semantics only when ts is unique per user —
+      // dedupe ts collisions below to keep the oracle well-defined
+      eid -> candidates.sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+    }.toMap
+
+    // restrict the comparison to rows whose winning ts is unique per user
+    val ambiguous = leftRows.flatMap { case (eid, uid, ts) =>
+      val cs = rightRows.filter(r => r._1 == uid && !r._2.after(ts))
+      val best = cs.map(_._2.getTime).sorted.lastOption
+      if (best.exists(b => cs.count(_._2.getTime == b) > 1)) Some(eid) else None
+    }.toSet
+    got.filterNot { case (eid, _) => ambiguous(eid) }.foreach { case (eid, pv) =>
+      assert(pv == expect(eid), s"event $eid")
+    }
+    assert((got.keySet -- ambiguous).nonEmpty)
+  }
+
   test("rangeJoin (bucketized equi) matches the brute-force theta join") {
     val rnd = new scala.util.Random(42)
     val points = (1 to 300).map { i =>
