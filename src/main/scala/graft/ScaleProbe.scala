@@ -78,9 +78,12 @@ object ScaleProbe {
     timed("exact dedup (sha groupBy)") {
       Dedup.dedupExact(docs, "doc_id", "text").count()
     }
-    timed("simhash pairs r<=3") {
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
-    }
+    // output-volume-bound on a duplicated corpus (see SCALE.md) — skip via
+    // SPARK_GRAFT_SKIP_SIMHASH=1 when probing very large amplifications
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_SIMHASH"))
+      timed("simhash pairs r<=3") {
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
+      }
     timed("fingerprint + quality scan") {
       docs.select(TextAnalysis.fingerprint(col("text"), 8), TextAnalysis.qualityScore(col("text")))
         .agg(count(lit(1))).collect()
