@@ -82,6 +82,11 @@ object Cli {
         case None => System.err.println(s"Document ${rest(0)} not found"); sys.exit(1)
       }
 
+    case "compact" =>
+      val target = if (rest.nonEmpty) rest(0).toInt else 1
+      store.compact(target)
+      println(s"Compacted store to $target file(s)")
+
     case "list" =>
       val limit = if (rest.nonEmpty) rest(0).toInt else 10 // defaults, vectolite.py:578-581
       val offset = if (rest.length > 1) rest(1).toInt else 0
@@ -95,5 +100,5 @@ object Cli {
   }
 
   private val usage =
-    """usage: graft.Cli <store-path> <add|query|ingest-file|stats|delete|show|list> [args...]"""
+    """usage: graft.Cli <store-path> <add|query|ingest-file|stats|delete|show|list|compact> [args...]"""
 }

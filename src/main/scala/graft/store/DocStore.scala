@@ -215,6 +215,32 @@ object DocStore {
       sum(length(col(textCol))).as("total_chars"),
       round(avg(length(col(textCol))), 6).as("avg_chars"))
 
+  // -------------------------------------------------- interchange (JSONL)
+  /** Export the store as JSON-lines — the lingua-franca dump format for
+    * document corpora (embeddings as JSON float arrays, timestamps ISO).
+    * Distributed writer; one file per partition.
+    */
+  def exportJsonl(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").json(path)
+
+  /** Import a JSONL dump back into store shape: columns are cast to the
+    * canonical schema ([[graft.core.Tables.documentStoreSchema]]) so a
+    * round-trip is loss-free (JSON numbers arrive as double/long).
+    */
+  def importJsonl(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    val target = graft.core.Tables.documentStoreSchema
+    // Spark refuses a direct array<double>→array<float> cast; element-wise
+    // transform-cast restores the float32 embedding column.
+    raw.select(target.fields.map { f =>
+      (f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          transform(col(f.name), x => x.cast(et))
+        case dt => col(f.name).cast(dt)
+      }).as(f.name)
+    }: _*)
+  }
+
   // ---------------------------------------------------------- O17 validation
   /** Driver-side input guards, same messages as the reference
     * (`vectolite.py:97-98,137-138,419-420`).

@@ -120,6 +120,10 @@ final class GraftStore(spark: SparkSession, path: String, embedder: Embedder) {
     } finally batch.unpersist()
   }
 
+  /** Collapse accumulated append files (see [[DocStore.compact]]). */
+  def compact(targetFiles: Int = 1): Unit =
+    DocStore.compact(spark, path, targetFiles)
+
   /** (document count, storage bytes) — `vectolite.py:538-555`. */
   def stats(): (Long, Long) = {
     val n = countDocuments()

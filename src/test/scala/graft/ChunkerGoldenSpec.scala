@@ -29,6 +29,20 @@ class ChunkerGoldenSpec extends SparkSpec {
     }
   }
 
+  test("chunkText matches the reference on 200 FUZZED cases (random paragraph soups)") {
+    val path = getClass.getResource("/chunker_fuzz_golden.json").toString
+    val fuzz = spark.read.json(path)
+      .select("input", "maxChars", "overlap", "chunks")
+      .collect()
+    assert(fuzz.length == 200)
+    fuzz.zipWithIndex.foreach { case (r, i) =>
+      val input = r.getString(0)
+      val expected = Option(r.getSeq[String](3)).getOrElse(Seq.empty)
+      val got = Chunker.chunkText(input, r.getLong(1).toInt, r.getLong(2).toInt)
+      assert(got == expected, s"fuzz case $i (maxChars=${r.getLong(1)} overlap=${r.getLong(2)})")
+    }
+  }
+
   test("explodeChunks agrees with the pure function on golden inputs") {
     val path = getClass.getResource("/chunker_golden.json").toString
     val golden = spark.read.json(path)

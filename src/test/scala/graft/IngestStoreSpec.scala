@@ -122,6 +122,27 @@ class IngestStoreSpec extends SparkSpec {
     assert(store.countDocuments() == 6)
   }
 
+  test("JSONL export/import round-trips the canonical store schema losslessly") {
+    val dir = tmpDir()
+    val store = new GraftStore(spark, dir.resolve("store.parquet").toString, HashingEmbedder(8))
+    store.insert("first document here", Map("k" -> "v"))
+    store.insert("second document here")
+    val original = store.table()
+
+    val dump = dir.resolve("dump.jsonl").toString
+    graft.store.DocStore.exportJsonl(original, dump)
+    val back = graft.store.DocStore.importJsonl(spark, dump)
+
+    // same names + types (nullability flags differ through JSON by nature)
+    assert(back.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      graft.core.Tables.documentStoreSchema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    val o = original.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
+    val b = back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
+    assert(b.toSeq == o.toSeq)
+  }
+
   test("stateful sessionizer (flatMapGroupsWithState) matches window sessionize on closed sessions") {
     def ts(s: String) = Timestamp.valueOf(s)
     val evs = Seq(
