@@ -244,7 +244,8 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")),
@@ -274,7 +275,10 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          // avg from the EXACT decimal sum: double-summation order varies
+          // with partitioning and can flip a round-half boundary
+          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+            .as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -656,16 +660,20 @@ object SparkEntry {
         |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    // exact decimal sums mirror Streams.eventsWindowAgg (order-independent
+    // sums; avg = exact-sum / count so the round-half boundary cannot flip)
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events,
-        |  ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_window_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events,
-        |  ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // each event lands in exactly two 1h/30m sliding windows: starts at
@@ -677,7 +685,8 @@ object SparkEntry {
         |  FROM events CROSS JOIN (VALUES (0), (1)) k(s)
         |)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
-        |  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+        |  COUNT(*) AS n_events,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM cand GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cube_agg" ->
@@ -726,7 +735,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-        |  ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS n
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "join_agg" ->

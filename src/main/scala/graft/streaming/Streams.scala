@@ -22,16 +22,23 @@ object Streams {
     * formatted string so engines with different timestamp internals
     * hash-compare identically.
     */
-  def eventsWindowAgg(events: DataFrame): DataFrame =
+  def eventsWindowAgg(events: DataFrame): DataFrame = {
+    // Exact decimal sums, THEN divide: double summation order varies with
+    // partitioning and can land a ROUND(avg, 6) exactly on a half
+    // boundary (observed at sf0.1: 1391.13/32 = .4728125), flipping the
+    // last digit between engines. Decimal sums are order-independent, so
+    // sum and avg are bit-identical everywhere by construction.
+    val exactSum = sum(col("value").cast("decimal(18,6)"))
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 6).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+        round(exactSum.cast("double"), 6).as("sum_value"),
+        round(exactSum.cast("double") / count(lit(1)), 6).as("avg_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+  }
 
   /** The same rollup as an actual stream: file source + 1-hour watermark
     * (late events beyond the watermark are dropped, the standard bounded-
