@@ -307,6 +307,24 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
         .orderBy("l_returnflag")),
 
+    // ---- relational: value binning / histogram -----------------------
+    "price_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("bucket_total"))
+        .orderBy("bucket")),
+
+    // ---- scalar string function library ------------------------------
+    "string_funcs" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          upper(col("lang")).as("lang_up"),
+          lpad(col("source"), 8, "_").as("src_pad"),
+          reverse(col("lang")).as("lang_rev"),
+          regexp_replace(col("source"), "src", "s").as("src_short"),
+          concat_ws("|", col("lang"), col("source")).as("combo"))
+        .orderBy("doc_id")),
+
     // ---- relational: per-group top-n window --------------------------
     "window_topn" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -744,6 +762,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "price_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bucket_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT doc_id, upper(lang) AS lang_up, lpad(source, 8, '_') AS src_pad,
+        |  reverse(lang) AS lang_rev, regexp_replace(source, 'src', 's', 'g') AS src_short,
+        |  lang || '|' || source AS combo
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
