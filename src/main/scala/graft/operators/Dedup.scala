@@ -71,17 +71,20 @@ object Dedup {
                    threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val sets = df.select(col(idCol).cast("long").as("id"),
                          shingles(col(textCol), n).as("sh"))
-    val posting0 = sets.select(col("id"), explode(col("sh")).as("shingle"))
-    val filtered0 =
-      if (maxDocFreq == Long.MaxValue) posting0
+    val filtered =
+      if (maxDocFreq == Long.MaxValue)
+        // no hot-shingle removal → sizes are just size(sh); skip the extra
+        // aggregation+join the filtered path needs
+        sets.withColumn("set_size", size(col("sh")).cast("long"))
+          .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
       else {
+        val posting0 = sets.select(col("id"), explode(col("sh")).as("shingle"))
         val hot = posting0.groupBy("shingle").count().filter(col("count") > maxDocFreq)
-        posting0.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+        val kept = posting0.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+        // Set sizes AFTER hot-shingle removal, so the Jaccard numerator
+        // and denominator are over the same (filtered) universe.
+        kept.join(kept.groupBy("id").agg(count(lit(1)).as("set_size")), "id")
       }
-    // Set sizes AFTER hot-shingle removal, so the Jaccard numerator and
-    // denominator are over the same (filtered) universe.
-    val sizes = filtered0.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val filtered = filtered0.join(sizes, "id")
     val a = filtered.select(col("shingle"), col("id").as("a_id"), col("set_size").as("a_size"))
     val b = filtered.select(col("shingle"), col("id").as("b_id"), col("set_size").as("b_size"))
     a.join(b, Seq("shingle"))
