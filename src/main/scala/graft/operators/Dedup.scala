@@ -40,23 +40,29 @@ object Dedup {
   }
 
   // ------------------------------------------- n-gram Jaccard (inverted idx)
-  /** Word n-gram shingle set (distinct) of a text column. n=1 → token set;
-    * texts with fewer than n tokens yield the empty set (guarded — an
-    * unguarded `sequence(1, size-n+1)` would count DOWN to 0 and hit
-    * element_at's forbidden index 0).
+  /** Word n-gram shingle set (distinct, first-occurrence order) — pure
+    * Scala: one tokenize pass per row. n=1 → token set; blank text or
+    * fewer than n tokens → empty set.
+    */
+  def shinglesOf(text: String, n: Int): Seq[String] = {
+    if (text == null) return Seq.empty
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    val sh =
+      if (n <= 1) toks.toSeq
+      else if (toks.length < n) Seq.empty[String]
+      else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+    sh.distinct
+  }
+
+  /** Column form of [[shinglesOf]]. Deliberately a UDF, not a
+    * higher-order-function expression: an element_at-inside-transform
+    * construction re-evaluates the tokenizing subexpression PER ELEMENT
+    * (O(tokens²) regex work per row, measured ~5x slower end-to-end); the
+    * UDF tokenizes once per row.
     */
   def shingles(text: Column, n: Int): Column = {
-    // filter '' so empty/whitespace-only text yields the EMPTY set on the
-    // n=1 path too (split("") returns [""]) — otherwise two blank docs
-    // would count as jaccard-1.0 near-duplicates.
-    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
-    val sh =
-      if (n <= 1) toks
-      else when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-    array_distinct(sh)
+    val f = udf((s: String) => shinglesOf(s, n))
+    f(text)
   }
 
   /** All pairs (a_id < b_id) with shingle-set Jaccard ≥ `threshold`,
