@@ -7,16 +7,18 @@ import graft.operators.HashingEmbedder
 import graft.store.GraftStore
 
 /** Command-line twin of the reference's typer CLI
-  * (`/root/reference/vectolite.py:424-652`): the same seven verbs over
-  * [[GraftStore]]. The embedder is the offline deterministic hashing
-  * embedder (the reference's `--model/--local` flags select among injected
-  * embedders; this build has exactly one, `vectolite.py:48`'s design point).
+  * (`/root/reference/vectolite.py:424-652`): the reference's seven verbs
+  * over [[GraftStore]], plus a `compact` maintenance verb. The embedder is
+  * the offline deterministic hashing embedder (the reference's
+  * `--model/--local` flags select among injected embedders; this build has
+  * exactly one, `vectolite.py:48`'s design point).
   *
   * Usage: graft.Cli <store-path> <command> [args...]
   *   add <text> [metaKey=value ...]
   *   query <text> [topK]
   *   ingest-file <file> [maxChars] [overlap]
   *   stats | delete <id> | show <id> | list [limit] [offset]
+  *   compact [targetFiles]
   */
 object Cli {
 
@@ -84,6 +86,7 @@ object Cli {
 
     case "compact" =>
       val target = if (rest.nonEmpty) rest(0).toInt else 1
+      if (target < 1) throw new graft.core.EngineError("target file count must be positive.")
       store.compact(target)
       println(s"Compacted store to $target file(s)")
 

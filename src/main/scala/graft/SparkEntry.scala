@@ -245,7 +245,7 @@ object SparkEntry {
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")),
@@ -275,10 +275,11 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
-          // avg from the EXACT decimal sum: double-summation order varies
-          // with partitioning and can flip a round-half boundary
-          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
-            .as("avg_disc"),
+          // avg from the EXACT decimal sum + floor-based rounding: both the
+          // summation order and the engines' ROUND builtins would otherwise
+          // diverge at half boundaries
+          (floor(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1))
+            * 1e6 + 0.5) / 1e6).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -322,7 +323,9 @@ object SparkEntry {
           lpad(col("source"), 8, "_").as("src_pad"),
           reverse(col("lang")).as("lang_rev"),
           regexp_replace(col("source"), "src", "s").as("src_short"),
-          concat_ws("|", col("lang"), col("source")).as("combo"))
+          // concat (null-propagating) matches SQL || — concat_ws would
+          // silently skip NULLs and diverge from the oracle
+          concat(col("lang"), lit("|"), col("source")).as("combo"))
         .orderBy("doc_id")),
 
     // ---- relational: per-group top-n window --------------------------
@@ -678,20 +681,21 @@ object SparkEntry {
         |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
-    // exact decimal sums mirror Streams.eventsWindowAgg (order-independent
-    // sums; avg = exact-sum / count so the round-half boundary cannot flip)
+    // exact decimal sums mirror Streams.eventsWindowAgg; avg uses the
+    // FLOOR(x*1e6+0.5)/1e6 construction because engine ROUND builtins
+    // disagree on near-half binary doubles
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_window_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // each event lands in exactly two 1h/30m sliding windows: starts at
@@ -704,7 +708,7 @@ object SparkEntry {
         |)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |  COUNT(*) AS n_events,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM cand GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cube_agg" ->
@@ -753,7 +757,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        |  FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_disc,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -216,30 +216,31 @@ object DocStore {
       round(avg(length(col(textCol))), 6).as("avg_chars"))
 
   // -------------------------------------------------- interchange (JSONL)
+  // Microsecond timestamp format: Spark's JSON default writes millis,
+  // which would silently truncate created_at on a round-trip.
+  private val JsonlTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** Export the store as JSON-lines — the lingua-franca dump format for
-    * document corpora (embeddings as JSON float arrays, timestamps ISO).
-    * Distributed writer; one file per partition.
+    * document corpora (embeddings as JSON float arrays, timestamps ISO
+    * with microseconds). Distributed writer; one file per partition.
+    * Null fields are KEPT so all-null columns (e.g. metadata) survive.
     */
   def exportJsonl(docs: DataFrame, path: String): Unit =
-    docs.write.mode("overwrite").json(path)
+    docs.write.mode("overwrite")
+      .option("timestampFormat", JsonlTsFormat)
+      .option("ignoreNullFields", "false")
+      .json(path)
 
-  /** Import a JSONL dump back into store shape: columns are cast to the
-    * canonical schema ([[graft.core.Tables.documentStoreSchema]]) so a
-    * round-trip is loss-free (JSON numbers arrive as double/long).
+  /** Import a JSONL dump back into store shape. The canonical schema is
+    * SUPPLIED to the reader (no inference), so all-null columns and even
+    * an empty dump import cleanly, and embeddings parse straight into
+    * float32.
     */
-  def importJsonl(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.json(path)
-    val target = graft.core.Tables.documentStoreSchema
-    // Spark refuses a direct array<double>→array<float> cast; element-wise
-    // transform-cast restores the float32 embedding column.
-    raw.select(target.fields.map { f =>
-      (f.dataType match {
-        case org.apache.spark.sql.types.ArrayType(et, _) =>
-          transform(col(f.name), x => x.cast(et))
-        case dt => col(f.name).cast(dt)
-      }).as(f.name)
-    }: _*)
-  }
+  def importJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(graft.core.Tables.documentStoreSchema)
+      .option("timestampFormat", JsonlTsFormat)
+      .json(path)
 
   // ---------------------------------------------------------- O17 validation
   /** Driver-side input guards, same messages as the reference

@@ -24,17 +24,20 @@ object Streams {
     */
   def eventsWindowAgg(events: DataFrame): DataFrame = {
     // Exact decimal sums, THEN divide: double summation order varies with
-    // partitioning and can land a ROUND(avg, 6) exactly on a half
-    // boundary (observed at sf0.1: 1391.13/32 = .4728125), flipping the
-    // last digit between engines. Decimal sums are order-independent, so
-    // sum and avg are bit-identical everywhere by construction.
+    // partitioning and can land a rounded avg exactly on a half boundary
+    // (observed at sf0.1: 1391.13/32 = .4728125), flipping the last digit
+    // between engines. Decimal sums are order-independent; the avg is
+    // rounded with floor(x*1e6 + 0.5)/1e6 — pure double ops on an
+    // identical double — because engine round() builtins disagree on
+    // near-half binaries (Spark rounds the shortest decimal repr, DuckDB
+    // the binary value).
     val exactSum = sum(col("value").cast("decimal(18,6)"))
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(exactSum.cast("double"), 6).as("sum_value"),
-        round(exactSum.cast("double") / count(lit(1)), 6).as("avg_value"))
+        exactSum.cast("double").as("sum_value"),
+        (floor(exactSum.cast("double") / count(lit(1)) * 1e6 + 0.5) / 1e6).as("avg_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))

@@ -137,10 +137,12 @@ class IngestStoreSpec extends SparkSpec {
     assert(back.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
       graft.core.Tables.documentStoreSchema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
     val o = original.orderBy("id").collect().map(r =>
-      (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
+      (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3), r.getTimestamp(4)))
     val b = back.orderBy("id").collect().map(r =>
-      (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
-    assert(b.toSeq == o.toSeq)
+      (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3), r.getTimestamp(4)))
+    assert(b.toSeq == o.toSeq) // incl. created_at to MICROSECOND precision
+    // metadata of doc 2 is null end-to-end (all-null columns must survive)
+    assert(back.filter(col("id") === 2).head.isNullAt(2))
   }
 
   test("stateful sessionizer (flatMapGroupsWithState) matches window sessionize on closed sessions") {
