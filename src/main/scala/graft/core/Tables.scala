@@ -34,6 +34,34 @@ object Tables {
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Raw (pre-cast) events schema under the nanosAsLong conf: `ts`
+    * surfaces as LongType nanos. Needed because streaming reads require
+    * a user-supplied schema.
+    */
+  private val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming twin of [[events]]: a file-source stream over the fixture
+    * parquet DIRECTLY — same nanos workaround applied inside the streaming
+    * read, so no normalized temp copy of the table is ever written (round 3
+    * rewrote one per run: 11 s of gate overhead + a temp-disk leak).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `{events.parquet}` is a GLOB matching exactly that file: for a
+    // non-glob path FileStreamSource force-overrides basePath with the
+    // path itself, which for a bare fixture FILE fails "basePath must be
+    // a directory"; a glob keeps our directory basePath in force.
+    spark.readStream.schema(eventsRawSchema)
+      .option("basePath", sfDir).parquet(s"$sfDir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

@@ -50,8 +50,15 @@ object TemporalJoins {
         struct(rightPayload.map(col): _*).as("__graft_payload") :+
         col(rightTs).as("__graft_ts") :+ lit(0).as("__graft_tag"): _*)
 
+    // Trailing payload-struct tiebreak: duplicate (key, ts) right rows with
+    // different payloads would otherwise resolve to whichever row the sort
+    // happened to place last — run-dependent. With the struct in the order,
+    // the match is deterministically the MAX payload (struct comparison is
+    // lexicographic over its fields). Callers whose oracle makes a different
+    // arbitrary pick should pre-aggregate the right side to one row per
+    // (key, ts).
     val w = Window.partitionBy(keyCol)
-      .orderBy(col("__graft_ts"), col("__graft_tag"))
+      .orderBy(col("__graft_ts"), col("__graft_tag"), col("__graft_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lSide.unionByName(rSide)
       .withColumn("__graft_payload", last(col("__graft_payload"), ignoreNulls = true).over(w))

@@ -46,13 +46,46 @@ object DocStore {
   /** Scalable dense id assignment for huge batches: per-partition counts →
     * prefix-sum offsets (one tiny extra job, no global sort/shuffle). Ids
     * are dense and unique but ordered by partition layout, not by a key —
-    * the documented trade-off vs [[assignIds]] at 100 TB scale.
+    * the documented trade-off vs [[assignIdsOrdered]] when no key order is
+    * required at 100 TB scale.
     */
   def assignIdsScalable(newDocs: DataFrame, startId: Long,
                         idCol: String = "id"): DataFrame = {
     val spark = newDocs.sparkSession
     val schema = StructType(newDocs.schema.fields :+ StructField(idCol, LongType, nullable = false))
     val indexed = newDocs.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (startId + 1 + i))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** Dense id assignment GLOBALLY ORDERED by `orderBy`, without ever
+    * planning a single-partition global window (the [[assignIds]] shape
+    * plans `WindowExec: No Partition Defined` — one executor sorts the
+    * whole batch, the round-3 scale flag). Construction:
+    *
+    *  1. range-repartition on the keys (partition i holds strictly lower
+    *     keys than partition i+1) and sort within partitions — a normal
+    *     parallel sort, the same physical shape as `orderBy`;
+    *  2. persist the arranged batch — the range partitioner SAMPLES its
+    *     boundaries, so the two downstream jobs must see one materialized
+    *     layout, not two re-sampled ones;
+    *  3. `zipWithIndex` (one lightweight per-partition count job + a
+    *     narrow map) turns (partition, offset) into a dense global index.
+    *
+    * Rows with equal keys may order arbitrarily among themselves — callers
+    * needing hash-stable output must either make the key total or accept
+    * interchangeable ids among equal-key rows (equal rows ⇒ identical
+    * output set either way).
+    */
+  def assignIdsOrdered(newDocs: DataFrame, orderBy: Seq[Column], startId: Long,
+                       idCol: String = "id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val arranged = newDocs.repartitionByRange(orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema = StructType(arranged.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val indexed = arranged.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (startId + 1 + i))
     }
     spark.createDataFrame(indexed, schema)

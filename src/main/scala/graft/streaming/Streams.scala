@@ -53,6 +53,13 @@ object Streams {
       spark.readStream.schema(schema).parquet(dir)
         .withWatermark("ts", "1 hour"))
 
+  /** Same rollup over an already-constructed event stream (e.g.
+    * [[graft.core.Tables.eventsStream]], which streams the fixture parquet
+    * directly with the nanos cast inside the read).
+    */
+  def eventsWindowAggStream(events: DataFrame): DataFrame =
+    eventsWindowAgg(events.withWatermark("ts", "1 hour"))
+
   /** Convenience writer: COMPLETE-mode memory sink (full rollup visible
     * each micro-batch; the watermark bounds state, not output).
     */
@@ -90,12 +97,22 @@ object Streams {
     */
   def similarityFilter(stream: DataFrame, textCol: String,
                        embedder: graft.operators.Embedder,
-                       queryVec: Array[Float], threshold: Double): DataFrame = {
+                       queryVec: Array[Float], threshold: Double): DataFrame =
+    scoreFilter(stream.withColumn("embedding", embedder.embedLenientCol(col(textCol))),
+      "embedding", queryVec, threshold)
+
+  /** The score+filter half of [[similarityFilter]], over a PRECOMPUTED
+    * embedding column — works identically on a stream or a batch frame
+    * (stateless map), and because no embedder runs, a DuckDB batch twin
+    * can replicate the arithmetic exactly: this is the form the driver's
+    * oracle gate checks (`stream_sim_filter`). Threshold compares the
+    * UNROUNDED score, per the oracle determinism rules.
+    */
+  def scoreFilter(df: DataFrame, embCol: String,
+                  queryVec: Array[Float], threshold: Double): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    stream
-      .withColumn("embedding", embedder.embedLenientCol(col(textCol)))
-      .withColumn("score",
-        graft.functions.VectorFunctions.cosine_sim(col("embedding"), typedlit(queryVec.toSeq)))
+    df.withColumn("score",
+        graft.functions.VectorFunctions.cosine_sim(col(embCol), typedlit(queryVec.toSeq)))
       .filter(col("score") > threshold)
   }
 

@@ -17,6 +17,19 @@ class DocStoreSpec extends SparkSpec {
     assert(ids.toSeq == Seq((101L, "a"), (102L, "b"), (103L, "c")))
   }
 
+  test("assignIdsOrdered: key-ordered dense ids, no single-partition window") {
+    val batch = (1 to 1000).map(i => f"t$i%04d").toDF("text").repartition(7)
+    val out = DocStore.assignIdsOrdered(batch, Seq(col("text")), 500L)
+      .select("id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (501L to 1500L))
+    // ids follow text order exactly — same contract as the window form
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    // physical plan must not contain a global (non-partitioned) Window
+    val plan = DocStore.assignIdsOrdered(batch, Seq(col("text")), 500L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+  }
+
   test("assignIdsScalable: dense and unique without a global sort") {
     val batch = (1 to 1000).map(i => s"t$i").toDF("text").repartition(7)
     val ids = DocStore.assignIdsScalable(batch, 0L).select("id").as[Long].collect()
