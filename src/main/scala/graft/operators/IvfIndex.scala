@@ -73,8 +73,12 @@ object IvfIndex {
       .select("cluster", "id", "embedding")
   }
 
+  /** One task per cluster dir (see [[AnnIndex.writeIndex]] on why the
+    * repartition on the partition column precedes a partitionBy write).
+    */
   def writeIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    index.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** Probe the `nProbe` nearest clusters and exact-rerank. The cluster
     * filter is a literal IN-list → partition pruning on a written index.

@@ -120,19 +120,26 @@ object Streams {
   /** Minimal event view for the stateful sessionizer. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)
   /** Per-user session state carried between micro-batches. */
-  final case class UserSessState(sessionSeq: Long, lastTsMillis: Long, nEvents: Long)
+  final case class UserSessState(sessionSeq: Long, lastTsMicros: Long, nEvents: Long)
   /** A CLOSED session (emitted once its gap has been exceeded). */
   final case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long)
+
+  /** Full-precision epoch micros of a Timestamp (getTime alone truncates
+    * to millis — gap comparisons must match [[sessionize]]'s unix_micros
+    * arithmetic exactly, or boundary events sessionize differently).
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
   private def sessionFlat(gapMinutes: Int)(
       userId: Long, evs: Iterator[Ev],
       state: GroupState[UserSessState]): Iterator[ClosedSession] = {
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     var st = state.getOption.getOrElse(UserSessState(0L, Long.MinValue, 0L))
     val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-    evs.toArray.sortBy(_.ts.getTime).foreach { e =>
-      val t = e.ts.getTime
-      if (st.lastTsMillis == Long.MinValue || t - st.lastTsMillis > gapMs) {
+    evs.toArray.sortBy(e => micros(e.ts)).foreach { e =>
+      val t = micros(e.ts)
+      if (st.lastTsMicros == Long.MinValue || t - st.lastTsMicros > gapUs) {
         if (st.nEvents > 0) out += ClosedSession(userId, st.sessionSeq, st.nEvents)
         st = UserSessState(st.sessionSeq + 1, t, 1L)
       } else st = UserSessState(st.sessionSeq, t, st.nEvents + 1)
