@@ -741,6 +741,47 @@ object SparkEntry {
         |  trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS chunk
         |FROM documents ORDER BY doc_id, chunk_index""".stripMargin,
 
+    // Greedy packing oracle: a recursive CTE that replays the reference
+    // algorithm (vectolite.py:389-403) paragraph by paragraph — flush when
+    // len(cur)+len(para)+2 > max_chars(80), seed the next chunk with the
+    // last overlap(10) chars of the UNTRIMMED buffer when len(cur)>overlap.
+    // Paragraphs here are words (the declared query rewrites ' '→'\n\n').
+    // Java trim charset (space/tab/LF/CR) spelled out, as in chunk_single.
+    "chunk_greedy" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pn AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g.i) AS i, ws[g.i] AS para
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |  WHERE len(ws[g.i]) > 0
+        |),
+        |rec AS (
+        |  SELECT doc_id, i, para AS cur, CAST(NULL AS VARCHAR) AS flushed
+        |  FROM pn WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, p.i,
+        |    CASE WHEN len(r.cur) + len(p.para) + 2 > 80
+        |         THEN CASE WHEN len(r.cur) > 10
+        |                   THEN substr(r.cur, len(r.cur) - 10 + 1) || chr(10) || chr(10) || p.para
+        |                   ELSE p.para END
+        |         ELSE r.cur || chr(10) || chr(10) || p.para END AS cur,
+        |    CASE WHEN len(r.cur) + len(p.para) + 2 > 80
+        |         THEN trim(r.cur, ' ' || chr(9) || chr(10) || chr(13)) ELSE NULL END AS flushed
+        |  FROM rec r JOIN pn p ON p.doc_id = r.doc_id AND p.i = r.i + 1
+        |),
+        |emitted AS (
+        |  SELECT doc_id, i, flushed AS chunk FROM rec WHERE flushed IS NOT NULL
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i + 1, trim(r.cur, ' ' || chr(9) || chr(10) || chr(13)) AS chunk
+        |  FROM rec r JOIN (SELECT doc_id, MAX(i) AS mi FROM rec GROUP BY doc_id) m
+        |    ON r.doc_id = m.doc_id AND r.i = m.mi
+        |)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS chunk_index,
+        |  CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS total_chunks,
+        |  chunk
+        |FROM emitted ORDER BY doc_id, chunk_index""".stripMargin,
+
     // single-paragraph fixture text → 1 chunk per doc; ids continue after
     // the seed (10000), ordered by (doc_id, chunk_index) like the
     // reference's sequential insert loop (vectolite.py:521-525).
