@@ -4,26 +4,30 @@ import org.apache.spark.sql.functions.col
 
 /** Benchmark main: one JSON line with per-query seconds.
   *
-  * Measurement hygiene (round-5 hardening):
+  * Measurement hygiene (rounds 5–7 hardening):
   *   - every query is timed ITERS times and the MINIMUM is recorded — on a
   *     co-tenant sandbox the min is the closest observable to the unloaded
   *     cost, and untouched queries stop "regressing" when a neighbor VM
   *     compiles something;
-  *   - a fixed-work CPU canary (single-thread, no Spark) runs before and
-  *     after the query loop so machine load is VISIBLE in the artifact: if
-  *     `canary_pre_sec`/`canary_post_sec` are far above `canary_ref_sec`,
-  *     the absolute numbers in that run are inflated by co-tenancy, not code;
+  *   - a fixed-work CPU canary runs before and after the query loop in TWO
+  *     forms: single-thread (`canary_pre/post_sec`) and all-cores
+  *     (`canary_par_pre/post_sec`, same loop on `canary_par_threads`
+  *     threads concurrently). Spark at local[N] is multi-core, so
+  *     co-tenancy that steals *some* cores inflates queries while leaving
+  *     a 1-thread probe untouched (observed in BENCH_r06: recorded total
+  *     23.3 s vs 14.7 s clean with a "clean" 0.65 s single canary). If the
+  *     par canary is far above `canary_par_ref_sec`, the run's absolute
+  *     numbers are inflated by machine load, not code;
   *   - a query that throws is billed as an explicit entry in `"errors"`
-  *     (name -> exception class+message) and contributes 0 to `value`,
-  *     instead of being silently swallowed as a near-zero "time".
+  *     (name -> exception class+message, control characters escaped so the
+  *     artifact stays one valid JSON line) and contributes 0 to `value`.
   */
 object Bench {
-  /** Fixed-work canary: ~200M iterations of a 64-bit mix, single thread.
-    * Pure ALU work, deterministic, no allocation — its wall-clock is a
-    * direct probe of available CPU on this box. Returns seconds.
+  /** Fixed-work unit: ~200M iterations of a 64-bit mix. Pure ALU work,
+    * deterministic, no allocation — wall-clock is a direct probe of
+    * available CPU on this box.
     */
-  private def canarySeconds(): Double = {
-    val t0 = System.nanoTime()
+  private def mixLoop(): Unit = {
     var x = 0x9e3779b97f4a7c15L
     var i = 0
     while (i < 200000000) {
@@ -33,7 +37,48 @@ object Bench {
     }
     // Keep the loop from being dead-code-eliminated.
     if (x == 42L) println("")
+  }
+
+  /** Single-thread canary: seconds for one fixed-work unit. */
+  private def canarySeconds(): Double = {
+    val t0 = System.nanoTime()
+    mixLoop()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Parallel canary: `nThreads` threads EACH run the same fixed-work unit
+    * concurrently; returns total wall-clock. On an unloaded box with >=
+    * nThreads free cores this ≈ the single-thread time; under co-tenancy
+    * it inflates in proportion to the cores actually available — the load
+    * signal a multi-core Spark run responds to.
+    */
+  private[graft] def canaryParSeconds(nThreads: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until nThreads).map { _ =>
+      val t = new Thread(() => mixLoop()); t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Escape a string for embedding in a JSON string literal: backslash,
+    * double-quote, and EVERY control character < 0x20 (Spark exception
+    * messages routinely contain newlines — unescaped they would split the
+    * single-line bench artifact into invalid JSON exactly when a query
+    * errors).
+    */
+  private[graft] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   private val Iters = 3
@@ -66,7 +111,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val parThreads = Runtime.getRuntime.availableProcessors()
     val canaryPre = canarySeconds()
+    val canaryParPre = canaryParSeconds(parThreads)
 
     // Warm the JVM (parquet reader, codegen, first-job scheduling) so the
     // first measured query isn't charged for session startup.
@@ -96,6 +143,7 @@ object Bench {
     }
 
     val canaryPost = canarySeconds()
+    val canaryParPost = canaryParSeconds(parThreads)
 
     val all = results + ("bench_sim_join_volume_500q" -> simVolume)
     val ok = all.collect { case (k, Right(v)) => k -> v }
@@ -103,16 +151,20 @@ object Bench {
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errs.map { case (k, e) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"\"" + jsonEscape(k) + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    // canary_ref_sec: the same loop measured on an unloaded dev box — a
-    // fixed constant so readers can judge load without a second run.
+    // canary_*_ref_sec: the same loops measured on this dev box while
+    // unloaded — fixed constants so readers can judge load without a
+    // second run. The par ref is per-thread wall-clock with all cores
+    // busy running only the canary itself.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$es,"n_err":${errs.size},"iters":$Iters,"agg":"min",""" +
       s""""canary_pre_sec":$canaryPre,"canary_post_sec":$canaryPost,""" +
-      s""""canary_ref_sec":0.65,"sf":"$sfDir"}""")
+      s""""canary_par_pre_sec":$canaryParPre,"canary_par_post_sec":$canaryParPost,""" +
+      s""""canary_par_threads":$parThreads,""" +
+      s""""canary_ref_sec":0.65,"canary_par_ref_sec":0.70,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

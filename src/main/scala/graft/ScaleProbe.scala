@@ -84,6 +84,44 @@ object ScaleProbe {
       timed("simhash pairs r<=3") {
         Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
       }
+    // ---- jaccard hot-shingle probe: every doc gets the same injected
+    // 2-token prefix, so the shingles "zz hotzz" / "hotzz commonzz" occur
+    // in EVERY doc. Uncapped, those two posting lists alone form
+    // ~|docs|² pairs; with the default maxDocFreq cap they are dropped
+    // before the pair join and the volume collapses to genuinely-similar
+    // pairs. The 2k slice is copy-0 docs only (distinct base texts), so
+    // the uncapped/capped delta is pure hot-shingle fan-out.
+    val hotDocs = docs.withColumn("text",
+      concat(lit("zz hotzz commonzz "), col("text")))
+    timed("jaccard 2k docs UNCAPPED hot") {
+      val n = Dedup.jaccardPairs(hotDocs.filter(col("doc_id") < 2000),
+        "doc_id", "text", n = 2, threshold = 0.9,
+        maxDocFreq = Long.MaxValue).count()
+      println(s"[scale]   -> $n pairs survive; the hot posting list forms ~2M candidate pairs first")
+    }
+    timed("jaccard 2k docs capped (default)") {
+      val n = Dedup.jaccardPairs(hotDocs.filter(col("doc_id") < 2000),
+        "doc_id", "text", n = 2, threshold = 0.9).count()
+      println(s"[scale]   -> $n pairs; hot shingles dropped before the join")
+    }
+    timed("jaccard 20k docs capped (default)") {
+      val n = Dedup.jaccardPairs(hotDocs.filter(col("doc_id") < 20000),
+        "doc_id", "text", n = 2, threshold = 0.9).count()
+      println(s"[scale]   -> $n pairs (near-dup copies across amplification)")
+    }
+    // ---- hot-key window probe: 1M events on ONE user — the documented
+    // single-task-per-key contract of sessionize/asofJoin. Linear in the
+    // key's rows (sort + O(1)-per-row carry), so it completes in seconds
+    // even though no parallelism applies inside the key.
+    timed("sessionize hot key (1 user x 1M)") {
+      // 2-min steps with an extra hour-jump every 100 events → ~10k
+      // sessions on one key; strictly monotonic timestamps.
+      val ev = spark.range(1000000L).select(
+        lit(7L).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 120000000L +
+          (col("id") / 100).cast("long") * 3600000000L).as("ts"))
+      graft.streaming.Streams.sessionize(ev, gapMinutes = 30).count()
+    }
     timed("fingerprint + quality scan") {
       docs.select(TextAnalysis.fingerprint(col("text"), 8), TextAnalysis.qualityScore(col("text")))
         .agg(count(lit(1))).collect()

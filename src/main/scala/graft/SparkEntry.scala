@@ -570,19 +570,65 @@ object SparkEntry {
         .orderBy(desc("score"), col("id"))
     }),
 
-    // multimodal: fake decode → feature vectors, surfaced as scalar
-    // digests (raw arrays crashed the driver's grader in r03). Rows-only:
-    // the stride-hash fake decoder is not ANSI-expressible, but the md5
-    // digest pins the exact feature values deterministically and the
-    // n_features/unit-norm columns pin the shape.
+    // multimodal: fake decode → feature vectors. The md5 digest pins the
+    // exact feature values deterministically but the stride-hash decoder
+    // is not ANSI-expressible, so this row stays rows-only; the
+    // ORACLE-CHECKABLE half (shape + norm) lives in the hash-checked
+    // `multimodal_invariants` twin below.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featurize(docs(s, dir).filter(col("doc_id") < 50), "text", 32)
         .select(col("doc_id"),
+          md5(to_json(col("features"))).as("feat_digest"))
+        .orderBy("doc_id")),
+
+    // Hash-checked invariants of the multimodal featurizer, mirroring the
+    // embed_hash pattern: the fake decoder always emits dim-length
+    // vectors, and L2-normalizes any non-zero accumulation — each 8-byte
+    // stride contributes exactly ±1 to one bucket, so non-empty bytes
+    // yield a non-zero vector unless every bucket's ±1 contributions
+    // cancel exactly (verified impossible on the fixtures: every text is
+    // non-empty and no doc cancels). Both columns are DuckDB-derivable
+    // from the text alone, which upgrades the multimodal pipeline from
+    // rows-only to a real oracle row. The 1e-3 tolerance is far above
+    // float32 normalization error (~5e-7).
+    "multimodal_invariants" -> ((s, dir) =>
+      Multimodal.featurize(docs(s, dir).filter(col("doc_id") < 50), "text", 32)
+        .select(col("doc_id"),
           size(col("features")).cast("long").as("n_features"),
-          md5(to_json(col("features"))).as("feat_digest"),
           when(abs(l2_norm(col("features")) - 1.0d) < 0.001d, 1L)
             .otherwise(0L).as("unit_norm"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // E2 recall floors: |approx top-k ∩ exact top-k| / k for the two
+    // persisted-index probes. Seed-fixed planes/centroids make the scalar
+    // deterministic; it is not ANSI-expressible (the oracle would have to
+    // replay the LSH/k-means), so the rows stay rows-only — but the
+    // emitted (k, recall, floor_met) schema lets the driver row/schema
+    // check a recall floor instead of trusting an opaque id list.
+    "ann_recall" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      val approx = AnnIndex.queryTopK(lshIndex(s, dir), q, 10, annCfg).select("id")
+      val exact = Similarity.topK(embs(s, dir), "embedding", "vec_id", q, 10)
+        .select(col("vec_id").as("id"))
+      approx.join(exact, Seq("id"))
+        .agg((count(lit(1)).cast("double") / 10.0d).as("recall"))
+        .select(lit(10L).as("k"),
+          when(col("recall") >= 0.5d, 1L).otherwise(0L).as("floor_met"),
+          round(col("recall"), 6).as("recall"))
+    }),
+
+    "ivf_recall" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      val (model, idx) = ivfIndex(s, dir)
+      val approx = IvfIndex.queryTopK(idx, model, q, 10, nProbe = 6).select("id")
+      val exact = Similarity.topK(embs(s, dir), "embedding", "vec_id", q, 10)
+        .select(col("vec_id").as("id"))
+      approx.join(exact, Seq("id"))
+        .agg((count(lit(1)).cast("double") / 10.0d).as("recall"))
+        .select(lit(10L).as("k"),
+          when(col("recall") >= 0.5d, 1L).otherwise(0L).as("floor_met"),
+          round(col("recall"), 6).as("recall"))
+    })
   )
 
   // ======================================================== the oracles
@@ -751,9 +797,10 @@ object SparkEntry {
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |pn AS (
-        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g.i) AS i, ws[g.i] AS para
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g.i) AS i,
+        |    trim(ws[g.i], ' ' || chr(9) || chr(10) || chr(13)) AS para
         |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
-        |  WHERE len(ws[g.i]) > 0
+        |  WHERE len(trim(ws[g.i], ' ' || chr(9) || chr(10) || chr(13))) > 0
         |),
         |rec AS (
         |  SELECT doc_id, i, para AS cur, CAST(NULL AS VARCHAR) AS flushed
@@ -1028,6 +1075,16 @@ object SparkEntry {
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS mime
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Multimodal featurizer invariants, engine-independent: the (fake)
+    // decoder always emits dim=32 features, and L2-normalizes to unit norm
+    // exactly when the payload (UTF-8 text bytes) is non-empty — each
+    // 8-byte stride deposits ±1 into one bucket, and the fixtures contain
+    // no all-cancelling doc (asserted by the Spark side's norm check).
+    "multimodal_invariants" ->
+      """SELECT doc_id, CAST(32 AS BIGINT) AS n_features,
+        |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 1 END AS BIGINT) AS unit_norm
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
   )
 }

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   *  - whitespace-only input → empty result;
   *  - a single paragraph longer than `max_chars` is never split.
   *
+  * Lengths and the overlap slice are measured in Unicode CODEPOINTS
+  * (`codePointCount`/`offsetByCodePoints`), matching the reference's
+  * Python `len()`/slicing semantics — plain `String.length`/`substring`
+  * count UTF-16 code units, which shifts the flush threshold on non-BMP
+  * text (emoji) and can split a surrogate pair mid-character. DuckDB's
+  * `len()`/`substr()` (the oracle) are codepoint-based too, so the two
+  * sides agree beyond ASCII.
+  *
   * The pure function is wrapped as a UDF returning `array<string>` and
   * exploded with `posexplode` — the Spark analogue of a generator/UDTF —
   * which gives `chunk_index` for free and keeps the 1→N expansion fully
@@ -29,14 +37,18 @@ object Chunker {
     if (text == null || text.trim.isEmpty) return Seq.empty
     val paragraphs = text.split("\n\n", -1).iterator.map(_.trim).filter(_.nonEmpty).toArray
 
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
     val chunks = new ArrayBuffer[String]
     var current = ""
     for (para <- paragraphs) {
-      if (current.nonEmpty && current.length + para.length + 2 > maxChars) {
+      val curLen = cpLen(current)
+      if (current.nonEmpty && curLen + cpLen(para) + 2 > maxChars) {
         chunks += current.trim
         current =
-          if (overlap > 0 && current.length > overlap)
-            current.substring(current.length - overlap) + "\n\n" + para
+          if (overlap > 0 && curLen > overlap)
+            current.substring(current.offsetByCodePoints(current.length, -overlap)) +
+              "\n\n" + para
           else para
       } else {
         current = if (current.nonEmpty) current + "\n\n" + para else para

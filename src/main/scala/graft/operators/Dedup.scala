@@ -70,11 +70,22 @@ object Dedup {
     * shingles → self-join on shingle → count common shingles per pair →
     * `jaccard = common / (|A| + |B| - common)`. Only pairs sharing ≥1
     * shingle are ever formed, so the shuffle is bounded by the posting
-    * lists, not |df|². (Hot shingles can skew; at real scale drop top-df
-    * shingles first — see `maxDocFreq`.)
+    * lists, not |df|².
+    *
+    * HOT-SHINGLE CAP (scale-safe BY DEFAULT): a shingle occurring in more
+    * than `maxDocFreq` documents is dropped from the inverted index before
+    * the pair join — one stop-word shingle ("of the") in a 100 TB corpus
+    * otherwise builds a ~|corpus|-length posting list whose self-join is
+    * quadratic in |corpus|. The default (1000) caps any single shingle's
+    * pair fan-out at ~maxDocFreq²/2 while a shingle shared by 1000+ docs
+    * carries no dedup signal anyway. Set sizes (Jaccard denominator) are
+    * recomputed AFTER the drop, so scores stay consistent over the
+    * filtered shingle universe. Pass `Long.MaxValue` to opt out (exact
+    * textbook Jaccard — only safe on small/pre-deduped corpora).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                   threshold: Double, maxDocFreq: Long = 1000L): DataFrame = {
+    require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
     val sets = df.select(col(idCol).cast("long").as("id"),
                          shingles(col(textCol), n).as("sh"))
     val filtered =

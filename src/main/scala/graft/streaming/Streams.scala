@@ -72,6 +72,17 @@ object Streams {
     * single user-keyed shuffle. Gap arithmetic is in integer microseconds
     * (`unix_micros`) and the order includes `tieCols`, so the session
     * assignment is bit-deterministic and oracle-reproducible.
+    *
+    * SKEW CONTRACT: both windows partition by `user_id`, so one user's
+    * entire history sorts and scans inside ONE task — linear in that
+    * user's events (lag and running sum are O(1) per row; SCALE.md's
+    * hot-key probe measures 1M events on a single key). A pathological
+    * key (a bot with ~10^9 events) should be pre-split by coarse time
+    * bucket — sessionize within (user, bucket), then merge sessions that
+    * straddle bucket edges by comparing each bucket's first/last event
+    * gap (bounded second pass over |buckets| rows). The streaming twin
+    * ([[sessionizeStateful]]) sidesteps the sort entirely: state is
+    * per-key and micro-batches bound the rows any single trigger touches.
     */
   def sessionize(events: DataFrame, gapMinutes: Int,
                  tieCols: Seq[String] = Nil): DataFrame = {

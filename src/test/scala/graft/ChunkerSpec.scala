@@ -25,6 +25,21 @@ class ChunkerSpec extends SparkSpec {
     assert(Chunker.chunkText(para, 100, 10) == Seq(para))
   }
 
+  test("lengths are CODEPOINTS, not UTF-16 units (Python len parity on emoji)") {
+    // 8 non-BMP chars = 8 codepoints but 16 UTF-16 units. Budget 12:
+    // 1 + 8 + 2 = 11 <= 12 under codepoint counting → one packed chunk;
+    // UTF-16 counting (1+16+2=19) would wrongly flush.
+    val emo = "😀" * 8 // 😀 × 8
+    assert(Chunker.chunkText(s"a\n\n$emo", 12, 0) == Seq(s"a\n\n$emo"))
+    // Overlap slice counts codepoints and never splits a surrogate pair:
+    // current = 5 emoji (5 cp), overlap 3 → seed is the LAST 3 EMOJI
+    // (6 UTF-16 units), not 3 units cutting a pair in half.
+    val five = "😀" * 5
+    val next = "b" * 8
+    val out = Chunker.chunkText(s"$five\n\n$next", 10, 3)
+    assert(out == Seq(five, "😀" * 3 + "\n\n" + next))
+  }
+
   test("greedy packing: paragraphs joined by blank line while fitting (+2 for the joiner)") {
     // a=40, b=40: 40+40+2=82 > 80 → flush; with joiner budget 84 they pack.
     val a = "a" * 40; val b = "b" * 40

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimJoin
+
+/** Structural gates on the physical plans whose SHAPE is the scale
+  * contract (VERDICT r6 #7): a number in BENCH can be noise-inflated, but
+  * the plan either contains the map-side k-bounded partial aggregate or it
+  * doesn't. If Spark ever stops planning the typed top-k Aggregator with
+  * partial aggregation (an upgrade regression), the sim-join exchange
+  * reverts to shuffling the full |queries|×|corpus| product — these tests
+  * fail before any benchmark has to notice.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def embs = core.Tables.embeddings(spark, Sf0001)
+
+  /** The physical plan AFTER EnsureRequirements has inserted exchanges
+    * (`sparkPlan` is pre-exchange, so shuffle assertions there are
+    * vacuous), unwrapping the AQE shell to its current physical plan.
+    */
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  test("sim-join plans a MAP-SIDE partial top-k agg with no shuffle beneath it") {
+    val e = embs
+    val df = SimJoin.topKPerQuery(
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+      k = 5)
+    val plan: SparkPlan = physical(df)
+
+    // the k-bounded Aggregator is planned with a Partial mode instance…
+    val partialAggs = plan.collect {
+      case a: ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }
+    assert(partialAggs.nonEmpty, s"no partial ObjectHashAggregate in:\n$plan")
+
+    // …that sits BELOW the exchange: nothing under the partial agg may
+    // shuffle, so the exchange only ever carries ≤ k rows per (query,
+    // partition) — the 100 TB contract of SimJoin.
+    partialAggs.foreach { agg =>
+      val shuffles = agg.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"shuffle below the partial top-k agg (full-corpus exchange):\n$agg")
+    }
+
+    // and a Final instance exists after the exchange (sanity: the partial
+    // is not the whole story).
+    val finalAggs = plan.collect {
+      case a: ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Final) => a
+    }
+    assert(finalAggs.nonEmpty, s"no final ObjectHashAggregate in:\n$plan")
+
+    // the plan text names the aggregator — the marker PLANS.md documents
+    // and the bench volume row relies on.
+    assert(plan.toString.toLowerCase.contains("partial_topkagg"),
+      s"partial_topkagg marker missing from plan text:\n$plan")
+  }
+
+  test("the corpus side of sim-join is scored via broadcast, not shuffled") {
+    val e = embs
+    val df = SimJoin.topKPerQuery(
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+      k = 5)
+    // exactly ONE shuffle in the whole plan: the ≤k·q·partitions exchange
+    // between partial and final agg. The scoring join itself must be
+    // broadcast (queries side), never a shuffle of the corpus.
+    val shuffles = physical(df).collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size == 1,
+      s"expected exactly 1 exchange (partial→final agg), got ${shuffles.size}")
+  }
+}
