@@ -69,12 +69,61 @@ object ScaleProbe {
         emb.filter(col("vec_id") < 100).select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
         emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), 5).count()
     }
+    timed("sim_join 500q x corpus") {
+      SimJoin.topKPerQuery(
+        emb.filter(col("vec_id") < 500).select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), 5).count()
+    }
     val cfg = AnnIndex.Config(dim = 64, nBits = 12, nTables = 8)
     val index = timed("ann index build") {
       val i = AnnIndex.buildIndex(emb, "vec_id", "embedding", cfg).cache()
       i.count(); i
     }
     timed("ann probe top-10")(AnnIndex.queryTopK(index, q, 10, cfg).collect())
+    // Persisted-index build/serve split at scale: write the index with the
+    // SERVING config of the declared ann_topk query (16 tables × 2^6
+    // buckets = 1024 partition dirs), then probe through read.parquet so
+    // the 16 (table,bucket) literals prune partitions at the scan — the
+    // shape whose constants must hold as the corpus grows.
+    val serveCfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 16)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-scale-lsh").toString
+    timed("ann persisted index write") {
+      AnnIndex.writeIndex(AnnIndex.buildIndex(emb, "vec_id", "embedding", serveCfg), idxDir)
+    }
+    val persisted = spark.read.parquet(idxDir)
+    timed("ann persisted probe top-10") {
+      AnnIndex.queryTopK(persisted, q, 10, serveCfg).collect()
+    }
+    timed("ann persisted probe (2nd, warm file index)") {
+      AnnIndex.queryTopK(persisted, q, 10, serveCfg).collect()
+    }
+    timed("assignIdsOrdered ingest (docs)") {
+      graft.store.DocStore.assignIdsOrdered(docs, Seq(col("doc_id")), 0L).count()
+    }
+    // Stateful sessionizer through a REAL AvailableNow stream: amp×20k
+    // synthetic events over 10k users (5-min waves, an hour jump every 12
+    // waves → sessions genuinely close), written to parquet and replayed
+    // as a file-source stream into flatMapGroupsWithState.
+    timed(s"stateful sessionize stream (${amp * 20000} ev)") {
+      import spark.implicits._
+      val evDir = java.nio.file.Files.createTempDirectory("graft-scale-ev").toString
+      val wave = (col("id") / 10000).cast("long")
+      spark.range(amp.toLong * 20000L).select(
+        pmod(col("id"), lit(10000L)).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) + wave * 300000000L +
+          (wave / 12).cast("long") * 3600000000L +
+          pmod(col("id"), lit(10000L))).as("ts"))
+        .write.mode("overwrite").parquet(evDir)
+      val sevs = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .parquet(evDir).as[graft.streaming.Streams.Ev]
+      val sq = graft.streaming.Streams.sessionizeStateful(sevs, gapMinutes = 30).toDF()
+        .writeStream.format("memory").queryName("scale_sessionize")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(sq.awaitTermination(600000), "stream did not finish in 600s")
+      val n = spark.table("scale_sessionize").count()
+      println(s"[scale]   -> $n closed sessions")
+    }
     timed("exact dedup (sha groupBy)") {
       Dedup.dedupExact(docs, "doc_id", "text").count()
     }

@@ -99,8 +99,13 @@ object Dedup {
         val hot = posting0.groupBy("shingle").count().filter(col("count") > maxDocFreq)
         val kept = posting0.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
         // Set sizes AFTER hot-shingle removal, so the Jaccard numerator
-        // and denominator are over the same (filtered) universe.
-        kept.join(kept.groupBy("id").agg(count(lit(1)).as("set_size")), "id")
+        // and denominator are over the same (filtered) universe. A window
+        // over the kept postings, not groupBy+self-join: one id-shuffle of
+        // rows we shuffle anyway, no second scan of the corpus. Per-id row
+        // counts are bounded by a document's shingle count, so the
+        // single-task-per-id window carries no skew risk.
+        kept.withColumn("set_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
       }
     val a = filtered.select(col("shingle"), col("id").as("a_id"), col("set_size").as("a_size"))
     val b = filtered.select(col("shingle"), col("id").as("b_id"), col("set_size").as("b_size"))
