@@ -348,6 +348,24 @@ object SparkEntry {
       s.table(sinkName).orderBy("user_id", "session_seq")
     }),
 
+    // E4×E6: streaming exact dedup over the documents ARRIVAL stream —
+    // the ingest-time dedup of a training pipeline, run as a REAL
+    // AvailableNow stream through dropDuplicates state. WHICH duplicate
+    // survives is arrival-order dependent, so the declared row emits the
+    // distinct sha set itself (order-free, deterministic); DuckDB's
+    // sha256() replays Spark's sha2(text, 256) hex exactly.
+    "stream_dedup" -> ((s, dir) => {
+      val sinkName = "graft_stream_dedup"
+      val sq = Streams.dedupExactStream(Tables.documentsStream(s, dir), "text")
+        .select("text_sha")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_dedup: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("text_sha")
+    }),
+
     // ---- set ops: purchasers who hit no errors (day-1 slice) ---------
     "events_setops" -> ((s, dir) => {
       val e = events(s, dir).filter(col("ts") < to_timestamp(lit("2024-01-02 00:00:00")))
@@ -1076,6 +1094,12 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Streaming exact dedup: the distinct sha set is order-free and both
+    // engines hash the identical UTF-8 text bytes.
+    "stream_dedup" ->
+      """SELECT DISTINCT sha256(text) AS text_sha
+        |FROM documents ORDER BY text_sha""".stripMargin,
 
     // Multimodal featurizer invariants, engine-independent: the (fake)
     // decoder always emits dim=32 features, and L2-normalizes to unit norm

@@ -62,6 +62,24 @@ object Tables {
       .option("basePath", sfDir).parquet(s"$sfDir/{events.parquet}")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+  /** Fixture documents schema — needed because streaming reads require a
+    * user-supplied schema.
+    */
+  private val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming twin of [[documents]] — file-source stream over the fixture
+    * parquet (same glob trick as [[eventsStream]]): the arrival shape of a
+    * training-data ingest pipeline.
+    */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .option("basePath", sfDir).parquet(s"$sfDir/{documents.parquet}")
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

@@ -127,6 +127,37 @@ object Streams {
       .filter(col("score") > threshold)
   }
 
+  /** Streaming exact dedup — the ingest face of
+    * [[graft.operators.Dedup.dedupExact]]: hash each arriving document's
+    * text and keep only the FIRST arrival per hash. State is one 64-hex
+    * sha per distinct document (Spark's dropDuplicates state store), so
+    * memory is O(|distinct corpus|), not O(|stream|) — the canonical
+    * streaming-dedup trade. For unbounded retention at 100 TB use
+    * [[dedupExactStreamWithinWatermark]], which expires state after the
+    * lateness horizon (dedup-within-window semantics: a re-arrival AFTER
+    * the watermark passes is treated as new — the standard bounded-state
+    * compromise).
+    *
+    * Output is the input row set minus later duplicates, plus the
+    * `text_sha` column. WHICH row of a duplicate group survives is
+    * arrival-order dependent; emit the sha (or aggregate) when the caller
+    * needs a deterministic result, as the declared `stream_dedup` query
+    * does.
+    */
+  def dedupExactStream(stream: DataFrame, textCol: String): DataFrame =
+    stream.withColumn("text_sha", sha2(col(textCol), 256))
+      .dropDuplicates("text_sha")
+
+  /** Bounded-state variant: dedup within the watermark horizon of `tsCol`
+    * (`dropDuplicatesWithinWatermark`) — per-key state is dropped once the
+    * event-time watermark passes `delay` beyond it.
+    */
+  def dedupExactStreamWithinWatermark(stream: DataFrame, textCol: String,
+                                      tsCol: String, delay: String): DataFrame =
+    stream.withColumn("text_sha", sha2(col(textCol), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("text_sha")
+
   // ------------------------------------------------- custom state (F MGWS)
   /** Minimal event view for the stateful sessionizer. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)

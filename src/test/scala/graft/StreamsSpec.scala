@@ -23,6 +23,41 @@ class StreamsSpec extends SparkSpec {
     assert(sess == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("streaming exact dedup keeps one row per distinct text and matches batch dedup") {
+    val sinkName = "spec_stream_dedup"
+    // union the arrival stream with itself: every text arrives (at least)
+    // twice, so the dedup state genuinely suppresses rows.
+    val doubled = Tables.documentsStream(spark, Sf0001)
+      .union(Tables.documentsStream(spark, Sf0001))
+    val sq = Streams.dedupExactStream(doubled, "text")
+      .select("text_sha")
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "stream did not finish")
+    val streamed = spark.table(sinkName).as[String].collect().toSet
+    val batch = Tables.documents(spark, Sf0001)
+      .select(sha2(col("text"), 256)).as[String].collect().toSet
+    assert(streamed == batch) // exactly the distinct-sha set…
+    assert(spark.table(sinkName).count() == streamed.size) // …each ONCE,
+    // though every text arrived twice (2 × 500 input rows)
+  }
+
+  test("watermark-bounded dedup variant runs and dedups within the horizon") {
+    val sinkName = "spec_stream_dedup_wm"
+    val ev = Tables.eventsStream(spark, Sf0001)
+      .select(col("ts"), col("event_type").as("text"))
+    val sq = Streams.dedupExactStreamWithinWatermark(ev, "text", "ts", "1 hour")
+      .select("text_sha")
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "stream did not finish")
+    // one AvailableNow pass over one file = one dedup horizon: the few
+    // distinct event_type strings collapse to one row each.
+    val n = spark.table(sinkName).count()
+    val distinct = Tables.events(spark, Sf0001).select("event_type").distinct().count()
+    assert(n == distinct, s"got $n rows, want $distinct")
+  }
+
   test("streaming windowed agg equals its batch twin on the events fixture") {
     val batchEvents = Tables.events(spark, Sf0001)
     val expected = Streams.eventsWindowAgg(batchEvents)
