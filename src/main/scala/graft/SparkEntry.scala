@@ -588,6 +588,16 @@ object SparkEntry {
         .orderBy(desc("score"), col("id"))
     }),
 
+    // Training-pipeline split: deterministic md5-bucket train/val/test
+    // assignment (80/10/10) — reproducible across runs/engines/corpus
+    // revisions, unlike sample()/randomSplit(). Fully oracle-checked:
+    // DuckDB replays md5 → hex → bucket → cumulative cuts in SQL.
+    "split_assign" -> ((s, dir) =>
+      Splits.assignSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     // multimodal: fake decode → feature vectors. The md5 digest pins the
     // exact feature values deterministically but the stride-hash decoder
     // is not ANSI-expressible, so this row stays rows-only; the
@@ -1094,6 +1104,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Deterministic split: both engines md5 the decimal id string, parse
+    // the first 8 hex chars as an int, and bucket mod 10000; cuts are
+    // 8000/9000 for 80/10/10.
+    "split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // Streaming exact dedup: the distinct sha set is order-free and both
     // engines hash the identical UTF-8 text bytes.

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sub-sampling for training
+  * pipelines. The reference has no split machinery; a 100 TB pretraining
+  * corpus needs REPRODUCIBLE train/val/test assignment — `sample()` /
+  * `randomSplit()` depend on partitioning and RNG state, so the same doc
+  * can land in different splits across runs, engines, or corpus
+  * revisions. Here assignment is a pure function of the row's id: first
+  * 8 hex chars of `md5(id)` → bucket in [0, buckets) → cumulative weight
+  * ranges. Properties a random sampler lacks:
+  *
+  *  - stable under corpus growth: a doc's split never changes when other
+  *    docs are added or removed (no leakage of held-out docs into train
+  *    on a corpus refresh);
+  *  - engine-independent: any system with md5 reproduces the assignment
+  *    bit-for-bit (the driver's DuckDB oracle replays it in SQL);
+  *  - pure codegen column arithmetic — no UDF, no RNG, no shuffle.
+  */
+object Splits {
+
+  /** Hash bucket in [0, buckets): `conv(substr(md5(id), 1, 8), 16, 10) %
+    * buckets`. 8 hex chars = 32 bits — fits a long exactly; md5's
+    * uniformity makes bucket populations binomial around n/buckets.
+    */
+  def hashBucket(id: Column, buckets: Int = 10000): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+  }
+
+  /** Assign each row a named split: `weights` are (name, fraction) pairs
+    * summing to 1; row goes to the first split whose cumulative bucket
+    * cut exceeds its hash bucket. Appends a `split` column.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)],
+                  buckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 0.0), "fractions must be >= 0")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    val b = hashBucket(col(idCol), buckets)
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * buckets))
+    val cased = weights.init.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), i)) =>
+        val cond = b < lit(cuts(i))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    // last split is the otherwise-branch, so rounding in the cuts can
+    // never leave a bucket unassigned
+    val assigned = cased.fold(lit(weights.last._1): Column)(_.otherwise(weights.last._1))
+    df.withColumn("split", assigned)
+  }
+
+  /** Deterministic sub-sample: keep rows whose hash bucket falls below
+    * `fraction` of the bucket space — the stable alternative to
+    * `df.sample(fraction)` (same rows every run, every engine, any
+    * partitioning).
+    */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.filter(hashBucket(col(idCol), buckets) < lit(math.round(fraction * buckets)))
+  }
+}

@@ -273,4 +273,42 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.select("n_frames").head.getInt(0) == 2)
     assert(frames.columns.contains("frame_index") && frames.columns.contains("frame_bytes"))
   }
+
+  // -------------------------------------------------------------- Splits
+  test("assignSplit: deterministic, exhaustive, ~weight-proportional, growth-stable") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Splits.assignSplit(docs, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Splits.assignSplit(docs, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b) // bit-deterministic
+    assert(a.size == docs.count()) // every row assigned
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train frac ${frac("train")}")
+    assert(frac.keySet == Set("train", "val", "test"))
+    // growth stability: assignments computed on a SUBSET are identical —
+    // adding/removing other docs can never move a doc across splits
+    val sub = Splits.assignSplit(docs.filter(col("doc_id") < 100), "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, s) => a(id) == s })
+  }
+
+  test("deterministicSample keeps a stable ~fraction subset; bad weights refused") {
+    val s1 = Splits.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Splits.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size.toDouble / docs.count() - 0.2) < 0.08)
+    // a larger fraction strictly contains the smaller (nested samples)
+    val s3 = Splits.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+    intercept[IllegalArgumentException] {
+      Splits.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.deterministicSample(docs, "doc_id", 1.5)
+    }
+  }
 }
