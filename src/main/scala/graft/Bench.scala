@@ -164,7 +164,7 @@ object Bench {
       s""""canary_pre_sec":$canaryPre,"canary_post_sec":$canaryPost,""" +
       s""""canary_par_pre_sec":$canaryParPre,"canary_par_post_sec":$canaryParPost,""" +
       s""""canary_par_threads":$parThreads,""" +
-      s""""canary_ref_sec":0.65,"canary_par_ref_sec":0.70,"sf":"$sfDir"}""")
+      s""""canary_ref_sec":0.65,"canary_par_ref_sec":0.70,"sf":"${jsonEscape(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -86,7 +86,9 @@ object ScaleProbe {
     // the 16 (table,bucket) literals prune partitions at the scan — the
     // shape whose constants must hold as the corpus grows.
     val serveCfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 16)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-scale-lsh").toString
+    // SessionCache temp dirs are deleted on JVM exit — repeated probe
+    // runs must not accumulate 1024-dir indexes in /tmp
+    val idxDir = graft.core.SessionCache.newTempDir("graft-scale-lsh")
     timed("ann persisted index write") {
       AnnIndex.writeIndex(AnnIndex.buildIndex(emb, "vec_id", "embedding", serveCfg), idxDir)
     }
@@ -106,7 +108,7 @@ object ScaleProbe {
     // as a file-source stream into flatMapGroupsWithState.
     timed(s"stateful sessionize stream (${amp * 20000} ev)") {
       import spark.implicits._
-      val evDir = java.nio.file.Files.createTempDirectory("graft-scale-ev").toString
+      val evDir = graft.core.SessionCache.newTempDir("graft-scale-ev")
       val wave = (col("id") / 10000).cast("long")
       spark.range(amp.toLong * 20000L).select(
         pmod(col("id"), lit(10000L)).as("user_id"),

@@ -633,31 +633,32 @@ object SparkEntry {
     // replay the LSH/k-means), so the rows stay rows-only — but the
     // emitted (k, recall, floor_met) schema lets the driver row/schema
     // check a recall floor instead of trusting an opaque id list.
-    "ann_recall" -> ((s, dir) => {
-      val q = queryVec(s, dir)
-      val approx = AnnIndex.queryTopK(lshIndex(s, dir), q, 10, annCfg).select("id")
-      val exact = Similarity.topK(embs(s, dir), "embedding", "vec_id", q, 10)
-        .select(col("vec_id").as("id"))
-      approx.join(exact, Seq("id"))
-        .agg((count(lit(1)).cast("double") / 10.0d).as("recall"))
-        .select(lit(10L).as("k"),
-          when(col("recall") >= 0.5d, 1L).otherwise(0L).as("floor_met"),
-          round(col("recall"), 6).as("recall"))
-    }),
+    "ann_recall" -> ((s, dir) =>
+      recallRow(s, dir, AnnIndex.queryTopK(lshIndex(s, dir), queryVec(s, dir), RecallK, annCfg))),
 
     "ivf_recall" -> ((s, dir) => {
-      val q = queryVec(s, dir)
       val (model, idx) = ivfIndex(s, dir)
-      val approx = IvfIndex.queryTopK(idx, model, q, 10, nProbe = 6).select("id")
-      val exact = Similarity.topK(embs(s, dir), "embedding", "vec_id", q, 10)
-        .select(col("vec_id").as("id"))
-      approx.join(exact, Seq("id"))
-        .agg((count(lit(1)).cast("double") / 10.0d).as("recall"))
-        .select(lit(10L).as("k"),
-          when(col("recall") >= 0.5d, 1L).otherwise(0L).as("floor_met"),
-          round(col("recall"), 6).as("recall"))
+      recallRow(s, dir, IvfIndex.queryTopK(idx, model, queryVec(s, dir), RecallK, nProbe = 6))
     })
   )
+
+  private val RecallK = 10
+  private val RecallFloor = 0.5d
+
+  /** One (k, floor_met, recall) row: |`approx` ∩ exact top-k| / k against
+    * the brute-force scan for the flagship query vector. Shared by the
+    * ann/ivf recall rows so k, the floor, and the rounding cannot drift
+    * between them.
+    */
+  private def recallRow(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
+    val exact = Similarity.topK(embs(s, dir), "embedding", "vec_id", queryVec(s, dir), RecallK)
+      .select(col("vec_id").as("id"))
+    approx.select("id").join(exact, Seq("id"))
+      .agg((count(lit(1)).cast("double") / RecallK.toDouble).as("recall"))
+      .select(lit(RecallK.toLong).as("k"),
+        when(col("recall") >= RecallFloor, 1L).otherwise(0L).as("floor_met"),
+        round(col("recall"), 6).as("recall"))
+  }
 
   // ======================================================== the oracles
 
@@ -1105,14 +1106,15 @@ object SparkEntry {
         |  'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // Deterministic split: both engines md5 the decimal id string, parse
+    // Deterministic split: both engines md5 the salted decimal id string
+    // ('split:<id>' — the salt decorrelates splits from samples), parse
     // the first 8 hex chars as an int, and bucket mod 10000; cuts are
     // 8000/9000 for 80/10/10.
     "split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -97,7 +97,11 @@ object Dedup {
       else {
         val posting0 = sets.select(col("id"), explode(col("sh")).as("shingle"))
         val hot = posting0.groupBy("shingle").count().filter(col("count") > maxDocFreq)
-        val kept = posting0.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+        // no broadcast() hint: the hot set is usually tiny (the planner
+        // will broadcast it on its own stats), but on a pathological
+        // corpus it is unbounded — a forced broadcast would blow the
+        // driver exactly where the cap exists to protect
+        val kept = posting0.join(hot.select("shingle"), Seq("shingle"), "left_anti")
         // Set sizes AFTER hot-shingle removal, so the Jaccard numerator
         // and denominator are over the same (filtered) universe. A window
         // over the kept postings, not groupBy+self-join: one id-shuffle of

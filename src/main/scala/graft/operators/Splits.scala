@@ -21,13 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Hash bucket in [0, buckets): `conv(substr(md5(id), 1, 8), 16, 10) %
-    * buckets`. 8 hex chars = 32 bits — fits a long exactly; md5's
-    * uniformity makes bucket populations binomial around n/buckets.
+  /** Hash bucket in [0, buckets): `conv(substr(md5(salt || ':' || id),
+    * 1, 8), 16, 10) % buckets`. 8 hex chars = 32 bits — fits a long
+    * exactly; md5's uniformity makes bucket populations binomial around
+    * n/buckets.
+    *
+    * The SALT decorrelates independent uses: [[assignSplit]] and
+    * [[deterministicSample]] default to different salts, so
+    * sample-then-split does NOT collapse to "every sampled row is
+    * train" (which is exactly what happens when both decisions read the
+    * same unsalted hash — a sampled row's bucket would always be below
+    * the train cut).
+    *
+    * A NULL id raises at execution: a null would otherwise be silently
+    * routed (no CaseWhen branch matches → last split) or silently
+    * dropped (filter evaluates null) — both are data bugs, not split
+    * policy.
     */
-  def hashBucket(id: Column, buckets: Int = 10000): Column = {
+  def hashBucket(id: Column, buckets: Int = 10000, salt: String = ""): Column = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+    val b = conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+    when(id.isNull,
+      raise_error(lit("Splits: null id — assign explicit ids before splitting")))
+      .otherwise(b)
   }
 
   /** Assign each row a named split: `weights` are (name, fraction) pairs
@@ -36,12 +53,12 @@ object Splits {
     */
   def assignSplit(df: DataFrame, idCol: String,
                   weights: Seq[(String, Double)],
-                  buckets: Int = 10000): DataFrame = {
+                  buckets: Int = 10000, salt: String = "split"): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.forall(_._2 >= 0.0), "fractions must be >= 0")
     val total = weights.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
-    val b = hashBucket(col(idCol), buckets)
+    val b = hashBucket(col(idCol), buckets, salt)
     val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(f => math.round(f * buckets))
     val cased = weights.init.zipWithIndex.foldLeft(Option.empty[Column]) {
@@ -61,8 +78,8 @@ object Splits {
     * partitioning).
     */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
-                          buckets: Int = 10000): DataFrame = {
+                          buckets: Int = 10000, salt: String = "sample"): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    df.filter(hashBucket(col(idCol), buckets) < lit(math.round(fraction * buckets)))
+    df.filter(hashBucket(col(idCol), buckets, salt) < lit(math.round(fraction * buckets)))
   }
 }

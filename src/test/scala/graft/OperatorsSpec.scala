@@ -311,4 +311,22 @@ class OperatorsSpec extends SparkSpec {
       Splits.deterministicSample(docs, "doc_id", 1.5)
     }
   }
+
+  test("splits and samples are decorrelated (salted); null ids are refused") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // sample-then-split must yield ALL splits: with a shared unsalted
+    // hash every sampled row's bucket would sit below the train cut and
+    // val/test would be empty.
+    val sampledSplits = Splits.assignSplit(
+        Splits.deterministicSample(docs, "doc_id", 0.3), "doc_id", w)
+      .select("split").as[String].collect().toSet
+    assert(sampledSplits == Set("train", "val", "test"))
+    // a null id is a data bug, not split policy: fail, don't route
+    val withNull = Seq((Some(1L), "a"), (Option.empty[Long], "b")).toDF("id", "text")
+    val e = intercept[Exception] {
+      Splits.assignSplit(withNull, "id", w).collect()
+    }
+    assert(e.getMessage.contains("null id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null id")))
+  }
 }
