@@ -588,6 +588,19 @@ object SparkEntry {
         .orderBy(desc("score"), col("id"))
     }),
 
+    // Training-pipeline decontamination: corpus docs sharing ≥3 distinct
+    // bigram shingles with any "benchmark" doc (docs 0-9 stand in for an
+    // eval set). Probe postings broadcast; the corpus never shuffles for
+    // the join.
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationPairs(
+          d.filter(col("doc_id") >= 10 && col("doc_id") < 300),
+          d.filter(col("doc_id") < 10),
+          "doc_id", "text", "doc_id", "text", n = 2, minOverlap = 3)
+        .orderBy("doc_id", "probe_id")
+    }),
+
     // Training-pipeline split: deterministic md5-bucket train/val/test
     // assignment (80/10/10) — reproducible across runs/engines/corpus
     // revisions, unlike sample()/randomSplit(). Fully oracle-checked:
@@ -1105,6 +1118,27 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Decontamination: same bigram-shingle construction as jaccard_pairs,
+    // corpus×probe instead of self-join; n_shared counts DISTINCT shared
+    // shingles (both sides deduplicate their shingle lists).
+    "decontaminate" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id >= 10 AND doc_id < 300)
+        |),
+        |p AS (
+        |  SELECT doc_id AS probe_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 10)
+        |)
+        |SELECT doc_id, probe_id, n_shared FROM (
+        |  SELECT c.doc_id, p.probe_id, CAST(len(list_intersect(c.sh, p.sh)) AS BIGINT) AS n_shared
+        |  FROM c CROSS JOIN p)
+        |WHERE n_shared >= 3 ORDER BY doc_id, probe_id""".stripMargin,
 
     // Deterministic split: both engines md5 the salted decimal id string
     // ('split:<id>' — the salt decorrelates splits from samples), parse

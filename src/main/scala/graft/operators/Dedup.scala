@@ -123,6 +123,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------------------- decontamination
+  /** Benchmark decontamination: corpus docs sharing at least `minOverlap`
+    * distinct word n-gram shingles with ANY probe document — the standard
+    * pretraining hygiene pass that keeps eval benchmarks out of the
+    * training set. Output: (doc_id, probe_id, n_shared) per contaminated
+    * pair.
+    *
+    * Scale contract: `probes` is the EVAL SET — small and bounded by
+    * definition — so its exploded postings broadcast and the corpus side
+    * joins map-side without shuffling; the only exchange is the partial→
+    * final count agg over actual (doc, probe) matches, which real corpora
+    * keep sparse. The corpus can be 100 TB; the probe side must fit in a
+    * broadcast (millions of shingles is fine, a second corpus is not —
+    * use [[jaccardPairs]] for corpus×corpus).
+    */
+  def contaminationPairs(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, textCol: String,
+                         probeIdCol: String, probeTextCol: String,
+                         n: Int, minOverlap: Long): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val p = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      explode(shingles(col(probeTextCol), n)).as("shingle"))
+    c.join(broadcast(p), Seq("shingle"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   // ------------------------------------------------------------------ simhash
   /** 64-bit SimHash of a token stream: per-token 64-bit hash (two seeded
     * murmur32 halves), signed bit-count accumulation, sign → bit.

@@ -274,6 +274,25 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.columns.contains("frame_index") && frames.columns.contains("frame_bytes"))
   }
 
+  test("contaminationPairs matches brute-force shingle intersection; no self-matches leak") {
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") < 100)
+    val probes = docs.filter(col("doc_id") < 10)
+    val got = Dedup.contaminationPairs(corpus, probes,
+        "doc_id", "text", "doc_id", "text", n = 2, minOverlap = 3)
+      .select("doc_id", "probe_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val cs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.shinglesOf(t, 2).toSet }
+    val ps = probes.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.shinglesOf(t, 2).toSet }
+    val brute = (for {
+      (cid, csh) <- cs; (pid, psh) <- ps
+      shared = csh.intersect(psh).size.toLong if shared >= 3
+    } yield (cid, pid, shared)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the fixture genuinely contains contamination
+  }
+
   // -------------------------------------------------------------- Splits
   test("assignSplit: deterministic, exhaustive, ~weight-proportional, growth-stable") {
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
