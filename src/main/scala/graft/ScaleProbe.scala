@@ -173,6 +173,15 @@ object ScaleProbe {
           (col("id") / 100).cast("long") * 3600000000L).as("ts"))
       graft.streaming.Streams.sessionize(ev, gapMinutes = 30).count()
     }
+    timed("decontaminate corpus vs 10-probe eval set") {
+      Dedup.contaminationPairs(docs, baseDocs.filter(col("doc_id") < 10),
+        "doc_id", "text", "doc_id", "text", n = 2, minOverlap = 3).count()
+    }
+    timed("split assign (full corpus)") {
+      Splits.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").count().collect()
+    }
     timed("fingerprint + quality scan") {
       docs.select(TextAnalysis.fingerprint(col("text"), 8), TextAnalysis.qualityScore(col("text")))
         .agg(count(lit(1))).collect()
