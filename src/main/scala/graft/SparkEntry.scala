@@ -212,6 +212,67 @@ object SparkEntry {
           "doc_id", "text", n = 2, threshold = 0.05)
         .orderBy("a_id", "b_id")),
 
+    // ---- E4d: pairs → duplicate GROUPS with min-id survivor ----------
+    // The stage every pair operator feeds: connected components over the
+    // deterministic jaccard_pairs set, labeled by component-min id
+    // (id == group_id marks the survivor). DuckDB replays it as a
+    // recursive-CTE transitive closure — ANSI-expressible because the
+    // pair set is fixed and hash-green. Threshold 0.09 over docs<200 keeps
+    // the structure non-trivial at sf0.01 (22 components, sizes 2..12 —
+    // threshold 0.05 collapses everything into ONE giant component).
+    "near_dup_groups" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir).filter(col("doc_id") < 200),
+        "doc_id", "text", n = 2, threshold = 0.09)
+      Dedup.nearDupGroups(pairs)
+        .withColumn("group_size",
+          count(lit(1)).over(Window.partitionBy("group_id")).cast("long"))
+        .select(col("id"), col("group_id"), col("group_size"))
+        .orderBy("id")
+    }),
+
+    // ---- THE full training-set hygiene pipeline, composed ------------
+    // chunk → embed → exact-dedup → decontaminate → split in ONE declared
+    // query — the 100 TB story is the pipeline, not the operators in
+    // isolation; this row catches interface mismatches (column collisions,
+    // id-type drift) no per-operator row can. Synthetic duplicates
+    // (docs<50 re-ingested under shifted ids) make the dedup stage real;
+    // docs<10 stand in for the eval set, removed from the corpus and used
+    // as decontamination probes. Single-paragraph fixture → one chunk per
+    // doc (the chunk_single invariant), so the whole chain stays
+    // oracle-expressible as one DuckDB CTE cascade.
+    "pipeline_hygiene" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // 1. ingest with synthetic duplicates under fresh ids
+      val raw = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      // 2. chunk (1:1 on this fixture; 1:N in general)
+      val chunked = Chunker.explodeChunks(raw, "text")
+        .select(col("doc_id"), col("chunk"))
+      // 3. exact dedup — the min-id original survives each duplicate pair
+      val deduped = Dedup.dedupExact(chunked, "doc_id", "chunk")
+      // 4. decontaminate vs the eval probes (docs<10), which are
+      // themselves excluded from the training corpus
+      val corpus = deduped.filter(col("doc_id") >= 10)
+      val contaminated = Dedup.contaminationPairs(
+          corpus, d.filter(col("doc_id") < 10),
+          "doc_id", "chunk", "doc_id", "text", n = 2, minOverlap = 3)
+        .select(col("doc_id")).distinct()
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      // 5. embed + deterministic split; surface the oracle-checkable
+      // invariants of each stage (token count, embedding shape/norm, split)
+      val embedded = HashingEmbedder(64).embed(clean, "chunk", "embedding")
+      Splits.assignSplit(embedded, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("chunk")).cast("long").as("n_tokens"),
+          size(col("embedding")).cast("long").as("dim"),
+          when(abs(l2_norm(col("embedding")) - 1.0d) < 0.001d, 1L)
+            .otherwise(0L).as("unit_norm"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     // ---- O12: chunker on single-paragraph text (degenerate, exact) ---
     "chunk_single" -> ((s, dir) =>
       Chunker.explodeChunks(docs(s, dir), "text")
@@ -363,6 +424,37 @@ object SparkEntry {
       if (!sq.awaitTermination(300000))
         throw new graft.core.EngineError(
           "stream_dedup: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("text_sha")
+    }),
+
+    // E4×E6 bounded-state variant: dedup WITHIN THE WATERMARK HORIZON
+    // (dropDuplicatesWithinWatermark) — the only deployable form on an
+    // actually-unbounded 100 TB stream, since state expires `delay` past
+    // the event-time watermark instead of growing with |distinct corpus|.
+    // The arrival dir holds the fixture file TWICE and maxFilesPerTrigger=1
+    // forces the duplicate copy into a LATER micro-batch, so the dedup
+    // state genuinely crosses batches. Event time is synthetic
+    // (epoch + doc_id seconds) and the delay (365 days) covers the whole
+    // id span at any tested sf, so no state expires mid-run and the output
+    // is exactly the distinct sha set — order-free and deterministic.
+    "stream_dedup_wm" -> ((s, dir) => {
+      val arrivalDir = SessionCache.getOrCreate[String](s"docs_x2:$dir") {
+        val p = SessionCache.newTempDir("graft-docs-x2")
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        java.nio.file.Files.copy(src, java.nio.file.Paths.get(p, "arrival-0.parquet"))
+        java.nio.file.Files.copy(src, java.nio.file.Paths.get(p, "arrival-1.parquet"))
+        p
+      }
+      val arrivals = Tables.documentsArrivalStream(s, arrivalDir, maxFilesPerTrigger = 1)
+        .withColumn("arrival_ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      val sinkName = "graft_stream_dedup_wm"
+      val sq = Streams.dedupExactStreamWithinWatermark(arrivals, "text", "arrival_ts", "365 days")
+        .select("text_sha")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_dedup_wm: stream did not finish within 300s — refusing to return a partial sink")
       s.table(sinkName).orderBy("text_sha")
     }),
 
@@ -820,6 +912,89 @@ object SparkEntry {
         |FROM p WHERE CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.05
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // The composed hygiene pipeline, replayed stage-for-stage as one CTE
+    // cascade: synthetic-dup ingest → chunk (= Java-trim on this
+    // single-paragraph fixture) → exact dedup (min id per distinct chunk)
+    // → drop eval docs + decontaminate against them (distinct shared
+    // bigrams >= 3) → token/embedding invariants + md5-bucket split. Each
+    // fragment is lifted verbatim from the already-green per-stage oracle
+    // (chunk_single, exact_dup_sha, decontaminate, token_count,
+    // embed_hash, split_assign).
+    "pipeline_hygiene" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+        |),
+        |ch AS (
+        |  SELECT doc_id, trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS chunk FROM raw
+        |),
+        |ded AS (SELECT MIN(doc_id) AS doc_id, chunk FROM ch GROUP BY chunk),
+        |corp AS (SELECT doc_id, chunk FROM ded WHERE doc_id >= 10),
+        |cs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(chunk), '\s+') AS toks FROM corp)
+        |),
+        |ps AS (
+        |  SELECT doc_id AS probe_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 10)
+        |),
+        |contam AS (
+        |  SELECT DISTINCT cs.doc_id FROM cs CROSS JOIN ps
+        |  WHERE len(list_intersect(cs.sh, ps.sh)) >= 3
+        |),
+        |clean AS (
+        |  SELECT doc_id, chunk FROM corp
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN trim(chunk) = '' THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(chunk), '\s+')) AS BIGINT) END AS n_tokens,
+        |  CAST(64 AS BIGINT) AS dim,
+        |  CAST(CASE WHEN regexp_matches(lower(chunk), '[a-z0-9]') THEN 1 ELSE 0 END AS BIGINT) AS unit_norm,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, chunk,
+        |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |      FROM clean)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Pairs → groups: rebuild the jaccard_pairs edge set, symmetrize, walk
+    // the transitive closure with a recursive CTE (UNION dedups, so the
+    // walk terminates on the fixed node set), then label every node with
+    // the min over itself and everything reachable — the component min,
+    // exactly nearDupGroups' converged label.
+    "near_dup_groups" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 200)
+        |),
+        |pr AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS asz, len(b.sh) AS bsz
+        |    FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |  WHERE CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.09
+        |),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION SELECT b_id, a_id FROM pr
+        |),
+        |walk AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+        |),
+        |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk GROUP BY src)
+        |SELECT id, group_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+        |FROM lab ORDER BY id""".stripMargin,
+
     // single-paragraph texts (no blank lines in the fixture) → exactly one
     // chunk = trimmed text; the greedy path is unit-tested, not oracled.
     // trim char set matches Java String.trim (space/tab/LF/CR), not
@@ -1155,6 +1330,14 @@ object SparkEntry {
     // Streaming exact dedup: the distinct sha set is order-free and both
     // engines hash the identical UTF-8 text bytes.
     "stream_dedup" ->
+      """SELECT DISTINCT sha256(text) AS text_sha
+        |FROM documents ORDER BY text_sha""".stripMargin,
+
+    // Watermarked streaming dedup: the doubled arrival set collapses back
+    // to the distinct sha set (the 365-day delay outlives the synthetic
+    // id-second event-time span, so no state expires mid-run — a
+    // re-arrival is always inside the horizon and dropped).
+    "stream_dedup_wm" ->
       """SELECT DISTINCT sha256(text) AS text_sha
         |FROM documents ORDER BY text_sha""".stripMargin,
 

@@ -80,6 +80,17 @@ object Tables {
     spark.readStream.schema(documentsSchema)
       .option("basePath", sfDir).parquet(s"$sfDir/{documents.parquet}")
 
+  /** Documents-schema stream over an arbitrary arrival DIRECTORY (a staged
+    * ingest drop, files appearing over time). `maxFilesPerTrigger = 1`
+    * forces one micro-batch per file, so cross-batch state (dedup,
+    * sessionization) is genuinely exercised even when all files pre-exist.
+    */
+  def documentsArrivalStream(spark: SparkSession, arrivalDir: String,
+                             maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(arrivalDir)
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

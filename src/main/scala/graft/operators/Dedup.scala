@@ -207,12 +207,96 @@ object Dedup {
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band"), col("key"), col("id").as("a_id"), col("sig").as("a_sig"))
     val b = banded.select(col("band"), col("key"), col("id").as("b_id"), col("sig").as("b_sig"))
+    // Hamming is a pure function of the pair, so verifying BEFORE the
+    // pair-dedup is semantics-preserving and shrinks the distinct's
+    // shuffle by the reject fraction (large at loose band widths — the
+    // rejects never leave the map side).
     a.join(b, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig") bitwiseXOR col("b_sig")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ------------------------------------------------ pairs → duplicate groups
+  /** Resolve near-duplicate PAIRS into duplicate GROUPS: connected
+    * components over the pair graph, labeled by the component's MINIMUM id
+    * (the canonical survivor pick). Input is any pair operator's output
+    * ([[jaccardPairs]], [[simhashPairs]], [[AnnIndex.nearDupPairsLSH]],
+    * [[MinHashDedup.nearDupPairs]]); output is `(id, group_id)` for every
+    * id appearing in a pair — `id == group_id` marks the survivor.
+    *
+    * Algorithm: distributed min-label propagation with POINTER JUMPING.
+    * Each round (a) every node takes the min label over itself and its
+    * neighbors (one edge join + groupBy-min), then (b) follows its label
+    * one hop (`label := label(label)`, one self-join) — the path-doubling
+    * step that collapses long chains in O(log diameter) rounds instead of
+    * O(diameter). Each round is materialized via `localCheckpoint` so the
+    * iterative plan's lineage stays flat (an unchecked loop of joins grows
+    * an exponential plan). Convergence is detected by counting changed
+    * labels; a non-converged exit at `maxIters` throws rather than return
+    * wrong groups.
+    *
+    * Scale contract: per round, the shuffles carry |edges| + |nodes| rows
+    * of (long, long) — never materializing components driver-side — and
+    * near-dup components have tiny diameters in practice (dup clusters are
+    * dense), so 3–5 rounds is typical; the jump step bounds even a
+    * pathological 2^maxIters-long chain. The edge set is persisted once and
+    * unpersisted before returning.
+    */
+  def nearDupGroups(pairs: DataFrame, aCol: String = "a_id",
+                    bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Round 0: label = min(self, neighbors). Every endpoint appears as a
+      // src in the symmetrized edge set, so this covers all nodes.
+      var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        // (a) propagate: min over own label and all neighbors' labels
+        val prop = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+          .select(col("src").as("id"), col("nl").as("label"))
+          .union(labels)
+          .groupBy("id").agg(min(col("label")).as("label"))
+        // (b) pointer jump: label := label(label). Labels are always node
+        // ids of the same component, so the inner self-join is total.
+        val hop = prop.select(col("id").as("lid"), col("label").as("llabel"))
+        val next = prop.join(hop, prop("label") === hop("lid"))
+          .select(prop("id"), col("llabel").as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      if (changed > 0)
+        throw new graft.core.EngineError(
+          s"nearDupGroups: not converged after $maxIters rounds ($changed labels still moving) — raise maxIters")
+      labels.select(col("id"), col("label").as("group_id"))
+    } finally edges.unpersist()
+  }
+
+  /** Near-dedup a table against a pair set: resolve `pairs` into groups via
+    * [[nearDupGroups]] and drop every row whose id lost its component's
+    * min-id pick. Rows in no pair survive untouched — this is the "actually
+    * drop the duplicates" act composing any pair operator with the table it
+    * scanned.
+    */
+  def dedupNear(df: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String = "a_id", bCol: String = "b_id",
+                maxIters: Int = 25): DataFrame = {
+    val losers = nearDupGroups(pairs, aCol, bCol, maxIters)
+      .filter(col("id") =!= col("group_id"))
+      .select(col("id").as("__loser_id"))
+    df.join(losers, df(idCol).cast("long") === col("__loser_id"), "left_anti")
   }
 
   // ----------------------------------------- embedding-cosine (guarded exact)

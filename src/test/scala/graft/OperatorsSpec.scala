@@ -125,6 +125,44 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupGroups labels components by min id; dedupNear keeps survivors") {
+    // Components: {1,2,3} (path), {5,6}, {8} isolated (no pairs). A chain
+    // long enough (10..17) to need several propagation rounds exercises the
+    // pointer-jumping path.
+    val chain = (10L until 17L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (5L, 6L)) ++ chain).toDF("a_id", "b_id")
+    val groups = Dedup.nearDupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(groups(5L) == 5L && groups(6L) == 5L)
+    (10L to 17L).foreach(i => assert(groups(i) == 10L))
+    assert(!groups.contains(8L)) // nodes in no pair are not in the output
+
+    val table = ((1L to 8L) ++ (10L to 17L)).map(i => (i, s"doc $i")).toDF("id", "text")
+    val kept = Dedup.dedupNear(table, "id", pairs).select("id").as[Long].collect().toSet
+    // survivors: component minima {1, 5, 10} + everything unpaired
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L, 10L))
+  }
+
+  test("nearDupGroups matches a brute-force union-find on a real pair set") {
+    val pairs = Dedup.jaccardPairs(docs.filter(col("doc_id") < 60),
+      "doc_id", "text", n = 2, threshold = 0.05)
+    val edges = pairs.select("a_id", "b_id").as[(Long, Long)].collect()
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.nearDupGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("nearDupPairsExact refuses tables beyond maxRows (scale guard)") {
     intercept[IllegalArgumentException] {
       Dedup.nearDupPairsExact(embs, "vec_id", "embedding", 0.5, maxRows = 10).collect()
