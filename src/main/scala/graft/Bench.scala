@@ -83,6 +83,15 @@ object Bench {
 
   private val Iters = 3
 
+  // canary_*_ref_sec: the same loops measured on the dev box while
+  // unloaded — fixed constants so readers can judge load without a second
+  // run. The par ref is per-thread wall-clock with all CanaryParRefThreads
+  // cores busy running only the canary itself; it is only comparable when
+  // canary_par_threads in the artifact matches CanaryParRefThreads.
+  private val CanaryRefSec = 0.65
+  private val CanaryParRefSec = 0.70
+  private val CanaryParRefThreads = 32
+
   /** Time one thunk ITERS times; Right(min seconds) or Left(error string). */
   private def timed(run: () => Unit): Either[String, Double] = {
     var best = Double.MaxValue
@@ -113,7 +122,22 @@ object Bench {
 
     val parThreads = Runtime.getRuntime.availableProcessors()
     val canaryPre = canarySeconds()
-    val canaryParPre = canaryParSeconds(parThreads)
+    // REFUSE to record a hot run (rounds 6 and 7 both shipped load-inflated
+    // artifacts that the next round had to re-litigate): if the parallel
+    // pre-canary shows the box loaded, sleep and re-probe up to
+    // MaxCanaryRetries times before the query loop. If it never comes back
+    // to reference level, the artifact stamps "load_inflated": true so a
+    // reader discards the absolute numbers without needing to compare
+    // canaries by hand.
+    val hotFactor = 1.4
+    val maxCanaryRetries = 6
+    var canaryParPre = canaryParSeconds(parThreads)
+    var canaryRetries = 0
+    while (canaryParPre > hotFactor * CanaryParRefSec && canaryRetries < maxCanaryRetries) {
+      Thread.sleep(20000L)
+      canaryParPre = canaryParSeconds(parThreads)
+      canaryRetries += 1
+    }
 
     // Warm the JVM (parquet reader, codegen, first-job scheduling) so the
     // first measured query isn't charged for session startup.
@@ -148,23 +172,27 @@ object Bench {
     val all = results + ("bench_sim_join_volume_500q" -> simVolume)
     val ok = all.collect { case (k, Right(v)) => k -> v }
     val errs = all.collect { case (k, Left(e)) => k -> e }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = ok.map { case (k, v) => s"\"" + jsonEscape(k) + "\":" + v }
       .mkString("{", ",", "}")
     val es = errs.map { case (k, e) =>
       s"\"" + jsonEscape(k) + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    // canary_*_ref_sec: the same loops measured on this dev box while
-    // unloaded — fixed constants so readers can judge load without a
-    // second run. The par ref is per-thread wall-clock with all cores
-    // busy running only the canary itself.
+    // load_inflated: true iff the box was still hot after the bounded
+    // pre-canary retries OR turned hot during the query loop (post canary)
+    // — either way the absolute per-query numbers are not comparable to a
+    // clean run and should be discarded, not re-litigated.
+    val loadInflated = canaryParPre > hotFactor * CanaryParRefSec ||
+      canaryParPost > hotFactor * CanaryParRefSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$es,"n_err":${errs.size},"iters":$Iters,"agg":"min",""" +
       s""""canary_pre_sec":$canaryPre,"canary_post_sec":$canaryPost,""" +
       s""""canary_par_pre_sec":$canaryParPre,"canary_par_post_sec":$canaryParPost,""" +
-      s""""canary_par_threads":$parThreads,""" +
-      s""""canary_ref_sec":0.65,"canary_par_ref_sec":0.70,"sf":"${jsonEscape(sfDir)}"}""")
+      s""""canary_par_threads":$parThreads,"canary_retries":$canaryRetries,""" +
+      s""""load_inflated":$loadInflated,""" +
+      s""""canary_ref_sec":$CanaryRefSec,"canary_par_ref_sec":$CanaryParRefSec,""" +
+      s""""canary_par_ref_threads":$CanaryParRefThreads,"sf":"${jsonEscape(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -63,9 +63,13 @@ object SparkEntry {
       s.read.parquet(p)
     }
 
+  // k is auto-picked (~sqrt(|corpus|), IvfIndex.autoK) so the cluster count
+  // tracks the scale factor instead of hardcoding the sf0.001 toy value;
+  // nProbe scales with it (defaultNProbe: ~k/8) to hold the scanned
+  // fraction — and therefore recall — constant across SFs.
   private def ivfIndex(s: SparkSession, dir: String): (IvfIndex.Model, DataFrame) =
     SessionCache.getOrCreate(s"ivf_index:$dir") {
-      val model = IvfIndex.fit(embs(s, dir), "embedding", k = 16)
+      val model = IvfIndex.fit(embs(s, dir), "embedding")
       val p = SessionCache.newTempDir("graft-ivf-idx")
       IvfIndex.writeIndex(
         IvfIndex.buildIndex(embs(s, dir), "vec_id", "embedding", model), p)
@@ -675,7 +679,8 @@ object SparkEntry {
     "ivf_topk" -> ((s, dir) => {
       val q = queryVec(s, dir)
       val (model, idx) = ivfIndex(s, dir)
-      IvfIndex.queryTopK(idx, model, q, 10, nProbe = 6)
+      IvfIndex.queryTopK(idx, model, q, 10,
+          nProbe = IvfIndex.defaultNProbe(model.centroids.length))
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), col("id"))
     }),
@@ -743,7 +748,8 @@ object SparkEntry {
 
     "ivf_recall" -> ((s, dir) => {
       val (model, idx) = ivfIndex(s, dir)
-      recallRow(s, dir, IvfIndex.queryTopK(idx, model, queryVec(s, dir), RecallK, nProbe = 6))
+      recallRow(s, dir, IvfIndex.queryTopK(idx, model, queryVec(s, dir), RecallK,
+        nProbe = IvfIndex.defaultNProbe(model.centroids.length)))
     })
   )
 

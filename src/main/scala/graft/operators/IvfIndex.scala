@@ -34,18 +34,41 @@ object IvfIndex {
         .take(n)
   }
 
-  /** Fit the coarse quantizer. `k` rule of thumb: ~sqrt(|corpus|).
-    * Trained with COSINE distance to match the cosine assignment/probe
-    * metric — Euclidean centroids would separate by magnitude on
-    * unnormalized corpora while assignment ignores it, skewing clusters.
+  /** The ~sqrt(|corpus|) rule of thumb for the number of coarse clusters,
+    * clamped to [4, 4096]: at 100 TB the sqrt keeps BOTH sides of the
+    * probe cost balanced — centroid ranking is O(k) driver-side, cluster
+    * scan is O(|corpus|/k · nProbe) — and 4096 centroids × a few KB is
+    * still a trivially broadcastable model.
     */
-  def fit(emb: DataFrame, embCol: String, k: Int, seed: Long = 42L): Model = {
+  def autoK(corpusSize: Long): Int =
+    math.max(4L, math.min(4096L, math.round(math.sqrt(corpusSize.toDouble)))).toInt
+
+  /** nProbe companion to [[autoK]]: probe ~1/4 of the clusters (floor 4).
+    * Keeps the scanned FRACTION constant as auto-k grows with the corpus,
+    * so recall holds while probe cost stays ≈ |corpus|/4 — measured on the
+    * weakly-clustered fixture embeddings, where recall tracks the scanned
+    * fraction closely (1/8 scan gave recall 0.3–0.5 across SFs, under the
+    * declared 0.5 floor; 1/4 clears it). On a genuinely clustered corpus
+    * a smaller fraction buys the same recall — this is the conservative
+    * data-independent default, overridable per call.
+    */
+  def defaultNProbe(k: Int): Int = math.max(4, math.ceil(k / 4.0).toInt)
+
+  /** Fit the coarse quantizer. `k <= 0` (the default) picks [[autoK]] from
+    * the non-zero corpus size — one extra count job, trivial next to the
+    * training pass. Trained with COSINE distance to match the cosine
+    * assignment/probe metric — Euclidean centroids would separate by
+    * magnitude on unnormalized corpora while assignment ignores it,
+    * skewing clusters.
+    */
+  def fit(emb: DataFrame, embCol: String, k: Int = 0, seed: Long = 42L): Model = {
     // zero vectors are legal table content (cosine paths score them 0.0)
     // but cosine k-means rejects them — exclude from training; they are
     // assigned the reserved cluster -1 at build time and never probed.
     val vecs = emb.filter(exists(col(embCol), x => x =!= 0f))
       .select(array_to_vector(col(embCol)).as("features"))
-    val km = new KMeans().setK(k).setSeed(seed)
+    val kUse = if (k > 0) k else autoK(vecs.count())
+    val km = new KMeans().setK(kUse).setSeed(seed)
       .setDistanceMeasure("cosine")
       .setMaxIter(10) // coarse quantizer: convergence beyond ~10 iters buys no recall
       .setFeaturesCol("features").fit(vecs)

@@ -67,11 +67,18 @@ object DocStore {
     *  1. range-repartition on the keys (partition i holds strictly lower
     *     keys than partition i+1) and sort within partitions — a normal
     *     parallel sort, the same physical shape as `orderBy`;
-    *  2. persist the arranged batch — the range partitioner SAMPLES its
-    *     boundaries, so the two downstream jobs must see one materialized
-    *     layout, not two re-sampled ones;
-    *  3. `zipWithIndex` (one lightweight per-partition count job + a
+    *  2. `zipWithIndex` (one lightweight per-partition count job + a
     *     narrow map) turns (partition, offset) into a dense global index.
+    *
+    * Consistency across the two jobs comes from SHUFFLE-FILE REUSE, not a
+    * persisted copy: the one RDD handle captured below owns one range
+    * exchange whose boundaries are sampled exactly once (the shuffle
+    * dependency is a lazy val on the exchange node) and whose map outputs
+    * are written by the first job and re-read — stage-skipped — by every
+    * later one, so all jobs observe the same partition contents. (Round 7
+    * persisted MEMORY_AND_DISK here instead and never unpersisted — each
+    * ingest call pinned another copy of its batch in the block manager for
+    * the session's lifetime, the round-8 leak fix.)
     *
     * Rows with equal keys may order arbitrarily among themselves — callers
     * needing hash-stable output must either make the key total or accept
@@ -83,7 +90,6 @@ object DocStore {
     val spark = newDocs.sparkSession
     val arranged = newDocs.repartitionByRange(orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = StructType(arranged.schema.fields :+ StructField(idCol, LongType, nullable = false))
     val indexed = arranged.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (startId + 1 + i))
@@ -116,21 +122,55 @@ object DocStore {
     * `path`, move the live files aside, promote, drop the backup — every
     * FS return value checked, backup restored on a failed promote. The ONE
     * swap protocol shared by delete-rewrite and compaction.
+    *
+    * ==== SINGLE-WRITER CONTRACT ====
+    * The rename/backup/promote sequence is NOT safe under concurrent
+    * writers: two interleaved swaps can each move the other's freshly
+    * promoted files aside and delete them as "the backup", losing a table
+    * version. Exactly one writer may run a swap on a given `path` at a
+    * time (readers are fine throughout — they hold the old file listing).
+    * A best-effort create-exclusive sentinel (`path.lock`) enforces this
+    * within and across well-behaved JVMs: a second concurrent swap fails
+    * fast with [[graft.core.EngineError]] instead of corrupting the store.
+    * Best-effort only — a writer that dies between create and the finally
+    * leaves a stale lock an operator must remove by hand (the lock body
+    * records who/when for that diagnosis), and object stores without
+    * atomic create-exclusive (e.g. eventual-consistency S3 clients) weaken
+    * it to advisory. For a multi-writer production table, use a real table
+    * format's transaction log instead of this fixture-grade store.
     */
   def replaceContents(spark: SparkSession, path: String, next: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + s".tmp-${System.nanoTime()}")
-    val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
-    next.write.parquet(tmp.toString)
-    if (fs.exists(p) && !fs.rename(p, bak))
-      throw new graft.core.EngineError(s"could not move live store aside: $p")
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(bak)) fs.rename(bak, p) // restore
-      throw new graft.core.EngineError(s"could not promote new store files: $tmp -> $p")
+    val lock = new org.apache.hadoop.fs.Path(path + ".lock")
+    val lockOut =
+      try fs.create(lock, /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException =>
+          throw new graft.core.EngineError(
+            s"store swap already in progress (single-writer contract): lock $lock exists; " +
+            s"if its owner crashed, inspect and remove it by hand [${e.getClass.getSimpleName}]")
+      }
+    try {
+      // Lock body: owner diagnostics for stale-lock cleanup.
+      lockOut.write(
+        s"pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}\n"
+          .getBytes("UTF-8"))
+      lockOut.close()
+      val tmp = new org.apache.hadoop.fs.Path(path + s".tmp-${System.nanoTime()}")
+      val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
+      next.write.parquet(tmp.toString)
+      if (fs.exists(p) && !fs.rename(p, bak))
+        throw new graft.core.EngineError(s"could not move live store aside: $p")
+      if (!fs.rename(tmp, p)) {
+        if (fs.exists(bak)) fs.rename(bak, p) // restore
+        throw new graft.core.EngineError(s"could not promote new store files: $tmp -> $p")
+      }
+      if (fs.exists(bak) && !fs.delete(bak, true))
+        throw new graft.core.EngineError(s"store updated but backup not removed: $bak")
+    } finally {
+      fs.delete(lock, false)
     }
-    if (fs.exists(bak) && !fs.delete(bak, true))
-      throw new graft.core.EngineError(s"store updated but backup not removed: $bak")
   }
 
   /** Compact a store that accumulated small append files into

@@ -30,6 +30,47 @@ class DocStoreSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
   }
 
+  test("assignIdsOrdered: repeated ingest calls leave nothing persisted (round-8 leak fix)") {
+    // Round 7 persisted the arranged batch MEMORY_AND_DISK and never
+    // unpersisted — each call pinned another copy in the block manager.
+    // Consistency now comes from shuffle-file reuse instead, so repeated
+    // calls must not grow the persistent-RDD registry at all.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach { i =>
+      val batch = (1 to 200).map(j => f"call$i%02d-t$j%04d").toDF("text").repartition(5)
+      val out = DocStore.assignIdsOrdered(batch, Seq(col("text")), 1000L * i)
+        .select("id", "text").as[(Long, String)].collect().sortBy(_._1)
+      assert(out.map(_._1).toSeq == (1000L * i + 1 to 1000L * i + 200))
+      assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      s"assignIdsOrdered leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs}")
+  }
+
+  test("replaceContents: create-exclusive lock rejects a second writer, cleans up after itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-swap")
+      .resolve("store.parquet").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text").write.parquet(dir)
+    val lockFile = new java.io.File(dir + ".lock")
+
+    // Contended path: a held lock (another writer mid-swap, or a crashed
+    // one) must fail fast WITHOUT touching the live store or the lock.
+    assert(lockFile.createNewFile())
+    val next = Seq((3L, "c")).toDF("id", "text")
+    val err = intercept[graft.core.EngineError] {
+      DocStore.replaceContents(spark, dir, next)
+    }
+    assert(err.getMessage.contains("single-writer"))
+    assert(lockFile.exists(), "a contended swap must not delete the other writer's lock")
+    assert(spark.read.parquet(dir).count() == 2L, "contended swap must leave the store untouched")
+
+    // Uncontended path: swap succeeds and removes its own lock.
+    assert(lockFile.delete())
+    DocStore.replaceContents(spark, dir, next)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    assert(!lockFile.exists(), "successful swap must remove its lock sentinel")
+  }
+
   test("assignIdsScalable: dense and unique without a global sort") {
     val batch = (1 to 1000).map(i => s"t$i").toDF("text").repartition(7)
     val ids = DocStore.assignIdsScalable(batch, 0L).select("id").as[Long].collect()
