@@ -750,11 +750,41 @@ object SparkEntry {
       val (model, idx) = ivfIndex(s, dir)
       recallRow(s, dir, IvfIndex.queryTopK(idx, model, queryVec(s, dir), RecallK,
         nProbe = IvfIndex.defaultNProbe(model.centroids.length)))
+    }),
+
+    // E4 quality floor: pair-level recall of the LSH near-dup SCALE path
+    // against the exact pair set on the same guarded subset (the
+    // `near_dup_pairs` query's slice, which is oracle-green). Precision
+    // is 1.0 by construction — nearDupPairsLSH exact-reranks candidates
+    // with the codegen cosine — so recall is the one open quality
+    // question, and this row pins it the way ann_recall/ivf_recall pin
+    // the top-k probes. Seed-fixed hyperplanes make the scalar
+    // deterministic; not ANSI-expressible (the oracle would replay LSH),
+    // so rows-only with a driver row/schema check on (n_exact,
+    // floor_met, recall).
+    "near_dup_lsh_recall" -> ((s, dir) => {
+      val sub = embs(s, dir).filter(col("vec_id") < 200)
+      val exact = Dedup.nearDupPairsExact(sub, "vec_id", "embedding", threshold = 0.3)
+        .select("a_id", "b_id")
+      val approx = AnnIndex.nearDupPairsLSH(sub, "vec_id", "embedding",
+          threshold = 0.3, AnnIndex.Config(dim = 64, nBits = 4, nTables = 12))
+        .select("a_id", "b_id").withColumn("hit", lit(1))
+      exact.join(approx, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(coalesce(col("hit"), lit(0))).cast("double").as("hits"))
+        .select(col("n").cast("long").as("n_exact"),
+          when(col("hits") / col("n") >= NearDupRecallFloor, 1L).otherwise(0L).as("floor_met"),
+          round(col("hits") / col("n"), 6).as("recall"))
     })
   )
 
   private val RecallK = 10
   private val RecallFloor = 0.5d
+  // Pair-level floor for the LSH near-dup scale path: 4 bits × 12 tables
+  // gives per-pair collision ≥ 1-(1-0.6^4)^12 ≈ 0.81 at the s=0.3
+  // threshold boundary and higher above it — 0.6 leaves noise margin
+  // while still failing loudly on a broken banding join.
+  private val NearDupRecallFloor = 0.6d
 
   /** One (k, floor_met, recall) row: |`approx` ∩ exact top-k| / k against
     * the brute-force scan for the flagship query vector. Shared by the
