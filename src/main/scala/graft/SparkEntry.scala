@@ -708,6 +708,54 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    // E4/E7: incremental ingest dedup — the daily-batch shape. The
+    // "historical corpus" is docs<300 represented ONLY by its content-hash
+    // index; the incoming batch (docs>=250) first dedups within itself
+    // (min-id survivor), then anti-joins the hash set, so the 50-doc
+    // overlap and any batch text already known to the corpus are dropped
+    // without ever rescanning corpus text.
+    "incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupIncremental(
+          d.filter(col("doc_id") >= 250), "doc_id", "text",
+          Dedup.contentHashes(d.filter(col("doc_id") < 300), "text"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // E5: within-document repetition signals (Gopher-style quality
+    // filters) — duplicate-token and duplicate-bigram fractions; catches
+    // degenerate looping/boilerplate docs cross-document dedup never sees.
+    "repetition_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          round(TextAnalysis.dupTokenFrac(col("text")), 6).as("dup_token_frac"),
+          round(TextAnalysis.dupNgramFrac(col("text"), 2), 6).as("dup_2gram_frac"))
+        .orderBy("doc_id")),
+
+    // E5: quality filter WITH audit trail — every doc gets the list of
+    // rules it fails ("" = keep), so per-rule drop rates are one groupBy
+    // away instead of a pipeline rerun.
+    "quality_filter" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.filterReasons(col("text")).as("reasons"))
+        .select(col("doc_id"),
+          when(col("reasons") === "", 1L).otherwise(0L).as("kept"),
+          col("reasons"))
+        .orderBy("doc_id")),
+
+    // E7: deterministic mixture sampling — down-sample each source toward
+    // a 2000-token budget via per-source keep-rates + salted hash
+    // selection (the data-mixing step; no per-group windows, so no
+    // single-task-per-source skew).
+    "mix_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Splits.sampleToTokenBudget(d, "doc_id", "source",
+          TextAnalysis.tokenCount(col("text")), budgetPerGroup = 2000L)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: fake decode → feature vectors. The md5 digest pins the
     // exact feature values deterministically but the stride-hash decoder
     // is not ANSI-expressible, so this row stays rows-only; the
@@ -1362,6 +1410,93 @@ object SparkEntry {
         |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // Incremental dedup: within-batch min-id survivor (row_number over
+    // text) then NOT IN the corpus text set — sha equality ≡ text
+    // equality, so the oracle compares texts directly.
+    "incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM batch
+        |WHERE rn = 1
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 300)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Repetition: duplicate-token / duplicate-bigram fractions. Blank
+    // text guards mirror token_count (DuckDB splits '' into ['']); bigram
+    // i ranges over 1..ntok-1 with an inclusive 2-element slice.
+    "repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tok, ntok,
+        |    CASE WHEN ntok < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, ntok), i -> array_to_string(tok[i:i+1], ' ')) END AS ng
+        |  FROM t)
+        |SELECT doc_id,
+        |  ROUND(CASE WHEN ntok = 0 THEN 0.0
+        |    ELSE (ntok - len(list_distinct(tok))) / CAST(ntok AS DOUBLE) END, 6) AS dup_token_frac,
+        |  ROUND(CASE WHEN len(ng) = 0 THEN 0.0
+        |    ELSE (len(ng) - len(list_distinct(ng))) / CAST(len(ng) AS DOUBLE) END, 6) AS dup_2gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Filter audit: reasons = concat_ws over the failing rules (NULL
+    // branches skipped on both engines); quality replays the
+    // quality_score formula INCLUDING its ROUND(...,6) — the Spark side
+    // compares the rounded score too, so the 0.3 cut is engine-stable.
+    "quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltok,
+        |    regexp_split_to_array(trim(text), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, len, ntok,
+        |    ROUND((LEAST(len / 200.0, 1.0) + LEAST(ntok / 40.0, 1.0) +
+        |      GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |        ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) +
+        |      LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |        ELSE len(list_filter(ltok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0)
+        |      ) / 4.0, 6) AS quality,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE (ntok - len(list_distinct(tok))) / CAST(ntok AS DOUBLE) END AS dupfrac
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS kept, reasons
+        |FROM (SELECT doc_id, concat_ws(',',
+        |    CASE WHEN len < 50 THEN 'too_short' END,
+        |    CASE WHEN ntok < 10 THEN 'too_few_tokens' END,
+        |    CASE WHEN dupfrac > 0.5 THEN 'repetitive' END,
+        |    CASE WHEN quality < 0.3 THEN 'low_quality' END) AS reasons
+        |  FROM q)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mixture sampling: per-source keep-rate from token totals, salted
+    // md5 bucket under FLOOR(rate*10000) — floor, not round, because
+    // round-half rules differ across engines.
+    "mix_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, LEAST(1.0, 2000.0 / CAST(SUM(n_tokens) AS DOUBLE)) AS rate
+        |  FROM d GROUP BY source)
+        |SELECT d.doc_id, d.source, CAST(d.n_tokens AS BIGINT) AS n_tokens
+        |FROM d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |      < CAST(FLOOR(rate * 10000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Streaming exact dedup: the distinct sha set is order-free and both
     // engines hash the identical UTF-8 text bytes.

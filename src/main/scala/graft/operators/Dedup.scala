@@ -39,6 +39,34 @@ object Dedup {
       .select(cols.map(c => col(s"row.$c")): _*)
   }
 
+  /** Distinct content-hash set of a corpus — the persistable "dedup
+    * index" for [[dedupIncremental]]. At 100 TB this is the artifact a
+    * pipeline maintains between ingests: 32-byte sha rows (≈0.003% of a
+    * 1 MB-doc corpus), written bucketed on `text_sha` so the daily
+    * anti-join is co-located instead of reshuffling the corpus hashes
+    * per batch ([[graft.store.Bucketing]]).
+    */
+  def contentHashes(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(sha2(col(textCol), 256).as("text_sha")).distinct()
+
+  /** Incremental ingest dedup — the daily-batch shape of [[dedupExact]]:
+    * dedup the NEW batch within itself (min-id survivor), then drop every
+    * row whose content already exists in the historical corpus, given as
+    * its [[contentHashes]] set. The output is ready to append.
+    *
+    * Scale contract: the corpus never re-scans per batch — it is
+    * represented by its hash set (ideally persisted + bucketed); the
+    * anti-join shuffles 32-byte hash rows, and with a bucketed hash index
+    * only the (small) batch side moves. This is the batch twin of
+    * [[graft.streaming.Streams]]' ingest-time streaming dedup, for
+    * pipelines that land data in daily drops rather than a stream.
+    */
+  def dedupIncremental(newBatch: DataFrame, idCol: String, textCol: String,
+                       corpusHashes: DataFrame): DataFrame =
+    dedupExact(newBatch, idCol, textCol)
+      .join(corpusHashes.select(col("text_sha")),
+        sha2(col(textCol), 256) === col("text_sha"), "left_anti")
+
   // ------------------------------------------- n-gram Jaccard (inverted idx)
   /** Word n-gram shingle set (distinct, first-occurrence order) — pure
     * Scala: one tokenize pass per row. n=1 → token set; blank text or

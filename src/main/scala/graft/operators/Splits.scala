@@ -82,4 +82,37 @@ object Splits {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
     df.filter(hashBucket(col(idCol), buckets, salt) < lit(math.round(fraction * buckets)))
   }
+
+  /** Deterministic MIXTURE sampling: down-sample each group (source /
+    * domain / language) toward `budgetPerGroup` tokens — the data-mixing
+    * step of a pretraining build, where raw source sizes are wildly
+    * skewed and the recipe prescribes the target mass per source.
+    * Per-group keep-rate = min(1, budget / total_tokens(group)); rows
+    * are selected by salted hash bucket, so the kept token mass lands at
+    * ≈budget in expectation while membership stays reproducible across
+    * runs, engines, and corpus revisions (a doc that survives today's
+    * build survives tomorrow's unless its own group shrinks the rate).
+    *
+    * Scale contract: one partial-agg scan for group totals (result rows =
+    * |groups|, broadcast back) + one codegen filter pass. Deliberately NOT
+    * a per-group running-sum window, which would put each group's entire
+    * corpus in one task — exact-budget packing does not survive a 100 TB
+    * source; expected-budget rate selection does.
+    */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, groupCol: String,
+                          tokensCol: Column, budgetPerGroup: Long,
+                          buckets: Int = 10000, salt: String = "mix"): DataFrame = {
+    require(budgetPerGroup > 0, s"budgetPerGroup must be positive, got $budgetPerGroup")
+    val rates = df.groupBy(col(groupCol))
+      .agg(sum(tokensCol).as("__total_tokens"))
+      .select(col(groupCol),
+        least(lit(1.0), lit(budgetPerGroup.toDouble) / col("__total_tokens"))
+          .as("__keep_rate"))
+    // floor, not round: floor is identical across engines (round-half
+    // rules differ), keeping the cut oracle-reproducible
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(idCol), buckets, salt) <
+        floor(col("__keep_rate") * buckets).cast("long"))
+      .drop("__keep_rate")
+  }
 }

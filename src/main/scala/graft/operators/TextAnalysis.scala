@@ -92,6 +92,58 @@ object TextAnalysis {
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
 
+  /** Word n-grams of the token stream as a Column (pure codegen: one
+    * `transform` over index positions + dynamic `slice`). Fewer than `n`
+    * tokens → empty array.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Fraction of duplicate tokens within a document (0 for empty text):
+    * `1 - |distinct| / |tokens|` — the cheapest of the within-document
+    * repetition signals the Gopher/MassiveText quality filters use to
+    * catch degenerate (looping, boilerplate, keyword-stuffed) docs that
+    * CROSS-document dedup never sees.
+    */
+  def dupTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0).otherwise(
+      (size(t) - size(array_distinct(t))) / size(t).cast("double"))
+  }
+
+  /** Fraction of duplicate word n-grams within a document (0 when fewer
+    * than n tokens) — the n-gram generalization of [[dupTokenFrac]]:
+    * repeated phrases/sentences inflate it long before token-level
+    * repetition shows.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val ng = wordNgrams(text, n)
+    when(size(ng) === 0, 0.0).otherwise(
+      (size(ng) - size(array_distinct(ng))) / size(ng).cast("double"))
+  }
+
+  /** Quality FILTER with an audit trail: instead of silently dropping
+    * rows, emit the comma-joined names of every rule a document fails
+    * ("" = keep). A 100 TB cleaning pass must be explainable — per-rule
+    * drop rates are the first thing anyone asks of a corpus build, and
+    * rerunning the pipeline to find out why a doc vanished is a
+    * full-corpus scan. `concat_ws` skips the NULL (passing) branches, so
+    * this stays one codegen'd projection.
+    */
+  def filterReasons(text: Column, minChars: Int = 50, minTokens: Int = 10,
+                    maxDupTokenFrac: Double = 0.5,
+                    minQuality: Double = 0.3): Column =
+    concat_ws(",",
+      when(length(text) < minChars, lit("too_short")),
+      when(tokenCount(text) < minTokens, lit("too_few_tokens")),
+      when(dupTokenFrac(text) > maxDupTokenFrac, lit("repetitive")),
+      when(qualityScore(text) < minQuality, lit("low_quality")))
+
   /** Content fingerprint: md5 over the first `k` sorted distinct lowercase
     * tokens — a stable, order-insensitive near-identity key (the cheap
     * cousin of a rolling-hash fingerprint; md5 is used because it is

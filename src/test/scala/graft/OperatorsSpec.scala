@@ -369,6 +369,82 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dedupIncremental: within-batch min-id survivor, corpus-known content dropped") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha text"),  // already in corpus → dropped
+      (11L, "gamma text"),  // new
+      (12L, "gamma text"),  // within-batch dup → loses to 11
+      (13L, "delta text")   // new
+    ).toDF("id", "text")
+    val out = Dedup.dedupIncremental(batch, "id", "text",
+        Dedup.contentHashes(corpus, "text"))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+    // idempotence: appending the survivors and re-deduping the same batch
+    // against the grown corpus drops everything
+    val grown = corpus.unionAll(batch.filter(col("id").isin(11L, 13L)))
+    assert(Dedup.dedupIncremental(batch, "id", "text",
+      Dedup.contentHashes(grown, "text")).count() == 0L)
+  }
+
+  test("dupTokenFrac / dupNgramFrac: repetition signals with exact edge cases") {
+    val df = Seq(
+      (1L, "a b c d"),          // all distinct → 0, bigrams distinct → 0
+      (2L, "a a a a"),          // 4 tokens 1 distinct → 0.75; 3 bigrams 1 distinct → 2/3
+      (3L, "spam ham spam ham"),// 0.5 tokens; bigrams: [spam ham, ham spam, spam ham] → 1/3
+      (4L, ""),                 // empty → 0, 0
+      (5L, "solo")              // 1 token → 0; <2 tokens → 0 bigrams
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.dupTokenFrac(col("text")).as("t"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("g"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0.0, 0.0)))
+    assert(got(1)._2 == 0.75 && math.abs(got(1)._3 - 2.0 / 3.0) < 1e-12)
+    assert(got(2)._2 == 0.5 && math.abs(got(2)._3 - 1.0 / 3.0) < 1e-12)
+    assert(got(3) == ((4L, 0.0, 0.0)))
+    assert(got(4) == ((5L, 0.0, 0.0)))
+  }
+
+  test("filterReasons: audit trail lists exactly the failing rules") {
+    val longClean = "the quick brown fox jumps over a lazy dog and it is " +
+      "running for miles with great speed on winding country roads"
+    val df = Seq(
+      (1L, longClean),                    // passes everything
+      (2L, "tiny"),                       // short + few tokens + low quality
+      (3L, ("dup " * 30).trim + " " + longClean) // long enough, but repetitive
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.filterReasons(col("text")).as("r"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 == "")
+    assert(got(1)._2.split(",").toSet ==
+      Set("too_short", "too_few_tokens", "low_quality"))
+    assert(got(2)._2 == "repetitive")
+  }
+
+  test("sampleToTokenBudget: deterministic, ~budget tokens per group, small groups kept whole") {
+    val tok = TextAnalysis.tokenCount(col("text"))
+    val out = Splits.sampleToTokenBudget(docs, "doc_id", "source", tok, 2000L)
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Splits.sampleToTokenBudget(docs, "doc_id", "source", tok, 2000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b) // bit-deterministic
+    // each group's kept token mass is ≈budget (or everything, if under)
+    val totals = docs.groupBy("source").agg(sum(tok).as("total"))
+      .as[(String, Long)].collect().toMap
+    val kept = out.groupBy("source").agg(sum(tok).as("kept"))
+      .as[(String, Long)].collect().toMap
+    totals.foreach { case (src, total) =>
+      val k = kept.getOrElse(src, 0L)
+      if (total <= 2000L) assert(k == total, s"$src: under-budget group must be kept whole")
+      else assert(math.abs(k - 2000L) < 900L, s"$src: kept $k of $total vs budget 2000")
+    }
+    // a giant budget keeps every row
+    assert(Splits.sampleToTokenBudget(docs, "doc_id", "source", tok, 10000000L).count() ==
+      docs.count())
+  }
+
   test("splits and samples are decorrelated (salted); null ids are refused") {
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     // sample-then-split must yield ALL splits: with a shared unsalted
