@@ -262,9 +262,14 @@ object Dedup {
     * step that collapses long chains in O(log diameter) rounds instead of
     * O(diameter). Each round is materialized via `localCheckpoint` so the
     * iterative plan's lineage stays flat (an unchecked loop of joins grows
-    * an exponential plan). Convergence is detected by counting changed
-    * labels; a non-converged exit at `maxIters` throws rather than return
-    * wrong groups.
+    * an exponential plan). Convergence is detected by the LABEL-SUM
+    * invariant: every step is per-node non-increasing (propagate takes a
+    * min; the jump maps label ≤ id through itself, so label(label) ≤
+    * label), hence the label sum is non-increasing and stays EQUAL iff no
+    * node moved — one narrow aggregate over the just-checkpointed frame
+    * instead of a join back against the previous round's labels (which
+    * cost an extra shuffle per round; round-8 change). A non-converged
+    * exit at `maxIters` throws rather than return wrong groups.
     *
     * Scale contract: per round, the shuffles carry |edges| + |nodes| rows
     * of (long, long) — never materializing components driver-side — and
@@ -285,9 +290,14 @@ object Dedup {
       var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
         .localCheckpoint()
-      var changed = 1L
+      // decimal(38,0) sum: overflow-safe at any node count × id magnitude
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
+      var prevSum = labelSum(labels)
+      var changed = true
       var iter = 0
-      while (changed > 0 && iter < maxIters) {
+      while (changed && iter < maxIters) {
         // (a) propagate: min over own label and all neighbors' labels
         val prop = edges
           .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
@@ -300,14 +310,15 @@ object Dedup {
         val next = prop.join(hop, prop("label") === hop("lid"))
           .select(prop("id"), col("llabel").as("label"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .filter(col("label") =!= col("old")).count()
+        val s = labelSum(next)
+        changed = s.compareTo(prevSum) != 0
+        prevSum = s
         labels = next
         iter += 1
       }
-      if (changed > 0)
+      if (changed)
         throw new graft.core.EngineError(
-          s"nearDupGroups: not converged after $maxIters rounds ($changed labels still moving) — raise maxIters")
+          s"nearDupGroups: not converged after $maxIters rounds (labels still moving) — raise maxIters")
       labels.select(col("id"), col("label").as("group_id"))
     } finally edges.unpersist()
   }
