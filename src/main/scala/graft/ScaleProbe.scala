@@ -177,6 +177,39 @@ object ScaleProbe {
       Dedup.contaminationPairs(docs, baseDocs.filter(col("doc_id") < 10),
         "doc_id", "text", "doc_id", "text", n = 2, minOverlap = 3).count()
     }
+    // ---- round-8 additions ------------------------------------------
+    // pairs → groups at volume: the amplified corpus's capped-jaccard
+    // pair set (copies of the same base doc are mutual near-dups, so
+    // components are real and amp-sized) through the iterative min-label
+    // propagation. Probes both the per-round shuffle cost and the
+    // convergence round count at a non-toy component structure.
+    timed("near_dup_groups (20k-doc pair set)") {
+      val pairs = Dedup.jaccardPairs(hotDocs.filter(col("doc_id") < 20000),
+        "doc_id", "text", n = 2, threshold = 0.9)
+      val g = Dedup.nearDupGroups(pairs)
+      println(s"[scale]   -> ${g.count()} labeled nodes, " +
+        s"${g.filter(col("id") === col("group_id")).count()} groups")
+    }
+    // incremental ingest dedup: last 10% of the corpus arrives as the
+    // daily batch; the remaining 90% participates only as its sha index.
+    timed("incremental dedup (10% batch vs 90% corpus hash index)") {
+      val cut = nDocs * 9 / 10
+      val n = Dedup.dedupIncremental(
+        docs.filter(col("doc_id") >= cut), "doc_id", "text",
+        Dedup.contentHashes(docs.filter(col("doc_id") < cut), "text")).count()
+      println(s"[scale]   -> $n batch rows survive")
+    }
+    timed("mix sample to token budget (full corpus)") {
+      Splits.sampleToTokenBudget(
+        docs.withColumn("source", pmod(col("doc_id"), lit(5L)).cast("string")),
+        "doc_id", "source", TextAnalysis.tokenCount(col("text")), 100000L)
+        .agg(count(lit(1))).collect()
+    }
+    timed("repetition + filter-audit scan") {
+      docs.select(TextAnalysis.dupNgramFrac(col("text"), 2),
+        TextAnalysis.filterReasons(col("text")))
+        .agg(count(lit(1))).collect()
+    }
     timed("split assign (full corpus)") {
       Splits.assignSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

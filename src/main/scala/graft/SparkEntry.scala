@@ -756,6 +756,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E7 composition: filter-audit → mixture-sample as ONE chain — the
+    // curation half of a corpus build (quality gate first, THEN mix to
+    // budget over the surviving token mass; rates computed after the
+    // filter, which is the ordering a real recipe needs). Composing the
+    // two new operators catches interface drift the per-operator rows
+    // cannot, the same argument as pipeline_hygiene.
+    "pipeline_filter_mix" -> ((s, dir) => {
+      val kept = docs(s, dir)
+        .filter(TextAnalysis.filterReasons(col("text")) === "")
+      Splits.sampleToTokenBudget(kept, "doc_id", "source",
+          TextAnalysis.tokenCount(col("text")), budgetPerGroup = 1500L)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: fake decode → feature vectors. The md5 digest pins the
     // exact feature values deterministically but the stride-hash decoder
     // is not ANSI-expressible, so this row stays rows-only; the
@@ -1479,6 +1495,42 @@ object SparkEntry {
         |    CASE WHEN quality < 0.3 THEN 'low_quality' END) AS reasons
         |  FROM q)
         |ORDER BY doc_id""".stripMargin,
+
+    // Filter → mix composition: the quality_filter CTE keeps reasons='',
+    // then the mix_sample CTE recomputes per-source rates over the KEPT
+    // token mass only (filter-then-mix ordering).
+    "pipeline_filter_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltok,
+        |    regexp_split_to_array(trim(text), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, ntok, len,
+        |    ROUND((LEAST(len / 200.0, 1.0) + LEAST(ntok / 40.0, 1.0) +
+        |      GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |        ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) +
+        |      LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |        ELSE len(list_filter(ltok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0)
+        |      ) / 4.0, 6) AS quality,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE (ntok - len(list_distinct(tok))) / CAST(ntok AS DOUBLE) END AS dupfrac
+        |  FROM t),
+        |kept AS (
+        |  SELECT doc_id, source, ntok FROM q
+        |  WHERE NOT (len < 50) AND NOT (ntok < 10)
+        |    AND NOT (dupfrac > 0.5) AND NOT (quality < 0.3)),
+        |r AS (
+        |  SELECT source, LEAST(1.0, 1500.0 / CAST(SUM(ntok) AS DOUBLE)) AS rate
+        |  FROM kept GROUP BY source)
+        |SELECT k.doc_id, k.source, CAST(k.ntok AS BIGINT) AS n_tokens
+        |FROM kept k JOIN r USING (source)
+        |WHERE ('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |      < CAST(FLOOR(rate * 10000) AS BIGINT)
+        |ORDER BY k.doc_id""".stripMargin,
 
     // Mixture sampling: per-source keep-rate from token totals, salted
     // md5 bucket under FLOOR(rate*10000) — floor, not round, because

@@ -28,6 +28,15 @@ object Tables {
     * µs-aligned, but the cast makes the comparison precision-identical by
     * construction). (`a div b`, not `/`: nanos exceed 2^53, double math
     * would corrupt them.)
+    *
+    * SIDE EFFECT (documented contract, VERDICT r7 #3): this reader SETS
+    * the SESSION-GLOBAL `spark.sql.legacy.parquet.nanosAsLong` flag —
+    * Spark exposes no per-read override for it — so any OTHER
+    * TIMESTAMP(NANOS) parquet read in the same session will also surface
+    * raw longs from then on. Acceptable for this fixture harness (the
+    * events table is the only nanos source here); a multi-tenant session
+    * embedding this library should scope such reads to a dedicated
+    * session (`spark.newSession()` shares the context but isolates conf).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -71,6 +71,39 @@ class PlanShapeSpec extends SparkSpec {
       s"partial_topkagg marker missing from plan text:\n$plan")
   }
 
+  test("mix_sample: rate table broadcasts, no per-group window, corpus side never shuffles") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val df = operators.Splits.sampleToTokenBudget(docs, "doc_id", "source",
+      operators.TextAnalysis.tokenCount(col("text")), 2000L)
+    val plan = physical(df)
+    // an exact-packing formulation would plan a running-sum Window over
+    // each source — the single-task-per-group shape this operator exists
+    // to avoid
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"per-group window in mix_sample plan:\n$plan")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"rate join is not broadcast:\n$plan")
+    // the only exchange is the |groups|-row rates partial→final agg; the
+    // corpus side is scan → broadcast-join → codegen filter, unshuffled
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1,
+      s"expected exactly the rates agg exchange, got ${shuffles.size}:\n$plan")
+  }
+
+  test("incremental dedup: survivor via min_by aggregation (no window) + anti join on the hash set") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val df = operators.Dedup.dedupIncremental(
+      docs.filter(col("doc_id") >= 250), "doc_id", "text",
+      operators.Dedup.contentHashes(docs.filter(col("doc_id") < 300), "text"))
+    val plan = physical(df)
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"within-batch survivor must be an aggregation, not a window:\n$plan")
+    assert(plan.toString.contains("LeftAnti"), s"no anti join in:\n$plan")
+  }
+
   test("the corpus side of sim-join is scored via broadcast, not shuffled") {
     val e = embs
     val df = SimJoin.topKPerQuery(
