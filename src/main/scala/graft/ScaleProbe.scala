@@ -60,7 +60,14 @@ object ScaleProbe {
 
     val q = baseEmb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0).toArray
 
+    // SPARK_GRAFT_ONLY_R8=1 probes only the round-8 operators — the heavy
+    // unchanged mid-section (sim-joins, ANN builds/writes, streams) has
+    // round-7 numbers on record in SCALE.md, and re-measuring ~15 min of
+    // known-linear paths to validate a new operator wastes the window.
+    val onlyR8 = sys.env.contains("SPARK_GRAFT_ONLY_R8")
+
     // ---- the operators whose constants matter at scale ---------------
+    if (!onlyR8) {
     timed("topk exact (full scan)") {
       Similarity.topK(emb, "embedding", "vec_id", q, 10).collect()
     }
@@ -102,6 +109,14 @@ object ScaleProbe {
     timed("assignIdsOrdered ingest (docs)") {
       graft.store.DocStore.assignIdsOrdered(docs, Seq(col("doc_id")), 0L).count()
     }
+    }
+    // ---- jaccard hot-shingle corpus (shared with the round-8 group
+    // probe): every doc gets the same injected 2-token prefix, so the
+    // shingles "zz hotzz" / "hotzz commonzz" occur in EVERY doc.
+    val hotDocs = docs.withColumn("text",
+      concat(lit("zz hotzz commonzz "), col("text")))
+
+    if (!onlyR8) {
     // Stateful sessionizer through a REAL AvailableNow stream: amp×20k
     // synthetic events over 10k users (5-min waves, an hour jump every 12
     // waves → sessions genuinely close), written to parquet and replayed
@@ -135,15 +150,12 @@ object ScaleProbe {
       timed("simhash pairs r<=3") {
         Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
       }
-    // ---- jaccard hot-shingle probe: every doc gets the same injected
-    // 2-token prefix, so the shingles "zz hotzz" / "hotzz commonzz" occur
-    // in EVERY doc. Uncapped, those two posting lists alone form
-    // ~|docs|² pairs; with the default maxDocFreq cap they are dropped
-    // before the pair join and the volume collapses to genuinely-similar
-    // pairs. The 2k slice is copy-0 docs only (distinct base texts), so
-    // the uncapped/capped delta is pure hot-shingle fan-out.
-    val hotDocs = docs.withColumn("text",
-      concat(lit("zz hotzz commonzz "), col("text")))
+    // ---- jaccard hot-shingle probe: uncapped, the two universal
+    // shingles' posting lists alone form ~|docs|² pairs; with the default
+    // maxDocFreq cap they are dropped before the pair join and the volume
+    // collapses to genuinely-similar pairs. The 2k slice is copy-0 docs
+    // only (distinct base texts), so the uncapped/capped delta is pure
+    // hot-shingle fan-out.
     timed("jaccard 2k docs UNCAPPED hot") {
       val n = Dedup.jaccardPairs(hotDocs.filter(col("doc_id") < 2000),
         "doc_id", "text", n = 2, threshold = 0.9,
@@ -177,6 +189,7 @@ object ScaleProbe {
       Dedup.contaminationPairs(docs, baseDocs.filter(col("doc_id") < 10),
         "doc_id", "text", "doc_id", "text", n = 2, minOverlap = 3).count()
     }
+    }
     // ---- round-8 additions ------------------------------------------
     // pairs → groups at volume: the amplified corpus's capped-jaccard
     // pair set (copies of the same base doc are mutual near-dups, so
@@ -205,10 +218,20 @@ object ScaleProbe {
         "doc_id", "source", TextAnalysis.tokenCount(col("text")), 100000L)
         .agg(count(lit(1))).collect()
     }
+    // NOTE (round-8 fix, applies to the three scans below): aggregate OVER
+    // the computed columns — `agg(count(lit(1)))` lets ColumnPruning
+    // delete the expressions entirely, so earlier rounds' numbers for
+    // these rows timed a bare scan, not the operator.
     timed("repetition + filter-audit scan") {
-      docs.select(TextAnalysis.dupNgramFrac(col("text"), 2),
-        TextAnalysis.filterReasons(col("text")))
-        .agg(count(lit(1))).collect()
+      docs.select(TextAnalysis.dupNgramFrac(col("text"), 2).as("g"),
+        length(TextAnalysis.filterReasons(col("text"))).as("rl"))
+        .agg(sum(col("g")), sum(col("rl"))).collect()
+    }
+    // the fused single-pass struct vs the composed Column forms above —
+    // the measured justification for metrics() as the bulk path
+    timed("fused metrics scan (all metrics, 1 pass)") {
+      docs.select(TextAnalysis.metrics(col("text")).as("m"))
+        .agg(sum(col("m.dup_2gram_frac")), sum(length(col("m.reasons")))).collect()
     }
     timed("split assign (full corpus)") {
       Splits.assignSplit(docs, "doc_id",
@@ -216,11 +239,13 @@ object ScaleProbe {
         .groupBy("split").count().collect()
     }
     timed("fingerprint + quality scan") {
-      docs.select(TextAnalysis.fingerprint(col("text"), 8), TextAnalysis.qualityScore(col("text")))
-        .agg(count(lit(1))).collect()
+      docs.select(TextAnalysis.fingerprint(col("text"), 8).as("fp"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+        .agg(max(col("fp")), sum(col("q"))).collect()
     }
     timed("embed batch (hashing)") {
-      HashingEmbedder(64).embed(docs, "text", "e").agg(count(lit(1))).collect()
+      HashingEmbedder(64).embed(docs, "text", "e")
+        .agg(sum(size(col("e")))).collect()
     }
     // codegen Expression vs ScalaUDF on the identical scoring pass — the
     // measured justification for the custom Expression (SURVEY §4.3).

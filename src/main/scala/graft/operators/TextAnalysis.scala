@@ -92,17 +92,39 @@ object TextAnalysis {
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
 
-  /** Word n-grams of the token stream as a Column (pure codegen: one
-    * `transform` over index positions + dynamic `slice`). Fewer than `n`
-    * tokens → empty array.
+  /** LET-BINDING for Column expressions: binds `value` ONCE as a lambda
+    * variable and evaluates `body` over it. Without this, an expression
+    * referenced inside a higher-order-function lambda is a SUBTREE that
+    * re-evaluates per element — `wordNgrams` over a subtree containing
+    * `tokens(text)` re-ran the regex tokenizer PER NGRAM, O(tokens²)
+    * regex work per row (caught by the 500× rehearsal hanging; the same
+    * pitfall `Dedup.shingles` documents). A lambda-bound variable is
+    * evaluated once, restoring O(tokens).
+    */
+  private def bind(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Word n-grams of the token stream as a Column (pure codegen: tokens
+    * bound once, then one `transform` over index positions + `slice`).
+    * Fewer than `n` tokens → empty array.
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val t = tokens(text)
+    bind(tokens(text), t => ngramsOfBound(t, n))
+  }
+
+  /** N-grams over an ALREADY-BOUND token array (lambda variable — cheap
+    * to reference repeatedly).
+    */
+  private def ngramsOfBound(t: Column, n: Int): Column =
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+
+  /** `1 - |distinct|/|n|` over a bound array (0 for empty). */
+  private def dupFracOfBound(a: Column): Column =
+    when(size(a) === 0, 0.0).otherwise(
+      (size(a) - size(array_distinct(a))) / size(a).cast("double"))
 
   /** Fraction of duplicate tokens within a document (0 for empty text):
     * `1 - |distinct| / |tokens|` — the cheapest of the within-document
@@ -110,11 +132,8 @@ object TextAnalysis {
     * catch degenerate (looping, boilerplate, keyword-stuffed) docs that
     * CROSS-document dedup never sees.
     */
-  def dupTokenFrac(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) === 0, 0.0).otherwise(
-      (size(t) - size(array_distinct(t))) / size(t).cast("double"))
-  }
+  def dupTokenFrac(text: Column): Column =
+    bind(tokens(text), dupFracOfBound)
 
   /** Fraction of duplicate word n-grams within a document (0 when fewer
     * than n tokens) — the n-gram generalization of [[dupTokenFrac]]:
@@ -122,9 +141,8 @@ object TextAnalysis {
     * repetition shows.
     */
   def dupNgramFrac(text: Column, n: Int): Column = {
-    val ng = wordNgrams(text, n)
-    when(size(ng) === 0, 0.0).otherwise(
-      (size(ng) - size(array_distinct(ng))) / size(ng).cast("double"))
+    require(n >= 1, s"n must be >= 1, got $n")
+    bind(tokens(text), t => bind(ngramsOfBound(t, n), dupFracOfBound))
   }
 
   /** Quality FILTER with an audit trail: instead of silently dropping
@@ -151,6 +169,92 @@ object TextAnalysis {
     */
   def fingerprint(text: Column, k: Int = 8): Column =
     md5(concat_ws(" ", slice(array_sort(array_distinct(tokens(lower(text)))), 1, k)))
+
+  // ------------------------------------------------ fused bulk-scan path
+  /** All per-document text metrics from ONE tokenization pass. */
+  final case class TextMetrics(
+    n_tokens: Long, approx_subwords: Long,
+    dup_token_frac: Double, dup_2gram_frac: Double,
+    punct_ratio: Double, avg_token_len: Double, stopword_ratio: Double,
+    quality: Double, reasons: String)
+
+  /** Round-half-up to 6 places — bit-identical to Spark's `round(col, 6)`
+    * on doubles (both go through BigDecimal HALF_UP).
+    */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private val EnStopwordSet = EnStopwords.toSet
+
+  /** Single-pass Scala twin of the Column metrics above, with IDENTICAL
+    * semantics field-for-field (codepoint lengths like Spark's `length`,
+    * ASCII `\s` tokenization, same clamp/rounding order — pinned by a
+    * fixture-equality spec). This is the BULK path: the Column forms
+    * compose and oracle-check cleanly, but each metric re-tokenizes and
+    * higher-order functions evaluate interpreted, so a full audit scan
+    * pays ~6 regex splits + interpreted lambdas per row — measured 316 s
+    * for 2.5M docs vs ~30 s fused (SCALE.md 500×; same UDF-beats-HOF
+    * trade `Dedup.shingles` documents).
+    */
+  def metricsOf(text: String, minChars: Int = 50, minTokens: Int = 10,
+                maxDupTokenFrac: Double = 0.5, minQuality: Double = 0.3): TextMetrics = {
+    val s = if (text == null) "" else text
+    val len = s.codePointCount(0, s.length).toDouble
+    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    var subwords = 0L
+    var charSum = 0L
+    var stopHits = 0
+    var dupToks = 0
+    val seen = new java.util.HashSet[String]()
+    toks.foreach { t =>
+      val tl = t.codePointCount(0, t.length)
+      charSum += tl
+      subwords += math.max(math.ceil(tl / 4.0).toLong, 1L)
+      if (EnStopwordSet.contains(t.toLowerCase(java.util.Locale.ROOT))) stopHits += 1
+      if (!seen.add(t)) dupToks += 1
+    }
+    var dupBi = 0
+    val nBi = math.max(n - 1, 0)
+    if (n >= 2) {
+      val bseen = new java.util.HashSet[String]()
+      var i = 0
+      while (i < n - 1) {
+        if (!bseen.add(toks(i) + " " + toks(i + 1))) dupBi += 1
+        i += 1
+      }
+    }
+    // punct codepoints = matches of [^a-zA-Z0-9\s] (Java \s is ASCII)
+    var punctCp = 0L
+    s.codePoints().forEach { cp =>
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9')
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+      if (!alnum && !ws) punctCp += 1
+    }
+    val dupTokenFracV = if (n == 0) 0.0 else dupToks.toDouble / n
+    val dup2 = if (nBi == 0) 0.0 else dupBi.toDouble / nBi
+    val punct = if (len == 0) 0.0 else punctCp / len
+    val avgTok = if (n == 0) 0.0 else charSum / n.toDouble
+    val stopR = if (n == 0) 0.0 else stopHits.toDouble / n
+    // same component order and clamps as qualityScore (Column form)
+    val quality = round6((math.min(len / 200.0, 1.0) + math.min(n / 40.0, 1.0) +
+      math.max(1.0 - punct * 4.0, 0.0) + math.min(stopR * 5.0, 1.0)) / 4.0)
+    val reasons = Seq(
+      if (len < minChars) Some("too_short") else None,
+      if (n < minTokens) Some("too_few_tokens") else None,
+      if (dupTokenFracV > maxDupTokenFrac) Some("repetitive") else None,
+      if (quality < minQuality) Some("low_quality") else None).flatten.mkString(",")
+    TextMetrics(n.toLong, subwords, dupTokenFracV, dup2, punct, avgTok, stopR, quality, reasons)
+  }
+
+  /** Column form of [[metricsOf]]: one UDF call per row returning the full
+    * metrics struct — use this when a scan needs several metrics at once.
+    */
+  def metrics(text: Column, minChars: Int = 50, minTokens: Int = 10,
+              maxDupTokenFrac: Double = 0.5, minQuality: Double = 0.3): Column = {
+    val f = udf((s: String) => metricsOf(s, minChars, minTokens, maxDupTokenFrac, minQuality))
+    f(text)
+  }
 
   /** Per-group rollups over a corpus (E5): doc counts, char/token mass,
     * quality aggregates. One hash-shuffle groupBy — partial aggregation

@@ -407,6 +407,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4) == ((5L, 0.0, 0.0)))
   }
 
+  test("fused metrics struct equals the Column forms field-for-field on the fixture") {
+    val cols = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.approxSubwordCount(col("text")).as("approx_subwords"),
+      TextAnalysis.dupTokenFrac(col("text")).as("dup_token_frac"),
+      TextAnalysis.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+      TextAnalysis.stopwordRatio(col("text"), TextAnalysis.EnStopwords).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.filterReasons(col("text")).as("reasons"))
+    val fused = docs.select(col("doc_id"), TextAnalysis.metrics(col("text")).as("m"))
+      .select(col("doc_id"), col("m.*"))
+    // exact equality including doubles: both paths run the same integer
+    // divisions / clamp order / HALF_UP rounding
+    val a = cols.orderBy("doc_id").collect().map(_.toSeq)
+    val b = fused.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
+    // and on crafted edge cases (empty, single token, repeated phrases)
+    val edge = Seq("", "   ", "solo", "a a a a", "spam ham spam ham", "t\tx\ny  z")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ea = edge.select(TextAnalysis.dupNgramFrac(col("text"), 2),
+      TextAnalysis.qualityScore(col("text"))).collect().map(_.toSeq)
+    val eb = edge.select(col("doc_id"), TextAnalysis.metrics(col("text")).as("m"))
+      .select(col("m.dup_2gram_frac"), col("m.quality")).collect().map(_.toSeq)
+    ea.zip(eb).foreach { case (x, y) => assert(x == y, s"edge mismatch: $x vs $y") }
+  }
+
   test("filterReasons: audit trail lists exactly the failing rules") {
     val longClean = "the quick brown fox jumps over a lazy dog and it is " +
       "running for miles with great speed on winding country roads"
