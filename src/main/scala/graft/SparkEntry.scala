@@ -732,6 +732,23 @@ object SparkEntry {
           round(TextAnalysis.dupNgramFrac(col("text"), 2), 6).as("dup_2gram_frac"))
         .orderBy("doc_id")),
 
+    // E5: the FUSED single-pass metrics struct through the oracle gate —
+    // same semantics as the composed Column rows (token_count,
+    // repetition_stats, quality_filter) but computed by one UDF pass
+    // (tokenize once, plain loops): the bulk-scan path, 9.6× the
+    // composed forms at 2.5M docs (SCALE.md round-8 correction). The
+    // DuckDB twin replays the same formulas, so this row proves the
+    // fused arithmetic engine-exact, not just spec-equal.
+    "text_metrics_fused" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.metrics(col("text")).as("m"))
+        .select(col("doc_id"),
+          col("m.n_tokens").as("n_tokens"),
+          round(col("m.dup_token_frac"), 6).as("dup_token_frac"),
+          round(col("m.dup_2gram_frac"), 6).as("dup_2gram_frac"),
+          col("m.quality").as("quality"),
+          col("m.reasons").as("reasons"))
+        .orderBy("doc_id")),
+
     // E5: quality filter WITH audit trail — every doc gets the list of
     // rules it fails ("" = keep), so per-rule drop rates are one groupBy
     // away instead of a pipeline rerun.
@@ -1461,6 +1478,48 @@ object SparkEntry {
         |  ROUND(CASE WHEN len(ng) = 0 THEN 0.0
         |    ELSE (len(ng) - len(list_distinct(ng))) / CAST(len(ng) AS DOUBLE) END, 6) AS dup_2gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Fused metrics: one CTE chain replaying token count, both repetition
+    // fractions, the rounded quality formula, and the audit reasons —
+    // the DuckDB check that the single-pass Scala engine is bit-equal to
+    // the relational formulation.
+    "text_metrics_fused" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltok,
+        |    regexp_split_to_array(trim(text), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, ltok, tok, ntok, len,
+        |    CASE WHEN ntok < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, ntok), i -> array_to_string(tok[i:i+1], ' ')) END AS ng
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, ntok, len, ng,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE (ntok - len(list_distinct(tok))) / CAST(ntok AS DOUBLE) END AS dupfrac,
+        |    CASE WHEN len(ng) = 0 THEN 0.0
+        |      ELSE (len(ng) - len(list_distinct(ng))) / CAST(len(ng) AS DOUBLE) END AS dup2,
+        |    ROUND((LEAST(len / 200.0, 1.0) + LEAST(ntok / 40.0, 1.0) +
+        |      GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |        ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) +
+        |      LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |        ELSE len(list_filter(ltok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0)
+        |      ) / 4.0, 6) AS quality
+        |  FROM g)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  ROUND(dupfrac, 6) AS dup_token_frac,
+        |  ROUND(dup2, 6) AS dup_2gram_frac,
+        |  quality,
+        |  concat_ws(',',
+        |    CASE WHEN len < 50 THEN 'too_short' END,
+        |    CASE WHEN ntok < 10 THEN 'too_few_tokens' END,
+        |    CASE WHEN dupfrac > 0.5 THEN 'repetitive' END,
+        |    CASE WHEN quality < 0.3 THEN 'low_quality' END) AS reasons
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // Filter audit: reasons = concat_ws over the failing rules (NULL
     // branches skipped on both engines); quality replays the
