@@ -413,6 +413,22 @@ object SparkEntry {
       s.table(sinkName).orderBy("user_id", "session_seq")
     }),
 
+    // E5×E6: streaming ingest-time quality filter over the documents
+    // arrival stream — one fused metrics pass per arriving doc, keep the
+    // clean rows. Stateless (append mode, no watermark), so the batch
+    // twin replays it exactly: the streaming face of quality_filter.
+    "stream_quality_filter" -> ((s, dir) => {
+      val sinkName = "graft_stream_quality_filter"
+      val sq = Streams.qualityFilterStream(Tables.documentsStream(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_quality_filter: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("doc_id")
+    }),
+
     // E4×E6: streaming exact dedup over the documents ARRIVAL stream —
     // the ingest-time dedup of a training pipeline, run as a REAL
     // AvailableNow stream through dropDuplicates state. WHICH duplicate
@@ -780,12 +796,17 @@ object SparkEntry {
     // two new operators catches interface drift the per-operator rows
     // cannot, the same argument as pipeline_hygiene.
     "pipeline_filter_mix" -> ((s, dir) => {
-      val kept = docs(s, dir)
-        .filter(TextAnalysis.filterReasons(col("text")) === "")
-      Splits.sampleToTokenBudget(kept, "doc_id", "source",
-          TextAnalysis.tokenCount(col("text")), budgetPerGroup = 1500L)
+      // filter + token count via the FUSED metrics pass (one tokenize per
+      // row; field-equal to the Column forms by spec + the
+      // text_metrics_fused oracle row)
+      val m = docs(s, dir)
+        .select(col("doc_id"), col("source"), TextAnalysis.metrics(col("text")).as("m"))
         .select(col("doc_id"), col("source"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          col("m.n_tokens").as("n_tokens"), col("m.reasons").as("reasons"))
+      val kept = m.filter(col("reasons") === "")
+      Splits.sampleToTokenBudget(kept, "doc_id", "source",
+          col("n_tokens"), budgetPerGroup = 1500L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1520,6 +1541,34 @@ object SparkEntry {
         |    CASE WHEN dupfrac > 0.5 THEN 'repetitive' END,
         |    CASE WHEN quality < 0.3 THEN 'low_quality' END) AS reasons
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Streaming quality filter: stateless, so the batch replay IS the
+    // oracle — the quality_filter CTEs restricted to the kept rows.
+    "stream_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltok,
+        |    regexp_split_to_array(trim(text), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, len, ntok,
+        |    ROUND((LEAST(len / 200.0, 1.0) + LEAST(ntok / 40.0, 1.0) +
+        |      GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |        ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) +
+        |      LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |        ELSE len(list_filter(ltok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0)
+        |      ) / 4.0, 6) AS quality,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE (ntok - len(list_distinct(tok))) / CAST(ntok AS DOUBLE) END AS dupfrac
+        |  FROM t)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, quality
+        |FROM q
+        |WHERE NOT (len < 50) AND NOT (ntok < 10)
+        |  AND NOT (dupfrac > 0.5) AND NOT (quality < 0.3)
+        |ORDER BY doc_id""".stripMargin,
 
     // Filter audit: reasons = concat_ws over the failing rules (NULL
     // branches skipped on both engines); quality replays the

@@ -127,6 +127,22 @@ object Streams {
       .filter(col("score") > threshold)
   }
 
+  /** Streaming ingest-time QUALITY FILTER — the streaming face of
+    * [[graft.operators.TextAnalysis.metrics]]: one fused metrics pass per
+    * arriving document, keep rows with an empty audit trail. Stateless
+    * select+filter, so it composes with any source/sink (no state, no
+    * watermark) and a DuckDB batch twin replays it exactly — same
+    * argument as [[scoreFilter]]. Emits `n_tokens`/`quality` alongside
+    * the kept row so the sink can route and account without rescoring.
+    */
+  def qualityFilterStream(stream: DataFrame, textCol: String): DataFrame =
+    stream
+      .withColumn("__m", graft.operators.TextAnalysis.metrics(col(textCol)))
+      .filter(col("__m.reasons") === "")
+      .withColumn("n_tokens", col("__m.n_tokens"))
+      .withColumn("quality", col("__m.quality"))
+      .drop("__m")
+
   /** Streaming exact dedup — the ingest face of
     * [[graft.operators.Dedup.dedupExact]]: hash each arriving document's
     * text and keep only the FIRST arrival per hash. State is one 64-hex
