@@ -233,6 +233,11 @@ object ScaleProbe {
       docs.select(TextAnalysis.metrics(col("text")).as("m"))
         .agg(sum(col("m.dup_2gram_frac")), sum(length(col("m.reasons")))).collect()
     }
+    timed("pack sequences (full corpus, 2048-token budget)") {
+      Splits.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), 2048L)
+        .agg(max(col("seq_id"))).collect()
+    }
     timed("split assign (full corpus)") {
       Splits.assignSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

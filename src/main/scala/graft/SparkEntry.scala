@@ -789,6 +789,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E7: sequence packing — assign docs (in id order) to fixed
+    // 512-token training sequences: seq_id = floor(exclusive running
+    // token sum / budget). Implemented with per-partition offsets, NOT a
+    // global SUM-OVER window (the assignIdsOrdered shape), so packing a
+    // 100 TB corpus never funnels through one task; the oracle replays
+    // the window formulation, which is equivalent and fine at 500 rows.
+    "pack_sequences" -> ((s, dir) =>
+      Splits.packSequences(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budgetTokens = 512L)
+        .select(col("doc_id"), col("seq_id"))
+        .orderBy("doc_id")),
+
     // E7 composition: filter-audit → mixture-sample as ONE chain — the
     // curation half of a corpus build (quality gate first, THEN mix to
     // budget over the surviving token mass; rates computed after the
@@ -1603,6 +1616,23 @@ object SparkEntry {
         |    CASE WHEN quality < 0.3 THEN 'low_quality' END) AS reasons
         |  FROM q)
         |ORDER BY doc_id""".stripMargin,
+
+    // Sequence packing: exclusive running token sum over doc order //
+    // budget — the window formulation the distributed implementation
+    // avoids but equals.
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM d)
+        |SELECT doc_id, CAST(pre // 512 AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Filter → mix composition: the quality_filter CTE keeps reasons='',
     // then the mix_sample CTE recomputes per-source rates over the KEPT

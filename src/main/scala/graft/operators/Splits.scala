@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic dataset splitting and sub-sampling for training
   * pipelines. The reference has no split machinery; a 100 TB pretraining
@@ -81,6 +82,56 @@ object Splits {
                           buckets: Int = 10000, salt: String = "sample"): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
     df.filter(hashBucket(col(idCol), buckets, salt) < lit(math.round(fraction * buckets)))
+  }
+
+  /** SEQUENCE PACKING: assign each document to a fixed-token-budget
+    * training sequence — the step between curation and tokenization in a
+    * pretraining build. Documents are taken in `idCol` order; a document
+    * whose EXCLUSIVE running token sum has consumed `k` full budgets goes
+    * to sequence `k` (`seq_id = floor(prefix_sum / budgetTokens)`), which
+    * is the deterministic first-fit-in-order packing with boundary docs
+    * assigned to the sequence they start in.
+    *
+    * Scale contract: the naive formulation is `SUM(tokens) OVER (ORDER BY
+    * id)` — a GLOBAL window, one task. This implementation is the
+    * [[graft.store.DocStore.assignIdsOrdered]] shape instead:
+    * range-partition by id + sort within partitions, one lightweight
+    * per-partition token-total job, broadcast the per-partition offsets,
+    * then a narrow map computes each row's exclusive prefix locally.
+    * Cross-job layout consistency comes from shuffle-file reuse (the
+    * boundaries sample once; later jobs stage-skip to the same map
+    * outputs). Output appends `seq_id`.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+                    budgetTokens: Long, seqCol: String = "seq_id"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val spark = df.sparkSession
+    val arranged = df.withColumn("__tok", tokensCol.cast("long"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val rdd = arranged.rdd
+    val tokIdx = arranged.schema.fieldIndex("__tok")
+    // one lightweight job: per-partition token totals → exclusive offsets
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(tokIdx))
+      Iterator((i, s))
+    }.collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    (0 until nParts).foreach { i => offsets(i) = acc; acc += partTotals.getOrElse(i, 0L) }
+    val schema = StructType(arranged.schema.fields.filterNot(_.name == "__tok") :+
+      StructField(seqCol, LongType, nullable = false))
+    val packed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var pre = offsets(i)
+      it.map { r =>
+        val seq = pre / budgetTokens
+        pre += r.getLong(tokIdx)
+        Row.fromSeq(r.toSeq.patch(tokIdx, Nil, 1) :+ seq)
+      }
+    }
+    spark.createDataFrame(packed, schema)
   }
 
   /** Deterministic MIXTURE sampling: down-sample each group (source /

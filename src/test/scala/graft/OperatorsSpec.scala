@@ -452,6 +452,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2)._2 == "repetitive")
   }
 
+  test("packSequences: first-fit-in-order packing matches brute force across partitions") {
+    val df = (1 to 100).map(i => (i.toLong, ((i % 7) + 1).toLong)).toDF("id", "tok")
+      .repartition(7)
+    val out = Splits.packSequences(df, "id", col("tok"), 10L)
+      .select("id", "seq_id").as[(Long, Long)].collect().sortBy(_._1)
+    var pre = 0L
+    val expect = (1 to 100).map { i =>
+      val t = (i % 7) + 1
+      val s = pre / 10
+      pre += t
+      (i.toLong, s)
+    }
+    assert(out.toSeq == expect)
+    // seq ids are contiguous from 0 and non-decreasing in id order
+    assert(out.map(_._2).toSet == (0L to out.map(_._2).max).toSet)
+    // original columns preserved, helper column dropped
+    val cols = Splits.packSequences(df, "id", col("tok"), 10L).columns.toSeq
+    assert(cols == Seq("id", "tok", "seq_id"))
+  }
+
   test("sampleToTokenBudget: deterministic, ~budget tokens per group, small groups kept whole") {
     val tok = TextAnalysis.tokenCount(col("text"))
     val out = Splits.sampleToTokenBudget(docs, "doc_id", "source", tok, 2000L)
