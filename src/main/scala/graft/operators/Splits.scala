@@ -106,7 +106,9 @@ object Splits {
                     budgetTokens: Long, seqCol: String = "seq_id"): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val spark = df.sparkSession
-    val arranged = df.withColumn("__tok", tokensCol.cast("long"))
+    // null token counts (e.g. size() of a null array) pack as 0 rather
+    // than NPE-ing the offsets job
+    val arranged = df.withColumn("__tok", coalesce(tokensCol.cast("long"), lit(0L)))
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
     val rdd = arranged.rdd
