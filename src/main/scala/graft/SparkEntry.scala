@@ -234,6 +234,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- E4d: the "actually drop the duplicates" act -----------------
+    // dedupNear composes pairs → groups → anti-join: the docs<200 slice
+    // minus every row that lost its component's min-id pick. Rows in no
+    // pair survive untouched.
+    "near_dedup_apply" -> ((s, dir) => {
+      val slice = docs(s, dir).filter(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(slice, "doc_id", "text", n = 2, threshold = 0.09)
+      Dedup.dedupNear(slice, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- THE full training-set hygiene pipeline, composed ------------
     // chunk → embed → exact-dedup → decontaminate → split in ONE declared
     // query — the 100 TB story is the pipeline, not the operators in
@@ -1145,6 +1157,39 @@ object SparkEntry {
         |SELECT id, group_id,
         |  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
         |FROM lab ORDER BY id""".stripMargin,
+
+    // Apply the survivor pick: same transitive closure, then the slice
+    // minus every node whose converged label is not itself.
+    "near_dedup_apply" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 200)
+        |),
+        |pr AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS asz, len(b.sh) AS bsz
+        |    FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |  WHERE CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.09
+        |),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION SELECT b_id, a_id FROM pr
+        |),
+        |walk AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+        |),
+        |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk GROUP BY src)
+        |SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE doc_id < 200
+        |  AND doc_id NOT IN (SELECT id FROM lab WHERE id <> group_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // single-paragraph texts (no blank lines in the fixture) → exactly one
     // chunk = trimmed text; the greedy path is unit-tested, not oracled.
