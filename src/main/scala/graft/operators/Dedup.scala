@@ -313,6 +313,13 @@ object Dedup {
         val s = labelSum(next)
         changed = s.compareTo(prevSum) != 0
         prevSum = s
+        // `next` is materialized, so the PREVIOUS round's checkpoint
+        // blocks are dead — drop them now instead of waiting for GC
+        // (left to the ContextCleaner, every round of every call pins
+        // |nodes| rows in the block manager: the same slow-leak class as
+        // the round-8 assignIdsOrdered fix). Only the final round's
+        // blocks back the returned frame and stay.
+        labels.queryExecution.toRdd.unpersist(false)
         labels = next
         iter += 1
       }
