@@ -275,15 +275,21 @@ object Dedup {
     * of (long, long) — never materializing components driver-side — and
     * near-dup components have tiny diameters in practice (dup clusters are
     * dense), so 3–5 rounds is typical; the jump step bounds even a
-    * pathological 2^maxIters-long chain. The edge set is persisted once and
-    * unpersisted before returning.
+    * pathological 2^maxIters-long chain. The caller's pair plan is
+    * materialized exactly ONCE (localCheckpoint before symmetrizing — a
+    * plain union would carry the full upstream pair computation in both
+    * branches and run it twice), and each round's superseded checkpoint
+    * blocks are released eagerly via their REAL persisted-RDD handles
+    * (the frame's `toRdd` is a derived wrapper; unpersisting it is a
+    * no-op). Only the final round's blocks back the returned frame —
+    * release them with [[releaseCheckpointBlocks]] when done.
     */
   def nearDupGroups(pairs: DataFrame, aCol: String = "a_id",
                     bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint() // eager: the (often expensive) pair plan runs once
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Round 0: label = min(self, neighbors). Every endpoint appears as a
       // src in the symmetrized edge set, so this covers all nodes.
@@ -317,18 +323,35 @@ object Dedup {
         // blocks are dead — drop them now instead of waiting for GC
         // (left to the ContextCleaner, every round of every call pins
         // |nodes| rows in the block manager: the same slow-leak class as
-        // the round-8 assignIdsOrdered fix). Only the final round's
-        // blocks back the returned frame and stay.
-        labels.queryExecution.toRdd.unpersist(false)
+        // the round-8 assignIdsOrdered fix). Release goes through the
+        // REAL persisted RDD inside the plan's LogicalRDD — `toRdd`
+        // hands back a derived MapPartitionsRDD whose unpersist is a
+        // no-op (round-9 fix). Only the final round's blocks back the
+        // returned frame and stay.
+        releaseCheckpointBlocks(labels)
         labels = next
         iter += 1
       }
-      if (changed)
+      if (changed) {
+        releaseCheckpointBlocks(labels) // not returning it — drop its blocks
         throw new graft.core.EngineError(
           s"nearDupGroups: not converged after $maxIters rounds (labels still moving) — raise maxIters")
+      }
       labels.select(col("id"), col("label").as("group_id"))
-    } finally edges.unpersist()
+    } finally releaseCheckpointBlocks(e0)
   }
+
+  /** Release the block-manager storage backing a `localCheckpoint`ed frame
+    * — e.g. the frame [[nearDupGroups]] returns — once it is no longer
+    * needed. Without this the blocks survive until the ContextCleaner
+    * notices the RDD is garbage (GC-timing-dependent), pinning |frame|
+    * rows per call. A frame never checkpointed is untouched (no
+    * LogicalRDD in its plan → no-op). Do not read the frame afterwards.
+    */
+  def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Near-dedup a table against a pair set: resolve `pairs` into groups via
     * [[nearDupGroups]] and drop every row whose id lost its component's
@@ -339,9 +362,15 @@ object Dedup {
   def dedupNear(df: DataFrame, idCol: String, pairs: DataFrame,
                 aCol: String = "a_id", bCol: String = "b_id",
                 maxIters: Int = 25): DataFrame = {
-    val losers = nearDupGroups(pairs, aCol, bCol, maxIters)
-      .filter(col("id") =!= col("group_id"))
+    val groups = nearDupGroups(pairs, aCol, bCol, maxIters)
+    // Materialize just the loser ids (≤ |nodes| longs) and release the
+    // full (id, group_id) checkpoint right away — the returned plan then
+    // pins only the small loser set (release it with
+    // [[releaseCheckpointBlocks]] when done).
+    val losers = groups.filter(col("id") =!= col("group_id"))
       .select(col("id").as("__loser_id"))
+      .localCheckpoint()
+    releaseCheckpointBlocks(groups)
     df.join(losers, df(idCol).cast("long") === col("__loser_id"), "left_anti")
   }
 

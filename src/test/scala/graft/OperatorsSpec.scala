@@ -163,6 +163,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("nearDupGroups/dedupNear: repeated calls leave no persisted RDDs behind (round-9 leak fix)") {
+    // Round 8 "released" each superseded round via queryExecution.toRdd —
+    // a derived MapPartitionsRDD, so unpersist was a no-op and every round
+    // of every call pinned checkpoint blocks until ContextCleaner GC. The
+    // release now goes through the REAL persisted handle (the LogicalRDD's
+    // rdd). A 60-node chain forces several propagation rounds per call.
+    val chain = (100L until 160L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val table = (100L to 161L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      val groups = Dedup.nearDupGroups(chain)
+      assert(groups.count() == 61L)
+      Dedup.releaseCheckpointBlocks(groups) // caller done with the frame
+      val kept = Dedup.dedupNear(table, "id", chain)
+      // one component 100..160 → survivor 100; 161 is unpaired and survives
+      assert(kept.select("id").as[Long].collect().toSet == Set(100L, 161L))
+      Dedup.releaseCheckpointBlocks(kept)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"nearDupGroups leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs}")
+  }
+
   test("nearDupPairsExact refuses tables beyond maxRows (scale guard)") {
     intercept[IllegalArgumentException] {
       Dedup.nearDupPairsExact(embs, "vec_id", "embedding", 0.5, maxRows = 10).collect()
