@@ -891,17 +891,28 @@ object SparkEntry {
     // floor_met, recall).
     "near_dup_lsh_recall" -> ((s, dir) => {
       val sub = embs(s, dir).filter(col("vec_id") < 200)
-      val exact = Dedup.nearDupPairsExact(sub, "vec_id", "embedding", threshold = 0.3)
-        .select("a_id", "b_id")
-      val approx = AnnIndex.nearDupPairsLSH(sub, "vec_id", "embedding",
-          threshold = 0.3, AnnIndex.Config(dim = 64, nBits = 4, nTables = 12))
-        .select("a_id", "b_id").withColumn("hit", lit(1))
-      exact.join(approx, Seq("a_id", "b_id"), "left")
-        .agg(count(lit(1)).cast("double").as("n"),
-          sum(coalesce(col("hit"), lit(0))).cast("double").as("hits"))
-        .select(col("n").cast("long").as("n_exact"),
-          when(col("hits") / col("n") >= NearDupRecallFloor, 1L).otherwise(0L).as("floor_met"),
-          round(col("hits") / col("n"), 6).as("recall"))
+      pairRecallRow(
+        Dedup.nearDupPairsExact(sub, "vec_id", "embedding", threshold = 0.3),
+        AnnIndex.nearDupPairsLSH(sub, "vec_id", "embedding",
+          threshold = 0.3, AnnIndex.Config(dim = 64, nBits = 4, nTables = 12)))
+    }),
+
+    // E4 quality floor: MinHash-LSH pair recall against the EXACT shingle
+    // Jaccard pair set (jaccardPairs with the hot-shingle cap opted out =
+    // textbook Jaccard) on the guarded doc_id<60 slice — the last near-dup
+    // path with neither an oracle row nor a floor (round-9). Misses can
+    // come only from minhash banding and 2^18 feature-hash collisions;
+    // MLlib's join reports exact feature-set Jaccard for candidates, so
+    // precision is ~1 and recall is the open question. Seeded →
+    // deterministic; not ANSI-expressible (the oracle would replay
+    // MinHash), so rows-only with a row/schema check on
+    // (n_exact, floor_met, recall).
+    "minhash_recall" -> ((s, dir) => {
+      val sub = docs(s, dir).filter(col("doc_id") < 60)
+      pairRecallRow(
+        Dedup.jaccardPairs(sub, "doc_id", "text", n = 1, threshold = 0.5,
+          maxDocFreq = Long.MaxValue),
+        MinHashDedup.nearDupPairs(sub, "doc_id", "text", n = 1, maxDistance = 0.5))
     })
   )
 
@@ -918,6 +929,22 @@ object SparkEntry {
     * ann/ivf recall rows so k, the floor, and the rounding cannot drift
     * between them.
     */
+  /** One (n_exact, floor_met, recall) row: fraction of the exact near-dup
+    * pair set an approximate pair operator recovered. Shared by the
+    * hyperplane-LSH and MinHash recall rows so the floor, the join keys
+    * and the rounding cannot drift between them. Both inputs must carry
+    * (a_id, b_id) with a < b (every pair operator's contract).
+    */
+  private def pairRecallRow(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("a_id", "b_id")
+      .join(approx.select("a_id", "b_id").distinct().withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(coalesce(col("hit"), lit(0))).cast("double").as("hits"))
+      .select(col("n").cast("long").as("n_exact"),
+        when(col("hits") / col("n") >= NearDupRecallFloor, 1L).otherwise(0L).as("floor_met"),
+        round(col("hits") / col("n"), 6).as("recall"))
+
   private def recallRow(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
     val exact = Similarity.topK(embs(s, dir), "embedding", "vec_id", queryVec(s, dir), RecallK)
       .select(col("vec_id").as("id"))
