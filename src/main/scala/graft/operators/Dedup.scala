@@ -276,19 +276,24 @@ object Dedup {
     * near-dup components have tiny diameters in practice (dup clusters are
     * dense), so 3–5 rounds is typical; the jump step bounds even a
     * pathological 2^maxIters-long chain. The caller's pair plan is
-    * materialized exactly ONCE (localCheckpoint before symmetrizing — a
+    * materialized exactly ONCE: e0 is PERSISTED before symmetrizing (a
     * plain union would carry the full upstream pair computation in both
-    * branches and run it twice), and each round's superseded checkpoint
-    * blocks are released eagerly via their REAL persisted-RDD handles
-    * (the frame's `toRdd` is a derived wrapper; unpersisting it is a
-    * no-op). Only the final round's blocks back the returned frame —
-    * release them with [[releaseCheckpointBlocks]] when done.
+    * branches and run it twice — round-9 fix), and persist-materialization
+    * is deliberate over a localCheckpoint here: the cached plan compiles
+    * without AQE's byte-based partition coalescing, which under-
+    * parallelizes the CPU-heavy posting join/window of a jaccard pair
+    * plan (measured 20 s AQE-coalesced vs 6.5 s cached at a 20k-doc
+    * probe). Each round's superseded checkpoint blocks are released
+    * eagerly via their REAL persisted-RDD handles (the frame's `toRdd`
+    * is a derived wrapper; unpersisting it is a no-op). Only the final
+    * round's blocks back the returned frame — release them with
+    * [[releaseCheckpointBlocks]] when done.
     */
   def nearDupGroups(pairs: DataFrame, aCol: String = "a_id",
                     bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .localCheckpoint() // eager: the (often expensive) pair plan runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     try {
       // Round 0: label = min(self, neighbors). Every endpoint appears as a
@@ -338,7 +343,7 @@ object Dedup {
           s"nearDupGroups: not converged after $maxIters rounds (labels still moving) — raise maxIters")
       }
       labels.select(col("id"), col("label").as("group_id"))
-    } finally releaseCheckpointBlocks(e0)
+    } finally e0.unpersist()
   }
 
   /** Release the block-manager storage backing a `localCheckpoint`ed frame
