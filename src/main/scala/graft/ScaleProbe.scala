@@ -238,6 +238,20 @@ object ScaleProbe {
         TextAnalysis.tokenCount(col("text")), 2048L)
         .agg(max(col("seq_id"))).collect()
     }
+    // round-9: the precomputed-token path — the pipeline already computed
+    // n_tokens for its quality filter (fused metrics), so the pack reads a
+    // long column instead of re-tokenizing. Materialized OUTSIDE the timed
+    // block: the measurement is "pack given the column exists", the real
+    // pipeline_filter_pack shape.
+    locally {
+      val withTok = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      try timed("pack sequences (precomputed tokens)") {
+        Splits.packSequences(withTok, "doc_id", col("n_tokens"), 2048L)
+          .agg(max(col("seq_id"))).collect()
+      } finally graft.operators.Dedup.releaseCheckpointBlocks(withTok)
+    }
     timed("split assign (full corpus)") {
       Splits.assignSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

@@ -101,10 +101,26 @@ object Splits {
     * Cross-job layout consistency comes from shuffle-file reuse (the
     * boundaries sample once; later jobs stage-skip to the same map
     * outputs). Output appends `seq_id`.
+    *
+    * `tokensCol` is any Column: pass an EXISTING count column (e.g. the
+    * fused metrics' `n_tokens` a quality filter already computed —
+    * [[graft.operators.TextAnalysis.metrics]]) rather than a fresh
+    * `tokenCount(text)` whenever the pipeline has one. The packing scan
+    * evaluates `tokensCol` over the whole corpus; at 100 TB,
+    * re-tokenizing here is the dominant cost of the pack (measured
+    * 37 s → ~1/5th at 2.5M docs, SCALE.md round-9), pure column reads
+    * are ~free.
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
                     budgetTokens: Long, seqCol: String = "seq_id"): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    // scratch/output collisions corrupt silently (withColumn REPLACES an
+    // existing column and the scratch is dropped from the output) — refuse
+    // loudly instead, the explodeChunks contract
+    require(!df.columns.contains("__tok"),
+      "packSequences: input already has a '__tok' column (internal scratch) — rename it first")
+    require(!df.columns.contains(seqCol),
+      s"packSequences: input already has a '$seqCol' column — pass a different seqCol")
     val spark = df.sparkSession
     // null token counts (e.g. size() of a null array) pack as 0 rather
     // than NPE-ing the offsets job

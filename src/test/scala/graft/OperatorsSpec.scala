@@ -494,6 +494,19 @@ class OperatorsSpec extends SparkSpec {
     assert(cols == Seq("id", "tok", "seq_id"))
   }
 
+  test("packSequences refuses scratch/output column collisions (round-9 guard)") {
+    val df = Seq((1L, 3L)).toDF("id", "tok")
+    intercept[IllegalArgumentException] {
+      Splits.packSequences(df.withColumnRenamed("tok", "__tok"), "id", col("__tok"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Splits.packSequences(df.withColumnRenamed("tok", "seq_id"), "id", col("seq_id"), 10L)
+    }
+    // a precomputed token COLUMN is the supported fast path
+    val out = Splits.packSequences(df, "id", col("tok"), 10L)
+    assert(out.columns.toSeq == Seq("id", "tok", "seq_id"))
+  }
+
   test("sampleToTokenBudget: deterministic, ~budget tokens per group, small groups kept whole") {
     val tok = TextAnalysis.tokenCount(col("text"))
     val out = Splits.sampleToTokenBudget(docs, "doc_id", "source", tok, 2000L)
