@@ -65,7 +65,7 @@ object SparkEntry {
 
   // k is auto-picked (~sqrt(|corpus|), IvfIndex.autoK) so the cluster count
   // tracks the scale factor instead of hardcoding the sf0.001 toy value;
-  // nProbe scales with it (defaultNProbe: ~k/8) to hold the scanned
+  // nProbe scales with it (defaultNProbe: ~k/4) to hold the scanned
   // fraction — and therefore recall — constant across SFs.
   private def ivfIndex(s: SparkSession, dir: String): (IvfIndex.Model, DataFrame) =
     SessionCache.getOrCreate(s"ivf_index:$dir") {
@@ -83,7 +83,59 @@ object SparkEntry {
   def warmArtifacts(s: SparkSession, dir: String): Unit = {
     lshIndex(s, dir)
     ivfIndex(s, dir)
+    annAppendParity(s, dir)
   }
+
+  /** Append-path parity for BOTH persisted indexes (round-9): build each
+    * index over the first 3/4 of the corpus, APPEND the last 1/4 as the
+    * daily batch ([[AnnIndex.appendToIndex]] /
+    * [[IvfIndex.appendToIndex]] against the frozen model), and compare
+    * the flagship top-k probe — ids AND rounded scores — against a
+    * same-config build over the full corpus. Also runs the frozen-model
+    * [[IvfIndex.driftCheck]] on the batch: a same-distribution quarter
+    * must NOT recommend a re-fit. The computed row is invariant
+    * (parity=1, refit=0) so it hash-checks against a constant oracle —
+    * the embed_hash pattern. Cached: the builds are offline artifacts,
+    * not per-query serving work.
+    */
+  private def annAppendParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"ann_append_parity:$dir") {
+      val all = embs(s, dir)
+      val q = queryVec(s, dir)
+      val cut = all.count() * 3 / 4
+      val old = all.filter(col("vec_id") < cut)
+      val batch = all.filter(col("vec_id") >= cut)
+      def probed(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("id"), round(col("score"), 6).as("score"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // LSH: deterministic hyperplanes → append must equal rebuild
+      val lshPath = SessionCache.newTempDir("graft-lsh-append")
+      AnnIndex.writeIndex(AnnIndex.buildIndex(old, "vec_id", "embedding", annCfg), lshPath)
+      AnnIndex.appendToIndex(batch, lshPath, "vec_id", "embedding", annCfg)
+      val lshParity = probed(AnnIndex.queryTopK(s.read.parquet(lshPath), q, RecallK, annCfg)) ==
+        probed(AnnIndex.queryTopK(AnnIndex.buildIndex(all, "vec_id", "embedding", annCfg), q, RecallK, annCfg))
+      // IVF: frozen model fit on the first HALF; the drift baseline comes
+      // from the held-out second quarter (out-of-sample — in-sample
+      // quality is ~0.15 optimistic at this geometry and would flag every
+      // healthy batch; see IvfIndex.driftCheck). The index itself covers
+      // all of `old` under the frozen model, as a deployment's would.
+      val model = IvfIndex.fit(all.filter(col("vec_id") < cut / 2), "embedding")
+      val baseline = IvfIndex.meanAssignedCosine(
+        all.filter(col("vec_id") >= cut / 2 && col("vec_id") < cut), "embedding", model)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      val ivfPath = SessionCache.newTempDir("graft-ivf-append")
+      IvfIndex.writeIndex(IvfIndex.buildIndex(old, "vec_id", "embedding", model), ivfPath)
+      IvfIndex.appendToIndex(batch, ivfPath, "vec_id", "embedding", model)
+      val ivfParity = probed(IvfIndex.queryTopK(s.read.parquet(ivfPath), model, q, RecallK, nProbe)) ==
+        probed(IvfIndex.queryTopK(IvfIndex.buildIndex(all, "vec_id", "embedding", model), model, q, RecallK, nProbe))
+      val drift = IvfIndex.driftCheck(batch, "embedding", model, baseline)
+      import s.implicits._
+      Seq((RecallK.toLong,
+        if (lshParity) 1L else 0L,
+        if (ivfParity) 1L else 0L,
+        if (drift.refitRecommended) 1L else 0L))
+        .toDF("k", "parity_lsh", "parity_ivf", "refit_recommended")
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * embed-side scan → codegen cosine score → TakeOrderedAndProject top-5 →
@@ -835,6 +887,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E7 composition: filter-audit → sequence PACKING as one chain — the
+    // assembly half of a corpus build (quality gate, then pack survivors
+    // in id order into 512-token sequences). The pack REUSES the fused
+    // metrics' n_tokens (round-9 precomputed-token path): one tokenize
+    // per row feeds filter AND pack, instead of packSequences
+    // re-tokenizing the kept corpus — at 100 TB the re-tokenize is the
+    // dominant pack cost (SCALE.md).
+    "pipeline_filter_pack" -> ((s, dir) => {
+      val kept = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.metrics(col("text")).as("m"))
+        .select(col("doc_id"), col("m.n_tokens").cast("long").as("n_tokens"),
+          col("m.reasons").as("reasons"))
+        .filter(col("reasons") === "").drop("reasons")
+      Splits.packSequences(kept, "doc_id", col("n_tokens"), budgetTokens = 512L)
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: fake decode → feature vectors. The md5 digest pins the
     // exact feature values deterministically but the stride-hash decoder
     // is not ANSI-expressible, so this row stays rows-only; the
@@ -878,6 +948,12 @@ object SparkEntry {
       recallRow(s, dir, IvfIndex.queryTopK(idx, model, queryVec(s, dir), RecallK,
         nProbe = IvfIndex.defaultNProbe(model.centroids.length)))
     }),
+
+    // E2 index MAINTENANCE (round-9): append-vs-rebuild probe parity for
+    // both persisted indexes + the frozen-model drift verdict — the
+    // invariants are constants, so this row is hash-checked against a
+    // constant oracle (the computation is real; see annAppendParity).
+    "ann_append_parity" -> ((s, dir) => annAppendParity(s, dir)),
 
     // E4 quality floor: pair-level recall of the LSH near-dup SCALE path
     // against the exact pair set on the same guarded subset (the
@@ -1741,6 +1817,53 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
         |      < CAST(FLOOR(rate * 10000) AS BIGINT)
         |ORDER BY k.doc_id""".stripMargin,
+
+    // Append-parity invariants: the Spark side builds, appends and probes
+    // both indexes for real; the oracle pins the only acceptable outcome
+    // (probe parity, no refit on a same-distribution batch) — the
+    // embed_hash invariant-oracle pattern.
+    "ann_append_parity" ->
+      """SELECT CAST(10 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS parity_lsh,
+        |  CAST(1 AS BIGINT) AS parity_ivf,
+        |  CAST(0 AS BIGINT) AS refit_recommended""".stripMargin,
+
+    // Filter → pack composition: the quality_filter CTE keeps reasons='',
+    // then the pack CTE runs the exclusive-running-sum window over the
+    // KEPT rows only (filter-then-pack ordering; window formulation =
+    // the distributed per-partition-offset implementation).
+    "pipeline_filter_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltok,
+        |    regexp_split_to_array(trim(text), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, ntok, len,
+        |    ROUND((LEAST(len / 200.0, 1.0) + LEAST(ntok / 40.0, 1.0) +
+        |      GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |        ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) +
+        |      LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |        ELSE len(list_filter(ltok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0)
+        |      ) / 4.0, 6) AS quality,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE (ntok - len(list_distinct(tok))) / CAST(ntok AS DOUBLE) END AS dupfrac
+        |  FROM t),
+        |kept AS (
+        |  SELECT doc_id, ntok FROM q
+        |  WHERE NOT (len < 50) AND NOT (ntok < 10)
+        |    AND NOT (dupfrac > 0.5) AND NOT (quality < 0.3)),
+        |c AS (
+        |  SELECT doc_id, ntok,
+        |    COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM kept)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(pre // 512 AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Mixture sampling: per-source keep-rate from token totals, salted
     // md5 bucket under FLOOR(rate*10000) — floor, not round, because
