@@ -542,6 +542,37 @@ object SparkEntry {
       s.table(sinkName).orderBy("text_sha")
     }),
 
+    // E5×E4×E6 composition (round-9): the STREAMING face of the hygiene
+    // pipeline — quality-filter each arriving doc, then exact-dedup the
+    // survivors within the watermark horizon, chained as ONE AvailableNow
+    // stream (both stages individually green; the composition row catches
+    // interface drift between them, the pipeline_hygiene argument). The
+    // doubled arrival dir + maxFilesPerTrigger=1 forces the dedup state to
+    // genuinely cross micro-batches. Output: the kept distinct sha set
+    // plus the fused metrics the filter attached — deterministic functions
+    // of the text, so WHICH copy survives cannot change the row.
+    "stream_hygiene" -> ((s, dir) => {
+      val arrivalDir = SessionCache.getOrCreate[String](s"docs_x2:$dir") {
+        val p = SessionCache.newTempDir("graft-docs-x2")
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        java.nio.file.Files.copy(src, java.nio.file.Paths.get(p, "arrival-0.parquet"))
+        java.nio.file.Files.copy(src, java.nio.file.Paths.get(p, "arrival-1.parquet"))
+        p
+      }
+      val arrivals = Tables.documentsArrivalStream(s, arrivalDir, maxFilesPerTrigger = 1)
+        .withColumn("arrival_ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      val sinkName = "graft_stream_hygiene"
+      val sq = Streams.dedupExactStreamWithinWatermark(
+          Streams.qualityFilterStream(arrivals, "text"), "text", "arrival_ts", "365 days")
+        .select(col("text_sha"), col("n_tokens"), col("quality"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_hygiene: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("text_sha")
+    }),
+
     // ---- set ops: purchasers who hit no errors (day-1 slice) ---------
     "events_setops" -> ((s, dir) => {
       val e = events(s, dir).filter(col("ts") < to_timestamp(lit("2024-01-02 00:00:00")))
@@ -1896,6 +1927,37 @@ object SparkEntry {
     "stream_dedup_wm" ->
       """SELECT DISTINCT sha256(text) AS text_sha
         |FROM documents ORDER BY text_sha""".stripMargin,
+
+    // Streaming hygiene composition: the batch replay is quality_filter's
+    // kept set collapsed to distinct (sha, metrics) rows — stateless
+    // filter + within-horizon dedup where the 365-day delay outlives the
+    // synthetic event-time span, so stream and batch agree exactly.
+    "stream_hygiene" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltok,
+        |    regexp_split_to_array(trim(text), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, ntok, len,
+        |    ROUND((LEAST(len / 200.0, 1.0) + LEAST(ntok / 40.0, 1.0) +
+        |      GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |        ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) +
+        |      LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |        ELSE len(list_filter(ltok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0)
+        |      ) / 4.0, 6) AS quality,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE (ntok - len(list_distinct(tok))) / CAST(ntok AS DOUBLE) END AS dupfrac
+        |  FROM t)
+        |SELECT DISTINCT sha256(text) AS text_sha,
+        |  CAST(ntok AS BIGINT) AS n_tokens, quality
+        |FROM q
+        |WHERE NOT (len < 50) AND NOT (ntok < 10)
+        |  AND NOT (dupfrac > 0.5) AND NOT (quality < 0.3)
+        |ORDER BY text_sha""".stripMargin,
 
     // Multimodal featurizer invariants, engine-independent: the (fake)
     // decoder always emits dim=32 features, and L2-normalizes to unit norm
