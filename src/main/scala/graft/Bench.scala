@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions.col
   *     numbers are inflated by machine load, not code;
   *   - a query that throws is billed as an explicit entry in `"errors"`
   *     (name -> exception class+message, control characters escaped so the
-  *     artifact stays one valid JSON line) and contributes 0 to `value`.
+  *     artifact stays one valid JSON line) and contributes 0 to `value`;
+  *   - a hot POST canary (load arrived mid-loop) triggers ONE bounded
+  *     wait-and-rerun of the whole query loop before emitting
+  *     (`"loop_retried"`), so a single co-tenant burst no longer forces a
+  *     flagged artifact; a second hot exit records `load_inflated` as
+  *     before (round-9).
   */
 object Bench {
   /** Fixed-work unit: ~200M iterations of a 64-bit mix. Pure ALU work,
@@ -147,29 +152,50 @@ object Bench {
     // pre-build the per-sfDir artifacts — the timed rows measure PROBING.
     SparkEntry.warmArtifacts(spark, sfDir)
 
-    val results: Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
-        name -> timed(() => { fn(spark, sfDir).count(); () })
+    // One full measurement pass: every declared query (min-of-ITERS each),
+    // the bench-only volume row, then the post canaries that certify the
+    // loop ran on a quiet box. The volume row pins the k-bounded
+    // partial-agg sim-join plan at realistic query volume (500 queries ×
+    // full corpus, k=5) — same operator as sim_join_topk, no second
+    // oracle needed.
+    def runLoop(): (Map[String, Either[String, Double]], Double, Double) = {
+      val results: Map[String, Either[String, Double]] =
+        SparkEntry.queries.map { case (name, fn) =>
+          name -> timed(() => { fn(spark, sfDir).count(); () })
+        }
+      val simVolume = timed { () =>
+        val e = core.Tables.embeddings(spark, sfDir)
+        operators.SimJoin.topKPerQuery(
+          e.filter(col("vec_id") < 500)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+          k = 5).count()
+        ()
       }
-
-    // Bench-only volume row: the k-bounded partial-agg sim-join plan at
-    // realistic query volume (500 queries × full corpus, k=5). Same
-    // operator as sim_join_topk — no second oracle needed — this row pins
-    // that the exchange stays ≤ k·queries·partitions at volume.
-    val simVolume = timed { () =>
-      val e = core.Tables.embeddings(spark, sfDir)
-      operators.SimJoin.topKPerQuery(
-        e.filter(col("vec_id") < 500)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-        e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
-        k = 5).count()
-      ()
+      (results + ("bench_sim_join_volume_500q" -> simVolume),
+        canarySeconds(), canaryParSeconds(parThreads))
     }
 
-    val canaryPost = canarySeconds()
-    val canaryParPost = canaryParSeconds(parThreads)
-
-    val all = results + ("bench_sim_join_volume_500q" -> simVolume)
+    var (all, canaryPost, canaryParPost) = runLoop()
+    // Round-9 (the r8 verdict's process gap): a hot POST canary means load
+    // arrived MID-LOOP — the guard used to stamp load_inflated and record
+    // the hot numbers anyway, leaving the judge to rerun by hand. Instead,
+    // wait for the box to cool (same bounded probe as the pre-loop gate)
+    // and re-run the query loop ONCE. A second hot exit records flagged —
+    // no unbounded retry.
+    var loopRetried = false
+    if (canaryParPost > hotFactor * CanaryParRefSec) {
+      var probe = canaryParPost
+      var i = 0
+      while (probe > hotFactor * CanaryParRefSec && i < maxCanaryRetries) {
+        Thread.sleep(20000L)
+        probe = canaryParSeconds(parThreads)
+        i += 1
+      }
+      loopRetried = true
+      val again = runLoop()
+      all = again._1; canaryPost = again._2; canaryParPost = again._3
+    }
     val ok = all.collect { case (k, Right(v)) => k -> v }
     val errs = all.collect { case (k, Left(e)) => k -> e }
     val qs = ok.map { case (k, v) => s"\"" + jsonEscape(k) + "\":" + v }
@@ -190,7 +216,7 @@ object Bench {
       s""""canary_pre_sec":$canaryPre,"canary_post_sec":$canaryPost,""" +
       s""""canary_par_pre_sec":$canaryParPre,"canary_par_post_sec":$canaryParPost,""" +
       s""""canary_par_threads":$parThreads,"canary_retries":$canaryRetries,""" +
-      s""""load_inflated":$loadInflated,""" +
+      s""""load_inflated":$loadInflated,"loop_retried":$loopRetried,""" +
       s""""canary_ref_sec":$CanaryRefSec,"canary_par_ref_sec":$CanaryParRefSec,""" +
       s""""canary_par_ref_threads":$CanaryParRefThreads,"sf":"${jsonEscape(sfDir)}"}""")
     spark.stop()
