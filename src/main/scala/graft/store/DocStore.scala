@@ -146,10 +146,21 @@ object DocStore {
     val lockOut =
       try fs.create(lock, /* overwrite = */ false)
       catch {
-        case e: java.io.IOException =>
+        // Only an actually-held lock is "swap in progress" — a permissions
+        // or filesystem failure must surface as itself, not as advice to
+        // go remove a lock that does not exist (round-9, per advisor).
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw new graft.core.EngineError(
             s"store swap already in progress (single-writer contract): lock $lock exists; " +
             s"if its owner crashed, inspect and remove it by hand [${e.getClass.getSimpleName}]")
+        case e: java.io.IOException if fs.exists(lock) =>
+          throw new graft.core.EngineError(
+            s"store swap already in progress (single-writer contract): lock $lock exists; " +
+            s"if its owner crashed, inspect and remove it by hand [${e.getClass.getSimpleName}]")
+        case e: java.io.IOException =>
+          throw new graft.core.EngineError(
+            s"could not create swap lock $lock (NOT a contention signal — check path and permissions): " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     try {
       // Lock body: owner diagnostics for stale-lock cleanup.
