@@ -64,7 +64,11 @@ object ScaleProbe {
     // unchanged mid-section (sim-joins, ANN builds/writes, streams) has
     // round-7 numbers on record in SCALE.md, and re-measuring ~15 min of
     // known-linear paths to validate a new operator wastes the window.
-    val onlyR8 = sys.env.contains("SPARK_GRAFT_ONLY_R8")
+    // SPARK_GRAFT_ONLY_R9=1 probes only the round-9 index-maintenance
+    // rows — at high amplification the rest of the sweep has recorded
+    // numbers and would add ~15 min for nothing.
+    val onlyR9 = sys.env.contains("SPARK_GRAFT_ONLY_R9")
+    val onlyR8 = onlyR9 || sys.env.contains("SPARK_GRAFT_ONLY_R8")
 
     // ---- the operators whose constants matter at scale ---------------
     if (!onlyR8) {
@@ -196,6 +200,7 @@ object ScaleProbe {
     // components are real and amp-sized) through the iterative min-label
     // propagation. Probes both the per-round shuffle cost and the
     // convergence round count at a non-toy component structure.
+    if (!onlyR9) {
     timed("near_dup_groups (20k-doc pair set)") {
       val pairs = Dedup.jaccardPairs(hotDocs.filter(col("doc_id") < 20000),
         "doc_id", "text", n = 2, threshold = 0.9)
@@ -274,6 +279,27 @@ object ScaleProbe {
     }
     timed("score pass (scala udf)") {
       emb.select(sum(VectorFunctions.cosine_udf(col("embedding"), typedlit(q.toSeq)))).collect()
+    }
+    }
+    // ---- round-9: index maintenance -----------------------------------
+    // append a 1% daily batch into the persisted LSH index vs rebuilding
+    // from scratch — the number that justifies appendToIndex at 100 TB
+    // (before round 9, ANY new data meant a full rebuild).
+    locally {
+      val cfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 8)
+      val cut = nEmb * 99 / 100
+      val path = java.nio.file.Files.createTempDirectory("graft-scale-append").toString
+      timed("lsh index build+write (99% corpus)") {
+        AnnIndex.writeIndex(
+          AnnIndex.buildIndex(emb.filter(col("vec_id") < cut), "vec_id", "embedding", cfg), path)
+      }
+      timed("lsh index APPEND 1% batch") {
+        AnnIndex.appendToIndex(
+          emb.filter(col("vec_id") >= cut), path, "vec_id", "embedding", cfg)
+      }
+      timed("probe appended index (top-10)") {
+        AnnIndex.queryTopK(spark.read.parquet(path), q, 10, cfg).collect()
+      }
     }
     spark.stop()
   }

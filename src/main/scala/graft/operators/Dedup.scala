@@ -257,10 +257,13 @@ object Dedup {
     *
     * Algorithm: distributed min-label propagation with POINTER JUMPING.
     * Each round (a) every node takes the min label over itself and its
-    * neighbors (one edge join + groupBy-min), then (b) follows its label
-    * one hop (`label := label(label)`, one self-join) — the path-doubling
-    * step that collapses long chains in O(log diameter) rounds instead of
-    * O(diameter). Each round is materialized via `localCheckpoint` so the
+    * neighbors (one edge join + groupBy-min), then (b) — from round
+    * `DirectRounds` on — follows its label one hop (`label :=
+    * label(label)`, one self-join): the path-doubling step that collapses
+    * long chains in O(log diameter) rounds instead of O(diameter). The
+    * first rounds skip the hop (round-9): dup clusters are dense and
+    * usually converge by propagation alone, so early hops cost a shuffle
+    * and buy nothing. Each round is materialized via `localCheckpoint` so the
     * iterative plan's lineage stays flat (an unchecked loop of joins grows
     * an exponential plan). Convergence is detected by the LABEL-SUM
     * invariant: every step is per-node non-increasing (propagate takes a
@@ -289,6 +292,9 @@ object Dedup {
     * round's blocks back the returned frame — release them with
     * [[releaseCheckpointBlocks]] when done.
     */
+  /** Rounds of plain propagation before pointer jumping engages. */
+  private val DirectRounds = 4
+
   def nearDupGroups(pairs: DataFrame, aCol: String = "a_id",
                     bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
@@ -315,12 +321,22 @@ object Dedup {
           .select(col("src").as("id"), col("nl").as("label"))
           .union(labels)
           .groupBy("id").agg(min(col("label")).as("label"))
-        // (b) pointer jump: label := label(label). Labels are always node
-        // ids of the same component, so the inner self-join is total.
-        val hop = prop.select(col("id").as("lid"), col("label").as("llabel"))
-        val next = prop.join(hop, prop("label") === hop("lid"))
-          .select(prop("id"), col("llabel").as("label"))
-          .localCheckpoint()
+        // (b) pointer jump: label := label(label) — the path-doubling
+        // self-join. Labels are always node ids of the same component, so
+        // the inner join is total. DEFERRED for the first DirectRounds
+        // rounds (round-9): real dup clusters are dense and converge by
+        // propagation alone within a few rounds, so the early hops buy
+        // nothing and cost a shuffle each; a genuine chain still gets
+        // path doubling from round DirectRounds on (4 + log2(len) rounds
+        // total — any chain up to 2^21 nodes fits the default maxIters).
+        // Skipping hops is semantics-free: propagation alone reaches the
+        // same fixpoint; the hop only accelerates.
+        val next = (if (iter < DirectRounds) prop
+          else {
+            val hop = prop.select(col("id").as("lid"), col("label").as("llabel"))
+            prop.join(hop, prop("label") === hop("lid"))
+              .select(prop("id"), col("llabel").as("label"))
+          }).localCheckpoint()
         val s = labelSum(next)
         changed = s.compareTo(prevSum) != 0
         prevSum = s
