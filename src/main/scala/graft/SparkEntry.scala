@@ -782,6 +782,40 @@ object SparkEntry {
         .orderBy(desc("score"), col("id"))
     }),
 
+    // E2/E3: BATCH probe against the same persisted index (round-9) — the
+    // serving path at query volume: 20 queries bucketed in one pass, the
+    // touched (table,bucket) set pushed as PartitionFilters, candidates
+    // deduped by max-score partial agg, ranked through the k-bounded
+    // SimJoin reduction. Seeded planes → deterministic; rows-only (the
+    // oracle would replay LSH); quality pinned by ann_batch_recall below
+    // and the probe-equality spec (AnnBatchSpec).
+    "ann_batch_topk" -> ((s, dir) =>
+      AnnIndex.queryTopKBatch(lshIndex(s, dir),
+          embs(s, dir).filter(col("vec_id") < 20), "vec_id", "embedding",
+          10, annCfg)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("q_id", "rank")),
+
+    // E2 quality floor for the batch probe: MEAN recall@10 across the 20
+    // queries vs the exact sim-join — (n_queries, floor_met, mean_recall),
+    // row/schema-checked like the other floors.
+    "ann_batch_recall" -> ((s, dir) => {
+      val queries = embs(s, dir).filter(col("vec_id") < 20)
+      val approx = AnnIndex.queryTopKBatch(lshIndex(s, dir), queries,
+        "vec_id", "embedding", RecallK, annCfg).select("q_id", "c_id")
+      val exact = SimJoin.topKPerQuery(
+          queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          embs(s, dir).select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+          RecallK)
+        .select("q_id", "c_id")
+      exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(coalesce(col("hit"), lit(0))).cast("double").as("hits"))
+        .select(lit(20L).as("n_queries"),
+          when(col("hits") / col("n") >= RecallFloor, 1L).otherwise(0L).as("floor_met"),
+          round(col("hits") / col("n"), 6).as("mean_recall"))
+    }),
+
     // E2: IVF probe against the PERSISTED index — quantizer fit + index
     // write happen once per (sfDir, JVM); the declared query only ranks
     // centroids driver-side and scans the nProbe pruned cluster

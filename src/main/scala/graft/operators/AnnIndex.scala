@@ -159,6 +159,64 @@ object AnnIndex {
                  queryVec: Array[Float], k: Int, cfg: Config): DataFrame =
     queryTopK(buildIndex(emb, idCol, embCol, cfg), queryVec, k, cfg)
 
+  /** BATCH probe (round-9): approximate top-k for EVERY query row through
+    * the index — the serving path for query volume, where
+    * [[SimJoin.topKPerQuery]] is the exact full-scan and [[queryTopK]]
+    * the single-vector probe. Per query this returns exactly what
+    * [[queryTopK]] would (same buckets, same exact re-rank, same
+    * tie-break) — AnnBatchSpec pins the equality.
+    *
+    * Shape: queries are bucketed with the same deterministic planes (one
+    * UDF pass, posexplode to (table, bucket, q_id, q_emb)); the batch's
+    * distinct (table, bucket) set — at most |queries|·nTables pairs — is
+    * collected and pushed as a PartitionFilters predicate so a persisted
+    * index scans only the touched dirs (a bare join cannot prune
+    * statically; past `maxPruneLiterals` the filter is skipped since the
+    * probe set approaches the whole index anyway). Candidates join on
+    * (table, bucket), score with the codegen cosine, dedup across tables
+    * by max-score partial agg (same trick as [[queryTopK]] — an id
+    * colliding in several tables carries the same vector, so max IS the
+    * score), then rank through [[SimJoin.rankTopK]]'s two-level k-bounded
+    * reduction: the final exchange moves O(|queries|·k·partitions) rows,
+    * never the raw candidate stream.
+    *
+    * Output: `(q_id, c_id, score, rank)`, rank 1..k by (score desc, c_id
+    * asc). A query whose buckets are all empty yields no rows (it has no
+    * candidates — mirror of the empty-table probe).
+    */
+  def queryTopKBatch(index: DataFrame, queries: DataFrame, qIdCol: String,
+                     qEmbCol: String, k: Int, cfg: Config,
+                     maxPruneLiterals: Int = 4096): DataFrame = {
+    graft.core.Validate.positiveTopK(k)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(cfg.nTables)(t => tablePlanes(cfg, t))
+    val bucketsUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      planes.map(p => bucketOf(a, p))
+    }
+    val qb = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(qEmbCol).as("q_emb"))
+      .withColumn("__graft_buckets", bucketsUdf(col("q_emb")))
+      .select(posexplode(col("__graft_buckets")).as(Seq("table", "bucket")),
+        col("q_id"), col("q_emb"))
+    // ≤ |queries|·nTables pairs — bounded by the batch, driver-safe
+    val touched = qb.select(col("table"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val pruned =
+      if (touched.length <= maxPruneLiterals && touched.nonEmpty)
+        index.filter(touched.map { case (t, b) =>
+          col("table") === t && col("bucket") === b
+        }.reduce(_ || _))
+      else index
+    val scored = pruned.join(qb, Seq("table", "bucket"))
+      .select(col("q_id"), col("id").as("c_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("q_id", "c_id").agg(max(col("score")).as("score"))
+      .as[SimJoin.Scored]
+    SimJoin.rankTopK(scored, k)
+  }
+
   /** Scale path for embedding near-duplicate pairs (the corpus×corpus case
     * [[graft.operators.Dedup.nearDupPairsExact]] refuses): candidates are
     * LSH bucket collisions (same table, same bucket), deduped across

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -101,6 +101,22 @@ object SimJoin {
         cosine_sim(col(cEmb), col(qEmb)).as("score"))
       .as[Scored]
 
+    rankTopK(scored, k)
+  }
+
+  /** Per-query top-k over ANY scored candidate stream — the two-level
+    * reduction shared by [[topKPerQuery]] and
+    * [[AnnIndex.queryTopKBatch]]: a mapPartitions pre-pass collapses each
+    * partition to ≤2k candidates per query (so the typed Aggregator's
+    * sort-based fallback can never bite), then the k-bounded Aggregator
+    * finishes under `groupByKey(q_id)`. The exchange moves
+    * O(|queries|·k·partitions) rows regardless of candidate volume.
+    * Callers must pass at most one row per (q_id, c_id) — duplicate
+    * candidates would occupy two heap slots.
+    */
+  private[operators] def rankTopK(scored: Dataset[Scored], k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     val reduced = scored.mapPartitions { it =>
       val heaps = scala.collection.mutable.HashMap.empty[Long, ArrayBuffer[(Long, Double)]]
       it.foreach { s =>
