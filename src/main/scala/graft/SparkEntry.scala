@@ -112,8 +112,15 @@ object SparkEntry {
       val lshPath = SessionCache.newTempDir("graft-lsh-append")
       AnnIndex.writeIndex(AnnIndex.buildIndex(old, "vec_id", "embedding", annCfg), lshPath)
       AnnIndex.appendToIndex(batch, lshPath, "vec_id", "embedding", annCfg)
-      val lshParity = probed(AnnIndex.queryTopK(s.read.parquet(lshPath), q, RecallK, annCfg)) ==
+      val rebuildProbe =
         probed(AnnIndex.queryTopK(AnnIndex.buildIndex(all, "vec_id", "embedding", annCfg), q, RecallK, annCfg))
+      val lshParity = probed(AnnIndex.queryTopK(s.read.parquet(lshPath), q, RecallK, annCfg)) ==
+        rebuildProbe
+      // ... and COMPACTION (appends accumulate per-batch files) must not
+      // change a probe either: rewrite one file per dir, swap, re-probe.
+      AnnIndex.compactIndex(s, lshPath)
+      val compactParity =
+        probed(AnnIndex.queryTopK(s.read.parquet(lshPath), q, RecallK, annCfg)) == rebuildProbe
       // IVF: frozen model fit on the first HALF; the drift baseline comes
       // from the held-out second quarter (out-of-sample — in-sample
       // quality is ~0.15 optimistic at this geometry and would flag every
@@ -132,9 +139,10 @@ object SparkEntry {
       import s.implicits._
       Seq((RecallK.toLong,
         if (lshParity) 1L else 0L,
+        if (compactParity) 1L else 0L,
         if (ivfParity) 1L else 0L,
         if (drift.refitRecommended) 1L else 0L))
-        .toDF("k", "parity_lsh", "parity_ivf", "refit_recommended")
+        .toDF("k", "parity_lsh", "parity_compact", "parity_ivf", "refit_recommended")
     }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -1890,6 +1898,7 @@ object SparkEntry {
     "ann_append_parity" ->
       """SELECT CAST(10 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS parity_lsh,
+        |  CAST(1 AS BIGINT) AS parity_compact,
         |  CAST(1 AS BIGINT) AS parity_ivf,
         |  CAST(0 AS BIGINT) AS refit_recommended""".stripMargin,
 

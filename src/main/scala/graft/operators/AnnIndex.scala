@@ -128,6 +128,22 @@ object AnnIndex {
       .repartition(col("table"), col("bucket"))
       .write.mode("append").partitionBy("table", "bucket").parquet(path)
 
+  /** COMPACT an index that accumulated per-append files (round-9, pairs
+    * with [[appendToIndex]]): every append adds ≥1 parquet file to each
+    * (table, bucket) dir it touches, so a long-running daily pipeline
+    * degrades probe scans into many-small-file reads. This rewrites the
+    * whole index back to one file per populated dir and atomically swaps
+    * it in ([[graft.store.DocStore.swapDirContents]] — same single-writer
+    * lock and rename dance as the store swap; readers keep the old
+    * listing mid-swap). Probe results are unchanged; refresh any cached
+    * file index (`spark.read.parquet`) afterwards. Run it on the
+    * append-count cadence, not per append — it rescans the full index.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.store.DocStore.swapDirContents(spark, path) { tmp =>
+      writeIndex(spark.read.parquet(path), tmp)
+    }
+
   /** Approximate top-k: probe the query's bucket in every table, score
     * every candidate with the exact codegen cosine, dedup across tables,
     * take k. Probe predicates are literal (table, bucket) pairs — pushed

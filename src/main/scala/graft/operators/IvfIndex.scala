@@ -132,6 +132,15 @@ object IvfIndex {
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
 
+  /** Compact per-append files back to one per cluster dir — the IVF twin
+    * of [[AnnIndex.compactIndex]] (see there for the cadence/atomicity
+    * contract).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.store.DocStore.swapDirContents(spark, path) { tmp =>
+      writeIndex(spark.read.parquet(path), tmp)
+    }
+
   /** Mean cosine between each (non-zero) vector and its assigned centroid
     * — the assignment-quality scalar [[driftCheck]] compares. One narrow
     * UDF scan + a single avg; NaN when the frame has no non-zero vectors.

@@ -139,7 +139,18 @@ object DocStore {
     * it to advisory. For a multi-writer production table, use a real table
     * format's transaction log instead of this fixture-grade store.
     */
-  def replaceContents(spark: SparkSession, path: String, next: DataFrame): Unit = {
+  def replaceContents(spark: SparkSession, path: String, next: DataFrame): Unit =
+    swapDirContents(spark, path)(tmp => next.write.parquet(tmp))
+
+  /** The swap half of [[replaceContents]], shared with index compaction
+    * ([[graft.operators.AnnIndex.compactIndex]]): run `writeTo` against a
+    * fresh temp dir next to `path`, then atomically promote it — old dir
+    * renamed aside, temp renamed in, backup removed — under the same
+    * create-exclusive single-writer lock. `writeTo` may lazily READ from
+    * `path` (the renames happen only after it returns), which is exactly
+    * how compaction rewrites a live dir.
+    */
+  def swapDirContents(spark: SparkSession, path: String)(writeTo: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(path + ".lock")
@@ -170,7 +181,7 @@ object DocStore {
       lockOut.close()
       val tmp = new org.apache.hadoop.fs.Path(path + s".tmp-${System.nanoTime()}")
       val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
-      next.write.parquet(tmp.toString)
+      writeTo(tmp.toString)
       if (fs.exists(p) && !fs.rename(p, bak))
         throw new graft.core.EngineError(s"could not move live store aside: $p")
       if (!fs.rename(tmp, p)) {

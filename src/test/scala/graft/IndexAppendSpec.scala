@@ -34,6 +34,19 @@ class IndexAppendSpec extends SparkSpec {
     assert(viaAppend == viaRebuild)
     // and the appended rows are really served from the index files
     assert(spark.read.parquet(path).count() == embs.count() * cfg.nTables)
+
+    // compaction: per-append files collapse back to one per dir, rows and
+    // probes unchanged
+    def parquetFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    val before = parquetFiles()
+    AnnIndex.compactIndex(spark, path)
+    assert(parquetFiles() < before, s"compaction did not reduce files ($before)")
+    assert(spark.read.parquet(path).count() == embs.count() * cfg.nTables)
+    assert(probeRows(AnnIndex.queryTopK(spark.read.parquet(path), qVec, 10, cfg)) == viaRebuild)
   }
 
   test("IVF appendToIndex: frozen-model append probes equal to frozen-model rebuild") {
