@@ -300,6 +300,20 @@ object ScaleProbe {
       timed("probe appended index (top-10)") {
         AnnIndex.queryTopK(spark.read.parquet(path), q, 10, cfg).collect()
       }
+      // batch probe at query volume through the SAME index — the scale
+      // answer to the 500-query exact sim-join (390 s at 1M vectors,
+      // r7 table): candidates come from bucket collisions, not a full
+      // scan, so cost follows Σ touched-bucket sizes.
+      timed("BATCH probe 500 q × index (top-5)") {
+        AnnIndex.queryTopKBatch(spark.read.parquet(path),
+          emb.filter(col("vec_id") < 500), "vec_id", "embedding", 5, cfg).count()
+      }
+      timed("compact appended index") {
+        AnnIndex.compactIndex(spark, path)
+      }
+      timed("probe compacted index (top-10)") {
+        AnnIndex.queryTopK(spark.read.parquet(path), q, 10, cfg).collect()
+      }
     }
     spark.stop()
   }

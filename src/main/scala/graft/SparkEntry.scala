@@ -777,6 +777,20 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
         .orderBy("a_id", "b_id")),
 
+    // E4/E2 composition (round-9): embedding-space near-dedup END-TO-END
+    // on the full embeddings table — LSH bucket pairs (the scale path the
+    // exact O(n²) form refuses) → connected components → survivor drop.
+    // The jaccard twin of this composition (near_dedup_apply) is
+    // hash-green; this row proves the same group/apply machinery composes
+    // with the seeded pair source, so it stays rows-only.
+    "near_dedup_apply_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val pairs = AnnIndex.nearDupPairsLSH(e, "vec_id", "embedding",
+        threshold = 0.3, AnnIndex.Config(dim = 64, nBits = 4, nTables = 12))
+      Dedup.dedupNear(e, "vec_id", pairs)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // E2: LSH probe against the PERSISTED index — built+written once per
     // (sfDir, JVM) via SessionCache, probed through read.parquet so the
     // (table, bucket) literals prune partitions at the scan, exactly the

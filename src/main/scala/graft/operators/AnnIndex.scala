@@ -219,11 +219,16 @@ object AnnIndex {
     // ≤ |queries|·nTables pairs — bounded by the batch, driver-safe
     val touched = qb.select(col("table"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1)))
+    // ONE flat In over a combined key, not an OR-chain: reduce(_ || _)
+    // builds a left-deep tree whose plan-conversion recursion overflows
+    // the driver stack past ~2k pairs (hit at the 500-query × 8-table
+    // rehearsal). Both operands are non-negative (nBits ≤ 31), so the
+    // packed long is collision-free; the predicate references only
+    // partition columns, so it still lands in PartitionFilters.
     val pruned =
       if (touched.length <= maxPruneLiterals && touched.nonEmpty)
-        index.filter(touched.map { case (t, b) =>
-          col("table") === t && col("bucket") === b
-        }.reduce(_ || _))
+        index.filter((col("table").cast("long") * (1L << 32) + col("bucket"))
+          .isin(touched.map { case (t, b) => t.toLong * (1L << 32) + b }: _*))
       else index
     val scored = pruned.join(qb, Seq("table", "bucket"))
       .select(col("q_id"), col("id").as("c_id"),
