@@ -852,6 +852,19 @@ object SparkEntry {
         .orderBy(desc("score"), col("id"))
     }),
 
+    // E2/E3: IVF batch probe against the persisted index (round-9) — each
+    // query ranks the broadcast centroids and probes its own nProbe
+    // clusters; touched clusters prune the scan; ids live in one cluster
+    // each so no dedup stage. Seeded k-means → deterministic; rows-only;
+    // per-query equality with ivf_topk's probe pinned by AnnBatchSpec.
+    "ivf_batch_topk" -> ((s, dir) => {
+      val (model, idx) = ivfIndex(s, dir)
+      IvfIndex.queryTopKBatch(idx, model, embs(s, dir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", 10, IvfIndex.defaultNProbe(model.centroids.length))
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Training-pipeline decontamination: corpus docs sharing ≥3 distinct
     // bigram shingles with any "benchmark" doc (docs 0-9 stand in for an
     // eval set). Probe postings broadcast; the corpus never shuffles for

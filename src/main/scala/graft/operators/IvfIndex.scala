@@ -199,4 +199,37 @@ object IvfIndex {
     val model = fit(emb, embCol, nClusters, seed)
     queryTopK(buildIndex(emb, idCol, embCol, model), model, queryVec, k, nProbe)
   }
+
+  /** BATCH probe (round-9) — the IVF twin of
+    * [[AnnIndex.queryTopKBatch]]: every query row ranks the broadcast
+    * centroids in one UDF pass and probes its own `nProbe` nearest
+    * clusters; the batch's touched-cluster set is pushed as a flat In
+    * over the partition column (pruned scan on a persisted index), and
+    * per-query top-k runs through [[SimJoin.rankTopK]]'s k-bounded
+    * reduction. Simpler than the LSH batch in one respect: each id lives
+    * in exactly ONE cluster, so no cross-table dedup is needed. Per
+    * query this equals [[queryTopK]] exactly (AnnBatchSpec).
+    */
+  def queryTopKBatch(index: DataFrame, model: Model, queries: DataFrame,
+                     qIdCol: String, qEmbCol: String, k: Int, nProbe: Int): DataFrame = {
+    graft.core.Validate.positiveTopK(k)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val probesUdf = udf { (v: Seq[Float]) =>
+      model.nearestClusters(v.toArray, nProbe).toArray
+    }
+    val qb = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(qEmbCol).as("q_emb"))
+      .withColumn("cluster", explode(probesUdf(col("q_emb"))))
+    // ≤ min(|queries|·nProbe, k-clusters) values — always literal-safe
+    val touched = qb.select(col("cluster")).distinct().collect().map(_.getInt(0))
+    val pruned =
+      if (touched.nonEmpty) index.filter(col("cluster").isin(touched.map(Integer.valueOf): _*))
+      else index
+    val scored = pruned.join(qb, Seq("cluster"))
+      .select(col("q_id"), col("id").as("c_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
+      .as[SimJoin.Scored]
+    SimJoin.rankTopK(scored, k)
+  }
 }

@@ -59,4 +59,24 @@ class AnnBatchSpec extends SparkSpec {
     val none = embs.filter(col("vec_id") < 0)
     assert(AnnIndex.queryTopKBatch(index, none, "vec_id", "embedding", 5, cfg).count() == 0L)
   }
+
+  test("IVF queryTopKBatch equals per-query single-vector probes") {
+    import graft.operators.IvfIndex
+    val model = IvfIndex.fit(embs, "embedding", k = 8)
+    val index = IvfIndex.buildIndex(embs, "vec_id", "embedding", model)
+    val nProbe = IvfIndex.defaultNProbe(8)
+    val queries = embs.filter(col("vec_id") < 10)
+    val batch = IvfIndex.queryTopKBatch(index, model, queries, "vec_id", "embedding", 5, nProbe)
+      .select("q_id", "c_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    val singles = queries.select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      .map { case (qid, vec) =>
+        qid -> IvfIndex.queryTopK(index, model, vec, 5, nProbe)
+          .select(col("id").cast("long"), col("score")).as[(Long, Double)].collect().toSeq
+      }
+    assert(batch.keySet == singles.keySet)
+    batch.foreach { case (qid, hits) => assert(hits == singles(qid), s"query $qid differs") }
+  }
 }
