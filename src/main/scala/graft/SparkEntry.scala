@@ -76,6 +76,24 @@ object SparkEntry {
       (model, s.read.parquet(p))
     }
 
+  // Corpus-slice index for the incremental near-dedup row: the first 3/4
+  // of the embeddings stand in for the historical corpus, indexed with
+  // the LOW-threshold LSH geometry (few bits, many tables — at cosine
+  // 0.3 per-table collision ≈ 0.6^nBits, so 4 bits × 12 tables ≈ 0.81
+  // pair recall where the 6-bit probe config would manage ~0.5; see
+  // AnnIndex.nearDupPairsLSH's parameter rule).
+  private val dedupCfg = AnnIndex.Config(dim = 64, nBits = 4, nTables = 12)
+
+  private def lshDedupIndex(s: SparkSession, dir: String): (Long, DataFrame) =
+    SessionCache.getOrCreate(s"lsh_dedup_index:$dir") {
+      val cut = embs(s, dir).count() * 3 / 4
+      val p = SessionCache.newTempDir("graft-lsh-dedup-idx")
+      AnnIndex.writeIndex(
+        AnnIndex.buildIndex(embs(s, dir).filter(col("vec_id") < cut),
+          "vec_id", "embedding", dedupCfg), p)
+      (cut, s.read.parquet(p))
+    }
+
   /** Pre-build the per-sfDir session artifacts (index fit/build/write) so
     * a subsequent timed run measures SERVING cost only — the bench calls
     * this in its warmup section, mirroring offline index builds.
@@ -84,6 +102,7 @@ object SparkEntry {
     lshIndex(s, dir)
     ivfIndex(s, dir)
     annAppendParity(s, dir)
+    lshDedupIndex(s, dir)
   }
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
@@ -788,6 +807,23 @@ object SparkEntry {
       val pairs = AnnIndex.nearDupPairsLSH(e, "vec_id", "embedding",
         threshold = 0.3, AnnIndex.Config(dim = 64, nBits = 4, nTables = 12))
       Dedup.dedupNear(e, "vec_id", pairs)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
+    // E4/E2/E7 composition (round-9): the DAILY-BATCH shape of embedding
+    // near-dedup — the last quarter of the corpus arrives as the drop,
+    // dedups within itself (LSH pairs → groups → survivor), then drops
+    // anything whose exact cosine against the PERSISTED corpus-slice
+    // index exceeds the threshold. The corpus is represented only by its
+    // index; the batch's touched buckets prune the scan; survivors are
+    // append-ready (the probe→drop→append loop, no rebuild). Seeded LSH
+    // → deterministic but not SQL-replayable, so rows-only; precision /
+    // guaranteed-drop / append-roundtrip pinned by AnnBatchSpec.
+    "incremental_near_dedup" -> ((s, dir) => {
+      val (cut, idx) = lshDedupIndex(s, dir)
+      AnnIndex.dedupIncrementalLSH(
+          embs(s, dir).filter(col("vec_id") >= cut), "vec_id", "embedding",
+          idx, threshold = 0.3, dedupCfg)
         .select(col("vec_id")).orderBy("vec_id")
     }),
 

@@ -206,6 +206,25 @@ object AnnIndex {
     graft.core.Validate.positiveTopK(k)
     val spark = index.sparkSession
     import spark.implicits._
+    val (qb, pruned) = probeBatch(index, queries, qIdCol, qEmbCol, cfg, maxPruneLiterals)
+    val scored = pruned.join(qb, Seq("table", "bucket"))
+      .select(col("q_id"), col("id").as("c_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("q_id", "c_id").agg(max(col("score")).as("score"))
+      .as[SimJoin.Scored]
+    SimJoin.rankTopK(scored, k)
+  }
+
+  /** Shared batch-serving machinery of [[queryTopKBatch]] and
+    * [[dedupIncrementalLSH]]: bucket every query row with the
+    * deterministic planes (one UDF pass, posexplode to
+    * (table, bucket, q_id, q_emb)) and prune the index scan to the
+    * batch's touched (table, bucket) set. Returns (bucketed queries,
+    * pruned index) ready to equi-join on (table, bucket).
+    */
+  private def probeBatch(index: DataFrame, queries: DataFrame, qIdCol: String,
+                         qEmbCol: String, cfg: Config,
+                         maxPruneLiterals: Int): (DataFrame, DataFrame) = {
     val planes = Array.tabulate(cfg.nTables)(t => tablePlanes(cfg, t))
     val bucketsUdf = udf { (v: Seq[Float]) =>
       val a = v.toArray
@@ -230,12 +249,42 @@ object AnnIndex {
         index.filter((col("table").cast("long") * (1L << 32) + col("bucket"))
           .isin(touched.map { case (t, b) => t.toLong * (1L << 32) + b }: _*))
       else index
-    val scored = pruned.join(qb, Seq("table", "bucket"))
-      .select(col("q_id"), col("id").as("c_id"),
-        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
-      .groupBy("q_id", "c_id").agg(max(col("score")).as("score"))
-      .as[SimJoin.Scored]
-    SimJoin.rankTopK(scored, k)
+    (qb, pruned)
+  }
+
+  /** Incremental embedding near-dedup — the daily-batch shape of the
+    * near-dup family (the [[graft.operators.Dedup.dedupIncremental]]
+    * analogue for embedding space): dedup the NEW batch within itself
+    * (LSH pairs → connected components → min-id survivor), then drop
+    * every survivor whose exact cosine against ANY indexed corpus vector
+    * exceeds `threshold`. The output is ready to [[appendToIndex]] — the
+    * complete daily-drop loop (probe → drop → append) with no index
+    * rebuild.
+    *
+    * Scale contract: the corpus never re-scans per batch — it is
+    * represented ONLY by its persisted index, and the batch's touched
+    * (table, bucket) set prunes the scan ([[probeBatch]]); the verify
+    * join carries batch-sized rows. An any-hit drop needs no top-k rank
+    * stage: candidates go straight to a distinct dup-id set. Recall is
+    * the LSH pair recall (tune `cfg` for the threshold — low thresholds
+    * need FEW bits, see [[nearDupPairsLSH]]); precision is exact (every
+    * drop is verified with the codegen cosine).
+    *
+    * Contract: batch ids must be disjoint from index ids (same as
+    * [[graft.operators.Dedup.dedupIncremental]]) — an id present in both
+    * would self-hit at cosine 1 and always drop.
+    */
+  def dedupIncrementalLSH(newBatch: DataFrame, idCol: String, embCol: String,
+                          index: DataFrame, threshold: Double, cfg: Config,
+                          maxPruneLiterals: Int = 4096): DataFrame = {
+    val withinPairs = nearDupPairsLSH(newBatch, idCol, embCol, threshold, cfg)
+    val within = Dedup.dedupNear(newBatch, idCol, withinPairs)
+    val (qb, pruned) = probeBatch(index, within, idCol, embCol, cfg, maxPruneLiterals)
+    val dupIds = pruned.join(qb, Seq("table", "bucket"))
+      .filter(graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb"))
+        > threshold)
+      .select(col("q_id")).distinct()
+    within.join(dupIds, within(idCol).cast("long") === col("q_id"), "left_anti")
   }
 
   /** Scale path for embedding near-duplicate pairs (the corpus×corpus case

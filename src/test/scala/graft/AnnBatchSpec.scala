@@ -60,6 +60,52 @@ class AnnBatchSpec extends SparkSpec {
     assert(AnnIndex.queryTopKBatch(index, none, "vec_id", "embedding", 5, cfg).count() == 0L)
   }
 
+  test("dedupIncrementalLSH: drops verified, exact copy always dropped, survivors appendable") {
+    import graft.functions.VectorOps
+    val thr = 0.3
+    val corpus = embs.filter(col("vec_id") < 350)
+    // an exact copy of an indexed vector under a fresh id collides in
+    // EVERY table (cosine 1) — it must be dropped unconditionally
+    val copy = embs.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 10000).cast("long").as("vec_id"), col("embedding"))
+    val batch = embs.filter(col("vec_id") >= 350)
+      .select(col("vec_id"), col("embedding")).union(copy)
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-dedup").toString
+    AnnIndex.writeIndex(AnnIndex.buildIndex(corpus, "vec_id", "embedding", cfg), path)
+    val index = spark.read.parquet(path)
+
+    def run() = AnnIndex.dedupIncrementalLSH(batch, "vec_id", "embedding", index, thr, cfg)
+      .select("vec_id").as[Long].collect().toSet
+    val kept = run()
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(kept.subsetOf(batchIds))
+    assert(!kept.contains(10007L), "exact copy of an indexed vector survived")
+    assert(run() == kept, "nondeterministic result")
+
+    // precision is exact: every dropped row must have a REAL partner
+    // above the threshold somewhere in corpus ∪ batch (within-batch drops
+    // are cosine-verified pair losers; vs-corpus drops are cosine-verified
+    // index hits) — brute-force check driver-side at this scale
+    val all = (corpus.select("vec_id", "embedding").union(batch))
+      .as[(Long, Seq[Float])].collect().map { case (i, v) => (i, v.toArray) }
+    val dropped = batchIds -- kept
+    dropped.foreach { id =>
+      val v = all.find(_._1 == id).get._2
+      val hasPartner = all.exists { case (j, w) => j != id && VectorOps.cosine(v, w) > thr }
+      assert(hasPartner, s"dropped row $id has no exact near-dup anywhere")
+    }
+
+    // the daily loop closes: survivors append into the same index files
+    // and a surviving vector then finds itself at rank 1
+    val survivors = batch.filter(col("vec_id").isin(kept.toSeq.map(Long.box): _*))
+    AnnIndex.appendToIndex(survivors, path, "vec_id", "embedding", cfg)
+    val sid = kept.head
+    val sVec = all.find(_._1 == sid).get._2
+    val hit = AnnIndex.queryTopK(spark.read.parquet(path), sVec, 1, cfg)
+      .select("id").as[Long].head()
+    assert(hit == sid, s"appended survivor $sid not served from the index (got $hit)")
+  }
+
   test("IVF queryTopKBatch equals per-query single-vector probes") {
     import graft.operators.IvfIndex
     val model = IvfIndex.fit(embs, "embedding", k = 8)
