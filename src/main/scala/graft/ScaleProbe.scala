@@ -293,6 +293,18 @@ object ScaleProbe {
         AnnIndex.writeIndex(
           AnnIndex.buildIndex(emb.filter(col("vec_id") < cut), "vec_id", "embedding", cfg), path)
       }
+      // the daily-drop near-dedup loop (round-9): a 1k-row drop dedups
+      // within itself, then drops exact-verified near-dups against the
+      // PERSISTED index — the corpus participates only through its index
+      // files, pruned to the drop's touched buckets. Candidate volume is
+      // the bucket fraction (nTables/2^nBits of the corpus per row), so
+      // cost scales with |drop| × bucket size, never |corpus|².
+      timed("incremental NEAR-dedup 1k-row drop vs index") {
+        val n = AnnIndex.dedupIncrementalLSH(
+          emb.filter(col("vec_id") >= (nEmb - 1000).toLong), "vec_id", "embedding",
+          spark.read.parquet(path), threshold = 0.3, cfg).count()
+        println(s"[scale]   -> $n drop rows survive")
+      }
       timed("lsh index APPEND 1% batch") {
         AnnIndex.appendToIndex(
           emb.filter(col("vec_id") >= cut), path, "vec_id", "embedding", cfg)

@@ -95,6 +95,14 @@ class AnnBatchSpec extends SparkSpec {
       assert(hasPartner, s"dropped row $id has no exact near-dup anywhere")
     }
 
+    // at a near-1 threshold no random pair qualifies: exactly the planted
+    // copy drops (identical vector → same bucket in EVERY table, found
+    // unconditionally) and the within-batch pair set is empty — the
+    // empty-pairs path through nearDupGroups/dedupNear
+    val strict = AnnIndex.dedupIncrementalLSH(batch, "vec_id", "embedding", index, 0.999999, cfg)
+      .select("vec_id").as[Long].collect().toSet
+    assert(strict == batchIds - 10007L, "near-1 threshold should drop only the planted copy")
+
     // the daily loop closes: survivors append into the same index files
     // and a surviving vector then finds itself at rank 1
     val survivors = batch.filter(col("vec_id").isin(kept.toSeq.map(Long.box): _*))

@@ -63,6 +63,19 @@ class IndexAppendSpec extends SparkSpec {
       IvfIndex.queryTopK(IvfIndex.buildIndex(embs, "vec_id", "embedding", model), model, qVec, 10, nProbe))
     assert(viaAppend == viaRebuild)
     assert(spark.read.parquet(path).count() == embs.count())
+
+    // IVF compaction: same contract as the LSH twin — fewer files, rows
+    // and probes unchanged
+    def parquetFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    val before = parquetFiles()
+    IvfIndex.compactIndex(spark, path)
+    assert(parquetFiles() < before, s"IVF compaction did not reduce files ($before)")
+    assert(spark.read.parquet(path).count() == embs.count())
+    assert(probeRows(IvfIndex.queryTopK(spark.read.parquet(path), model, qVec, 10, nProbe)) == viaRebuild)
   }
 
   test("driftCheck: same-distribution batch passes; shifted batch recommends a re-fit") {
