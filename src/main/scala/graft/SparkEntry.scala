@@ -469,6 +469,27 @@ object SparkEntry {
       s.table(sinkName).orderBy("vec_id")
     }),
 
+    // E2/E6 (round-9): ONLINE ANN serving — query vectors arrive as a
+    // stream and probe the STATIC persisted index via a stream-static
+    // equi-join on (table, bucket); exact-cosine threshold + cross-table
+    // dedup make the match set deterministic under ANY micro-batching
+    // (StreamsSpec pins stream == batch equality). Queries are corpus
+    // members, so each finds at least its self-match. Seeded LSH →
+    // rows-only.
+    "stream_ann_probe" -> ((s, dir) => {
+      val sinkName = "graft_stream_ann_probe"
+      val sq = Streams.annProbeStream(
+          Tables.embeddingsStream(s, dir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", lshIndex(s, dir), threshold = 0.5, annCfg)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_ann_probe: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("q_id", "c_id")
+    }),
+
     // ---- E6: SLIDING windows (1h window, 30m slide) ------------------
     "events_sliding" -> ((s, dir) =>
       events(s, dir)

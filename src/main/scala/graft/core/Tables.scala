@@ -89,6 +89,22 @@ object Tables {
     spark.readStream.schema(documentsSchema)
       .option("basePath", sfDir).parquet(s"$sfDir/{documents.parquet}")
 
+  /** Fixture embeddings schema — needed because streaming reads require a
+    * user-supplied schema.
+    */
+  private val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming twin of [[embeddings]] — the arrival shape of online ANN
+    * query traffic ([[graft.streaming.Streams.annProbeStream]] serves it
+    * against a static persisted index).
+    */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema)
+      .option("basePath", sfDir).parquet(s"$sfDir/{embeddings.parquet}")
+
   /** Documents-schema stream over an arbitrary arrival DIRECTORY (a staged
     * ingest drop, files appearing over time). `maxFilesPerTrigger = 1`
     * forces one micro-batch per file, so cross-batch state (dedup,

@@ -222,17 +222,27 @@ object AnnIndex {
     * batch's touched (table, bucket) set. Returns (bucketed queries,
     * pruned index) ready to equi-join on (table, bucket).
     */
-  private def probeBatch(index: DataFrame, queries: DataFrame, qIdCol: String,
-                         qEmbCol: String, cfg: Config,
-                         maxPruneLiterals: Int): (DataFrame, DataFrame) = {
+  /** Per-table bucket array (nTables ints) of a vector column — the
+    * shared bucketing face of the batch probe, the incremental dedup,
+    * and the streaming probe ([[graft.streaming.Streams.annProbeStream]]).
+    * The planes are deterministic functions of the config, recomputed
+    * wherever the column is evaluated — no broadcast state to manage.
+    */
+  def bucketsOf(embCol: org.apache.spark.sql.Column, cfg: Config): org.apache.spark.sql.Column = {
     val planes = Array.tabulate(cfg.nTables)(t => tablePlanes(cfg, t))
-    val bucketsUdf = udf { (v: Seq[Float]) =>
+    val u = udf { (v: Seq[Float]) =>
       val a = v.toArray
       planes.map(p => bucketOf(a, p))
     }
+    u(embCol)
+  }
+
+  private def probeBatch(index: DataFrame, queries: DataFrame, qIdCol: String,
+                         qEmbCol: String, cfg: Config,
+                         maxPruneLiterals: Int): (DataFrame, DataFrame) = {
     val qb = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(qEmbCol).as("q_emb"))
-      .withColumn("__graft_buckets", bucketsUdf(col("q_emb")))
+      .withColumn("__graft_buckets", bucketsOf(col("q_emb"), cfg))
       .select(posexplode(col("__graft_buckets")).as(Seq("table", "bucket")),
         col("q_id"), col("q_emb"))
     // ≤ |queries|·nTables pairs — bounded by the batch, driver-safe

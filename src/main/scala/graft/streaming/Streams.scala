@@ -127,6 +127,47 @@ object Streams {
       .filter(col("score") > threshold)
   }
 
+  /** ONLINE ANN SERVING — the streaming face of
+    * [[graft.operators.AnnIndex.queryTopKBatch]]: a stream of query
+    * vectors probes a STATIC persisted index through a stream-static
+    * equi-join on the (table, bucket) key. Each arriving query is
+    * bucketed with the deterministic planes
+    * ([[graft.operators.AnnIndex.bucketsOf]]), exploded to its nTables
+    * probes, hash-joined against the index (the static side replans per
+    * micro-batch, so only the batch's touched buckets are read),
+    * exact-scored with the codegen cosine, thresholded, and deduped
+    * across tables.
+    *
+    * The output (q_id, c_id, score) set is DETERMINISTIC under any
+    * micro-batching: the threshold compares the exact per-pair score, and
+    * a duplicate (q_id, c_id) only arises from the same query row
+    * colliding in several tables — same batch — though the stateful
+    * `dropDuplicates` would absorb a cross-batch split anyway (StreamsSpec
+    * pins stream == batch equality). State is the emitted match set; a
+    * production deployment bounds it with an arrival-time watermark
+    * (`dropDuplicatesWithinWatermark`, as in
+    * [[dedupExactStreamWithinWatermark]]).
+    *
+    * Top-k per query is deliberately NOT offered here: per-key ranking
+    * over an unbounded stream is complete-mode state — serve candidates
+    * and rank at the consumer, or micro-batch through
+    * [[graft.operators.AnnIndex.queryTopKBatch]] in `foreachBatch`.
+    */
+  def annProbeStream(queries: DataFrame, idCol: String, embCol: String,
+                     index: DataFrame, threshold: Double,
+                     cfg: graft.operators.AnnIndex.Config): DataFrame = {
+    val qb = queries
+      .select(col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("__graft_buckets", graft.operators.AnnIndex.bucketsOf(col("q_emb"), cfg))
+      .select(posexplode(col("__graft_buckets")).as(Seq("table", "bucket")),
+        col("q_id"), col("q_emb"))
+    qb.join(index, Seq("table", "bucket"))
+      .select(col("q_id"), col("id").as("c_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
+      .filter(col("score") > threshold)
+      .dropDuplicates("q_id", "c_id")
+  }
+
   /** Streaming ingest-time QUALITY FILTER — the streaming face of
     * [[graft.operators.TextAnalysis.metrics]]: one fused metrics pass per
     * arriving document, keep rows with an empty audit trail. Stateless

@@ -78,4 +78,39 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got == expected)
   }
+
+  test("streaming ANN probe equals the batch bucket-join on the same index") {
+    import graft.operators.AnnIndex
+    val cfg = AnnIndex.Config(dim = 64, nBits = 4, nTables = 8)
+    val thr = 0.4
+    val embs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val index = AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg)
+
+    val sq = Streams.annProbeStream(
+        Tables.embeddingsStream(spark, Sf0001).filter(col("vec_id") < 15),
+        "vec_id", "embedding", index, thr, cfg)
+      .writeStream.format("memory").queryName("ann_probe_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(300000), "stream did not finish")
+    val got = spark.table("ann_probe_test")
+      .select(col("q_id"), col("c_id"), round(col("score"), 6).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    // batch twin: identical bucket join + threshold over the same frames
+    val qb = embs.filter(col("vec_id") < 15)
+      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("b", AnnIndex.bucketsOf(col("q_emb"), cfg))
+      .select(posexplode(col("b")).as(Seq("table", "bucket")), col("q_id"), col("q_emb"))
+    val expected = qb.join(index, Seq("table", "bucket"))
+      .select(col("q_id"), col("id").as("c_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
+      .filter(col("score") > thr)
+      .select(col("q_id"), col("c_id"), round(col("score"), 6).as("s"))
+      .distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected, "stream and batch probe disagree")
+    // every query is a corpus member — its self-match must be served
+    assert((0L until 15L).forall(i => got.contains((i, i, 1.0))),
+      "missing self-matches")
+  }
 }
