@@ -764,6 +764,22 @@ object SparkEntry {
           col("asset_meta.mime").as("mime"))
         .orderBy("doc_id")),
 
+    // Multimodal RESIZE (round-9): stride-sample each payload to the
+    // target shape's byte budget (one fake pixel = one byte) and rewrite
+    // the typed metadata. Post-resize byte count and dimensions are
+    // DuckDB-derivable from the text alone, so the resize CONTRACT is a
+    // real oracle row; the sampled bytes themselves are pinned by
+    // MultimodalSpec (subsequence + determinism + within-budget
+    // passthrough).
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeAsset(Multimodal.fakeAssets(docs(s, dir), "text"),
+          "asset_bytes", "asset_meta", targetW = 12, targetH = 16)
+        .select(col("doc_id"),
+          col("asset_meta.n_bytes").cast("long").as("n_bytes"),
+          col("asset_meta.width").cast("long").as("width"),
+          col("asset_meta.height").cast("long").as("height"))
+        .orderBy("doc_id")),
+
     // ---- O13: ingest pipeline composition (chunk→meta→ids, no clock) --
     "ingest_pipeline" -> ((s, dir) => {
       val chunked = Chunker.explodeChunks(
@@ -1748,6 +1764,15 @@ object SparkEntry {
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'text/plain' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Resize contract: payload capped at the 12×16 = 192-byte budget
+    // (stride-sampling never grows data), metadata pinned to the target
+    // shape.
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(LEAST(octet_length(encode(text)), 192) AS BIGINT) AS n_bytes,
+        |  CAST(12 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Decontamination: same bigram-shingle construction as jaccard_pairs,

@@ -105,6 +105,41 @@ object Multimodal {
       .drop("__graft_frames")
   }
 
+  /** RESIZE — stands in for an image/audio rescale: deterministically
+    * stride-samples the payload down to the byte budget implied by the
+    * target shape (one fake "pixel" = one byte, so budget = targetW ×
+    * targetH) and rewrites the typed metadata to the target dimensions,
+    * so downstream stages see a consistent (bytes, meta) pair. A real
+    * implementation swaps the sampler for a codec scale, keeping the
+    * `Array[Byte] => Array[Byte]` signature and the metadata rewrite.
+    * A payload already within budget passes through unchanged (no
+    * invented data on upscale) — but its metadata still moves to the
+    * target shape, mirroring a real resize's contract that output
+    * dimensions are the requested ones.
+    */
+  def resizeAsset(df: DataFrame, bytesCol: String, metaCol: String,
+                  targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"resize target must be positive, got ${targetW}x$targetH")
+    val budget = targetW * targetH
+    val sampler = udf { (b: Array[Byte]) =>
+      if (b == null || b.length <= budget) b
+      else {
+        // evenly spaced byte sample — deterministic, order-preserving
+        val out = new Array[Byte](budget)
+        var i = 0
+        while (i < budget) {
+          out(i) = b(((i.toLong * b.length) / budget).toInt)
+          i += 1
+        }
+        out
+      }
+    }
+    df.withColumn(bytesCol, sampler(col(bytesCol)))
+      .withColumn(metaCol,
+        assetMeta(col(bytesCol), col(s"$metaCol.mime"), lit(targetW), lit(targetH)))
+  }
+
   /** End-to-end fake pipeline over a text corpus: bytes → features →
     * similarity-ready embedding column. Partition-parallel, no driver hops.
     */

@@ -334,6 +334,41 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.columns.contains("frame_index") && frames.columns.contains("frame_bytes"))
   }
 
+  test("resizeAsset: budget cap, ordered subsequence, passthrough, metadata rewrite") {
+    val df = Seq((1L, "abcdefgh" * 32), (2L, "tiny")).toDF("id", "text")
+    val resized = Multimodal.resizeAsset(Multimodal.fakeAssets(df, "text"),
+      "asset_bytes", "asset_meta", targetW = 4, targetH = 8) // budget 32
+    val rows = resized.orderBy("id")
+      .select(col("asset_bytes"), col("asset_meta.n_bytes"),
+        col("asset_meta.width"), col("asset_meta.height"), col("asset_meta.mime"))
+      .collect()
+
+    // oversized payload: sampled down to exactly the budget, bytes form an
+    // order-preserving subsequence of the original
+    val big = rows(0)
+    val bigBytes = big.getAs[Array[Byte]](0)
+    assert(bigBytes.length == 32 && big.getInt(1) == 32)
+    val orig = ("abcdefgh" * 32).getBytes("UTF-8")
+    var oi = 0
+    bigBytes.foreach { b =>
+      while (oi < orig.length && orig(oi) != b) oi += 1
+      assert(oi < orig.length, "resized bytes are not a subsequence of the original")
+      oi += 1
+    }
+    // within-budget payload: untouched bytes, metadata still moves
+    val small = rows(1)
+    assert(small.getAs[Array[Byte]](0).sameElements("tiny".getBytes("UTF-8")))
+    assert(small.getInt(1) == 4)
+    rows.foreach { r =>
+      assert(r.getInt(2) == 4 && r.getInt(3) == 8 && r.getString(4) == "text/plain")
+    }
+    // deterministic across runs
+    val again = Multimodal.resizeAsset(Multimodal.fakeAssets(df, "text"),
+        "asset_bytes", "asset_meta", 4, 8)
+      .orderBy("id").select("asset_bytes").as[Array[Byte]].collect()
+    assert(again(0).sameElements(bigBytes))
+  }
+
   test("contaminationPairs matches brute-force shingle intersection; no self-matches leak") {
     val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") < 100)
     val probes = docs.filter(col("doc_id") < 10)
