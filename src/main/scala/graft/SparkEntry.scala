@@ -490,6 +490,26 @@ object SparkEntry {
       s.table(sinkName).orderBy("q_id", "c_id")
     }),
 
+    // E2/E6 (round-9): the IVF twin of stream_ann_probe — and fully
+    // STATELESS: each indexed id lives in exactly one cluster, so no
+    // (q_id, c_id) dedup store exists in the plan at all. Seeded k-means
+    // → rows-only; stream == batch equality pinned by StreamsSpec.
+    "stream_ivf_probe" -> ((s, dir) => {
+      val (model, idx) = ivfIndex(s, dir)
+      val sinkName = "graft_stream_ivf_probe"
+      val sq = Streams.ivfProbeStream(
+          Tables.embeddingsStream(s, dir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", idx, model, threshold = 0.5,
+          IvfIndex.defaultNProbe(model.centroids.length))
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_ivf_probe: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("q_id", "c_id")
+    }),
+
     // ---- E6: SLIDING windows (1h window, 30m slide) ------------------
     "events_sliding" -> ((s, dir) =>
       events(s, dir)

@@ -168,6 +168,29 @@ object Streams {
       .dropDuplicates("q_id", "c_id")
   }
 
+  /** IVF twin of [[annProbeStream]] — and the better streaming citizen of
+    * the two: every indexed id lives in exactly ONE cluster, so a
+    * (q_id, c_id) pair can only arise once and the plan needs NO dedup
+    * state store at all — a fully STATELESS stream-static join
+    * (bucketing UDF → explode to nProbe clusters → equi-join → codegen
+    * cosine → threshold). The centroid model rides the closure (a few
+    * hundred KB at autoK scales — broadcast-trivial).
+    */
+  def ivfProbeStream(queries: DataFrame, idCol: String, embCol: String,
+                     index: DataFrame, model: graft.operators.IvfIndex.Model,
+                     threshold: Double, nProbe: Int): DataFrame = {
+    val probesUdf = udf { (v: Seq[Float]) =>
+      model.nearestClusters(v.toArray, nProbe).toArray
+    }
+    queries
+      .select(col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("cluster", explode(probesUdf(col("q_emb"))))
+      .join(index, Seq("cluster"))
+      .select(col("q_id"), col("id").as("c_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
+      .filter(col("score") > threshold)
+  }
+
   /** Streaming ingest-time QUALITY FILTER — the streaming face of
     * [[graft.operators.TextAnalysis.metrics]]: one fused metrics pass per
     * arriving document, keep rows with an empty audit trail. Stateless

@@ -113,4 +113,37 @@ class StreamsSpec extends SparkSpec {
     assert((0L until 15L).forall(i => got.contains((i, i, 1.0))),
       "missing self-matches")
   }
+
+  test("streaming IVF probe is stateless and equals the batch cluster-join") {
+    import graft.operators.IvfIndex
+    val thr = 0.4
+    val embs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val model = IvfIndex.fit(embs, "embedding", k = 8)
+    val index = IvfIndex.buildIndex(embs, "vec_id", "embedding", model)
+    val nProbe = IvfIndex.defaultNProbe(8)
+
+    val streamDf = Streams.ivfProbeStream(
+      Tables.embeddingsStream(spark, Sf0001).filter(col("vec_id") < 15),
+      "vec_id", "embedding", index, model, thr, nProbe)
+    val sq = streamDf
+      .writeStream.format("memory").queryName("ivf_probe_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(300000), "stream did not finish")
+    // statelessness: the streaming plan must run zero state operators
+    assert(sq.lastProgress != null && sq.lastProgress.stateOperators.isEmpty,
+      s"unexpected state operators: ${sq.lastProgress}")
+    val got = spark.table("ivf_probe_test")
+      .select(col("q_id"), col("c_id"), round(col("score"), 6).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    // the probe is mode-agnostic DataFrame code — run it on the BATCH
+    // frame and require the streaming execution to agree exactly
+    val expected = Streams.ivfProbeStream(embs.filter(col("vec_id") < 15),
+        "vec_id", "embedding", index, model, thr, nProbe)
+      .select(col("q_id"), col("c_id"), round(col("score"), 6).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected, "stream and batch probe disagree")
+    assert((0L until 15L).forall(i => got.contains((i, i, 1.0))),
+      "missing self-matches")
+  }
 }
