@@ -201,12 +201,19 @@ object ScaleProbe {
     // propagation. Probes both the per-round shuffle cost and the
     // convergence round count at a non-toy component structure.
     if (!onlyR9) {
-    timed("near_dup_groups (20k-doc pair set)") {
+    timed("near_dup_groups DISTRIBUTED (20k-doc pair set)") {
       val pairs = Dedup.jaccardPairs(hotDocs.filter(col("doc_id") < 20000),
         "doc_id", "text", n = 2, threshold = 0.9)
-      val g = Dedup.nearDupGroups(pairs)
+      // force the iterative loop — the path that must hold at pair
+      // volumes beyond the driver fast-path cap
+      val g = Dedup.nearDupGroups(pairs, "a_id", "b_id", 25, 0L)
       println(s"[scale]   -> ${g.count()} labeled nodes, " +
         s"${g.filter(col("id") === col("group_id")).count()} groups")
+    }
+    timed("near_dup_groups default (driver fast path if under cap)") {
+      val pairs = Dedup.jaccardPairs(hotDocs.filter(col("doc_id") < 20000),
+        "doc_id", "text", n = 2, threshold = 0.9)
+      println(s"[scale]   -> ${Dedup.nearDupGroups(pairs).count()} labeled nodes")
     }
     // incremental ingest dedup: last 10% of the corpus arrives as the
     // daily batch; the remaining 90% participates only as its sha index.

@@ -295,11 +295,65 @@ object Dedup {
   /** Rounds of plain propagation before pointer jumping engages. */
   private val DirectRounds = 4
 
+  /** Pair sets at or below this size resolve DRIVER-SIDE (union-find)
+    * instead of through the iterative job loop: at 100k pairs the edge
+    * list is ~1.6 MB — trivially collectable — while each distributed
+    * round costs a fixed ~0.4 s of micro-job machinery regardless of
+    * data volume, which dominates exactly when the pair set is small
+    * (measured: the declared sf0.1 group rows spend ~2.5 s resolving a
+    * few hundred pairs). The distributed path is unchanged for anything
+    * larger and both paths are equality-pinned by OperatorsSpec.
+    */
+  private[graft] val DriverResolvePairs = 100000L
+
   def nearDupGroups(pairs: DataFrame, aCol: String = "a_id",
-                    bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+                    bCol: String = "b_id", maxIters: Int = 25): DataFrame =
+    nearDupGroups(pairs, aCol, bCol, maxIters, DriverResolvePairs)
+
+  /** As [[nearDupGroups]], with the driver fast-path threshold explicit
+    * (`driverResolvePairs = 0` forces the distributed loop — used by
+    * specs and scale probes to exercise both paths on one pair set).
+    */
+  def nearDupGroups(pairs: DataFrame, aCol: String, bCol: String,
+                    maxIters: Int, driverResolvePairs: Long): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the persist (the pair plan runs ONCE, here) and picks
+    // the resolution path
+    val nPairs = e0.count()
+    if (nPairs <= driverResolvePairs) {
+      try {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val es = e0.as[(Long, Long)].collect()
+        // union-find, roots kept at the component MIN id (attach the
+        // larger root under the smaller), full path compression — the
+        // same (id, min-id) fixpoint the distributed loop converges to
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.map(id => (id, find(id))).toSeq
+          .toDF("id", "group_id")
+      } finally e0.unpersist()
+    } else nearDupGroupsDistributed(e0, maxIters)
+  }
+
+  /** The iterative distributed resolution (min-label propagation +
+    * deferred pointer jumping) over a PERSISTED, already-materialized
+    * pair frame — unpersists it on exit.
+    */
+  private def nearDupGroupsDistributed(e0: DataFrame, maxIters: Int): DataFrame = {
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     try {
       // Round 0: label = min(self, neighbors). Every endpoint appears as a

@@ -131,12 +131,16 @@ class OperatorsSpec extends SparkSpec {
     // pointer-jumping path.
     val chain = (10L until 17L).map(i => (i, i + 1))
     val pairs = (Seq((1L, 2L), (2L, 3L), (5L, 6L)) ++ chain).toDF("a_id", "b_id")
-    val groups = Dedup.nearDupGroups(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
-    assert(groups(5L) == 5L && groups(6L) == 5L)
-    (10L to 17L).foreach(i => assert(groups(i) == 10L))
-    assert(!groups.contains(8L)) // nodes in no pair are not in the output
+    // run BOTH resolution paths: the default (driver union-find at this
+    // size) and the forced distributed loop — identical labels required
+    for (threshold <- Seq(Dedup.DriverResolvePairs, 0L)) {
+      val groups = Dedup.nearDupGroups(pairs, "a_id", "b_id", 25, threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+      assert(groups(5L) == 5L && groups(6L) == 5L)
+      (10L to 17L).foreach(i => assert(groups(i) == 10L))
+      assert(!groups.contains(8L)) // nodes in no pair are not in the output
+    }
 
     val table = ((1L to 8L) ++ (10L to 17L)).map(i => (i, s"doc $i")).toDF("id", "text")
     val kept = Dedup.dedupNear(table, "id", pairs).select("id").as[Long].collect().toSet
@@ -159,8 +163,13 @@ class OperatorsSpec extends SparkSpec {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val expected = parent.keys.map(k => k -> find(k)).toMap
-    val got = Dedup.nearDupGroups(pairs).as[(Long, Long)].collect().toMap
-    assert(got == expected)
+    // both paths against the reference: the fast path IS a union-find
+    // (structural twin), the distributed loop must converge to the same map
+    val fast = Dedup.nearDupGroups(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.nearDupGroups(pairs, "a_id", "b_id", 25, 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == expected)
+    assert(dist == expected)
   }
 
   test("nearDupGroups/dedupNear: repeated calls leave no persisted RDDs behind (round-9 leak fix)") {
@@ -173,7 +182,9 @@ class OperatorsSpec extends SparkSpec {
     val table = (100L to 161L).map(i => (i, s"doc $i")).toDF("id", "text")
     val before = spark.sparkContext.getPersistentRDDs.size
     (1 to 3).foreach { _ =>
-      val groups = Dedup.nearDupGroups(chain)
+      // force the DISTRIBUTED loop — the leak class under test lives in
+      // its per-round checkpoints (the driver fast path has no rounds)
+      val groups = Dedup.nearDupGroups(chain, "a_id", "b_id", 25, 0L)
       assert(groups.count() == 61L)
       Dedup.releaseCheckpointBlocks(groups) // caller done with the frame
       val kept = Dedup.dedupNear(table, "id", chain)
