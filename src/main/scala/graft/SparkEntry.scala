@@ -996,6 +996,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E4/E7 (round-9): incremental n-gram JACCARD dedup — the near-dup
+    // face of the daily-batch scenario above, completing the incremental
+    // trilogy (exact sha, embedding LSH, n-gram text). The corpus
+    // (docs<300) participates only through its shingle-posting index; the
+    // 75-doc drop dedups within itself, then drops anything whose bigram
+    // jaccard vs an indexed doc reaches 0.2 — including the 50
+    // re-delivered docs (identical text → jaccard 1). Fully
+    // oracle-checked: DuckDB replays shingles → within-batch transitive
+    // closure → cross-index jaccard.
+    "incremental_jaccard_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.jaccardIncremental(
+          d.filter(col("doc_id") >= 250 && col("doc_id") < 325), "doc_id", "text",
+          n = 2, threshold = 0.2,
+          Dedup.shinglePostings(d.filter(col("doc_id") < 300), "doc_id", "text", 2))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // E5: within-document repetition signals (Gopher-style quality
     // filters) — duplicate-token and duplicate-bigram fractions; catches
     // degenerate looping/boilerplate docs cross-document dedup never sees.
@@ -1841,6 +1860,58 @@ object SparkEntry {
         |WHERE rn = 1
         |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 300)
         |ORDER BY doc_id""".stripMargin,
+
+    // Incremental jaccard dedup: bigram shingle sets for the 75-doc batch
+    // and the 300-doc corpus; within-batch pairs >= 0.2 resolve to
+    // transitive components (min-id survivor, the near_dedup_apply
+    // construction); survivors drop when any corpus doc reaches jaccard
+    // 0.2 (exact int arithmetic in double — boundary-identical to Spark).
+    "incremental_jaccard_dedup" ->
+      """WITH RECURSIVE
+        |bt AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id >= 250 AND doc_id < 325)
+        |),
+        |ct AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 300)
+        |),
+        |pr AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS asz, len(b.sh) AS bsz
+        |    FROM bt a JOIN bt b ON a.doc_id < b.doc_id)
+        |  WHERE common > 0 AND CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.2
+        |),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION SELECT b_id, a_id FROM pr
+        |),
+        |walk AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+        |),
+        |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk GROUP BY src),
+        |surv AS (
+        |  SELECT doc_id, sh FROM bt
+        |  WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> group_id)
+        |),
+        |dup AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM surv s JOIN ct c ON len(list_intersect(s.sh, c.sh)) > 0
+        |  WHERE CAST(len(list_intersect(s.sh, c.sh)) AS DOUBLE)
+        |        / (len(s.sh) + len(c.sh) - len(list_intersect(s.sh, c.sh))) >= 0.2
+        |)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |JOIN surv s ON d.doc_id = s.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Repetition: duplicate-token / duplicate-bigram fractions. Blank
     // text guards mirror token_count (DuckDB splits '' into ['']); bigram

@@ -151,6 +151,85 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // -------------------------------------------- incremental jaccard dedup
+  /** Persistable n-gram "shingle index" of a corpus — the jaccard twin of
+    * [[contentHashes]]: one (shingle, corpus_id, corpus_size) row per kept
+    * posting, set sizes computed AFTER the hot-shingle drop (the
+    * [[jaccardPairs]] consistency discipline). At 100 TB this is the
+    * artifact a pipeline maintains between daily drops, written bucketed
+    * on `shingle` ([[graft.store.Bucketing]]) so the per-batch posting
+    * join is co-located instead of reshuffling the corpus index per drop.
+    */
+  def shinglePostings(corpus: DataFrame, idCol: String, textCol: String,
+                      n: Int, maxDocFreq: Long = 1000L): DataFrame = {
+    require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
+    val sets = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      shingles(col(textCol), n).as("sh"))
+    if (maxDocFreq == Long.MaxValue)
+      sets.withColumn("corpus_size", size(col("sh")).cast("long"))
+        .select(col("corpus_id"), col("corpus_size"), explode(col("sh")).as("shingle"))
+    else {
+      val posting0 = sets.select(col("corpus_id"), explode(col("sh")).as("shingle"))
+      val hot = posting0.groupBy("shingle").count().filter(col("count") > maxDocFreq)
+      posting0.join(hot.select("shingle"), Seq("shingle"), "left_anti")
+        .withColumn("corpus_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("corpus_id")))
+        .select(col("corpus_id"), col("corpus_size"), col("shingle"))
+    }
+  }
+
+  /** Incremental n-gram jaccard dedup — the daily-batch shape of
+    * [[jaccardPairs]] + [[dedupNear]], completing the incremental trilogy
+    * (exact sha [[dedupIncremental]], embedding space
+    * [[AnnIndex.dedupIncrementalLSH]], n-gram text here): dedup the NEW
+    * batch within itself (capped jaccard pairs → groups → min-id
+    * survivor), then drop every survivor whose shingle jaccard against
+    * ANY indexed corpus doc reaches `threshold`. The output is ready to
+    * append, and its [[shinglePostings]] are ready to append to the
+    * index.
+    *
+    * Scale contract: the corpus participates ONLY through its posting
+    * index — the batch explodes once, equi-joins the postings on
+    * shingle, and per-(batch, corpus) overlap counts feed the jaccard
+    * test, so the shuffle is bounded by actual posting matches, never
+    * \|batch\| × \|corpus\|. A re-delivered document (identical text
+    * already in the corpus) scores jaccard 1 and always drops — no
+    * id-disjointness contract is needed.
+    *
+    * Cap semantics: each side's set size is over its OWN hot-filtered
+    * universe (the batch's cap here vs the index's build-time cap). The
+    * universes coincide — and the score is exact textbook jaccard —
+    * whenever neither cap binds; on corpora where they bind, cross-side
+    * scores are approximate in the same way [[jaccardPairs]]' default is
+    * (hot shingles carry no dedup signal).
+    */
+  def jaccardIncremental(newBatch: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double, corpusPostings: DataFrame,
+                         maxDocFreq: Long = 1000L): DataFrame = {
+    val within = dedupNear(newBatch, idCol,
+      jaccardPairs(newBatch, idCol, textCol, n, threshold, maxDocFreq))
+    val bsets = within.select(col(idCol).cast("long").as("__b_id"),
+      shingles(col(textCol), n).as("__sh"))
+    val bpost =
+      if (maxDocFreq == Long.MaxValue)
+        bsets.withColumn("__b_size", size(col("__sh")).cast("long"))
+          .select(col("__b_id"), col("__b_size"), explode(col("__sh")).as("shingle"))
+      else {
+        val posting0 = bsets.select(col("__b_id"), explode(col("__sh")).as("shingle"))
+        val hot = posting0.groupBy("shingle").count().filter(col("count") > maxDocFreq)
+        posting0.join(hot.select("shingle"), Seq("shingle"), "left_anti")
+          .withColumn("__b_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__b_id")))
+      }
+    val dupIds = bpost.join(corpusPostings, Seq("shingle"))
+      .groupBy(col("__b_id"), col("corpus_id"), col("__b_size"), col("corpus_size"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") / (col("__b_size") + col("corpus_size") - col("common"))
+        >= threshold)
+      .select(col("__b_id")).distinct()
+    within.join(dupIds, within(idCol).cast("long") === col("__b_id"), "left_anti")
+  }
+
   // ------------------------------------------------------- decontamination
   /** Benchmark decontamination: corpus docs sharing at least `minOverlap`
     * distinct word n-gram shingles with ANY probe document — the standard

@@ -196,6 +196,41 @@ class OperatorsSpec extends SparkSpec {
       s"nearDupGroups leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs}")
   }
 
+  test("jaccardIncremental matches brute force; re-delivered docs always drop") {
+    val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 325)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val thr = 0.2
+    val got = Dedup.jaccardIncremental(batch, "doc_id", "text", 2, thr,
+        Dedup.shinglePostings(corpus, "doc_id", "text", 2))
+      .select("doc_id").as[Long].collect().toSet
+
+    def shs(t: String) = Dedup.shinglesOf(t, 2).toSet
+    val bs = batch.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (i, t) => (i, shs(t)) }.sortBy(_._1)
+    val cs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (i, t) => (i, shs(t)) }
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val c = (a & b).size
+      if (c == 0) 0.0 else c.toDouble / (a.size + b.size - c)
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for { (i, si) <- bs; (j, sj) <- bs if i < j && jac(si, sj) >= thr } {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expected = bs.filter { case (i, _) => find(i) == i }
+      .collect { case (i, si) if !cs.exists { case (_, sc) => jac(si, sc) >= thr } => i }
+      .toSet
+    assert(got == expected)
+    // re-delivered docs (250-299 exist in the corpus verbatim) never survive
+    assert((250L until 300L).forall(i => !got.contains(i)), "re-delivered doc survived")
+    assert(got.nonEmpty, "fresh batch docs should survive")
+  }
+
   test("nearDupPairsExact refuses tables beyond maxRows (scale guard)") {
     intercept[IllegalArgumentException] {
       Dedup.nearDupPairsExact(embs, "vec_id", "embedding", 0.5, maxRows = 10).collect()
