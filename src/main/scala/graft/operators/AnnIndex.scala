@@ -28,7 +28,18 @@ import graft.functions.VectorOps
   */
 object AnnIndex {
 
-  final case class Config(dim: Int, nBits: Int = 16, nTables: Int = 8, seed: Int = 42)
+  /** nBits is capped at 31 so [[bucketOf]] never sets the sign bit
+    * (`1 << 31`): buckets stay non-negative, which [[probeBatch]]'s packed
+    * `table<<32|bucket` pruning key and the partition-dir naming both
+    * rely on. nBits > 32 would additionally WRAP `1 << b`, silently
+    * colliding planes into fewer effective bits (degraded recall with no
+    * error) — hence a hard require, not a doc note.
+    */
+  final case class Config(dim: Int, nBits: Int = 16, nTables: Int = 8, seed: Int = 42) {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(nBits >= 1 && nBits <= 31, s"nBits must be in [1, 31], got $nBits")
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+  }
 
   /** Deterministic pseudo-gaussian plane component for (table, bit, i):
     * the sum of three murmur-derived uniforms in [-1, 1] (Irwin–Hall
@@ -240,11 +251,20 @@ object AnnIndex {
   private def probeBatch(index: DataFrame, queries: DataFrame, qIdCol: String,
                          qEmbCol: String, cfg: Config,
                          maxPruneLiterals: Int): (DataFrame, DataFrame) = {
+    // localCheckpoint BEFORE collecting the touched set: the bucketed
+    // query frame is otherwise evaluated twice (touched-set collect +
+    // join), and a nondeterministic upstream (sample/rand/re-read mutable
+    // source) could hash the joined queries into buckets the collected
+    // prune set excluded — silently dropping candidates. The checkpoint
+    // pins ONE evaluation both consumers share; it is batch-sized
+    // (≤ |queries|·nTables rows) and its blocks are released by the
+    // ContextCleaner when the returned frame is GC'd.
     val qb = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(qEmbCol).as("q_emb"))
       .withColumn("__graft_buckets", bucketsOf(col("q_emb"), cfg))
       .select(posexplode(col("__graft_buckets")).as(Seq("table", "bucket")),
         col("q_id"), col("q_emb"))
+      .localCheckpoint()
     // ≤ |queries|·nTables pairs — bounded by the batch, driver-safe
     val touched = qb.select(col("table"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1)))

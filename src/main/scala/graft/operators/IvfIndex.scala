@@ -218,9 +218,14 @@ object IvfIndex {
     val probesUdf = udf { (v: Seq[Float]) =>
       model.nearestClusters(v.toArray, nProbe).toArray
     }
+    // localCheckpoint before the touched-set collect — same
+    // one-evaluation pin as AnnIndex.probeBatch: without it a
+    // nondeterministic query source could re-bucket into clusters the
+    // collected prune list excluded.
     val qb = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(qEmbCol).as("q_emb"))
       .withColumn("cluster", explode(probesUdf(col("q_emb"))))
+      .localCheckpoint()
     // ≤ min(|queries|·nProbe, k-clusters) values — always literal-safe
     val touched = qb.select(col("cluster")).distinct().collect().map(_.getInt(0))
     val pruned =

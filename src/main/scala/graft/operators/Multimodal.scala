@@ -121,7 +121,12 @@ object Multimodal {
                   targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0,
       s"resize target must be positive, got ${targetW}x$targetH")
-    val budget = targetW * targetH
+    // Long product first: 50000x50000 overflows Int multiplication to a
+    // negative budget (pass-through test goes false, allocation throws).
+    val budgetL = targetW.toLong * targetH
+    require(budgetL <= Int.MaxValue,
+      s"resize byte budget ${targetW}x$targetH = $budgetL exceeds Int.MaxValue")
+    val budget = budgetL.toInt
     val sampler = udf { (b: Array[Byte]) =>
       if (b == null || b.length <= budget) b
       else {

@@ -415,6 +415,27 @@ class OperatorsSpec extends SparkSpec {
     assert(again(0).sameElements(bigBytes))
   }
 
+  test("resizeAsset: Int-overflowing target rejected loudly, not as negative budget") {
+    val df = Seq((1L, "abc")).toDF("id", "text")
+    val assets = Multimodal.fakeAssets(df, "text")
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.resizeAsset(assets, "asset_bytes", "asset_meta", 50000, 50000)
+    }
+    assert(ex.getMessage.contains("exceeds Int.MaxValue"))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeAsset(assets, "asset_bytes", "asset_meta", 0, 8)
+    }
+  }
+
+  test("AnnIndex.Config rejects sign-bit / wrapping nBits and degenerate shapes") {
+    // legal boundary: bit 30 is the highest set for nBits=31 → non-negative
+    AnnIndex.Config(dim = 4, nBits = 31, nTables = 1)
+    intercept[IllegalArgumentException](AnnIndex.Config(dim = 4, nBits = 32))
+    intercept[IllegalArgumentException](AnnIndex.Config(dim = 4, nBits = 0))
+    intercept[IllegalArgumentException](AnnIndex.Config(dim = 4, nTables = 0))
+    intercept[IllegalArgumentException](AnnIndex.Config(dim = 0))
+  }
+
   test("contaminationPairs matches brute-force shingle intersection; no self-matches leak") {
     val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") < 100)
     val probes = docs.filter(col("doc_id") < 10)
