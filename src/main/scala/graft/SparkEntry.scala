@@ -103,6 +103,9 @@ object SparkEntry {
     ivfIndex(s, dir)
     annAppendParity(s, dir)
     lshDedupIndex(s, dir)
+    annBatchParity(s, dir)
+    ivfBatchParity(s, dir)
+    incrementalNearDedupFlags(s, dir)
   }
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
@@ -162,6 +165,140 @@ object SparkEntry {
         if (ivfParity) 1L else 0L,
         if (drift.refitRecommended) 1L else 0L))
         .toDF("k", "parity_lsh", "parity_compact", "parity_ivf", "refit_recommended")
+    }
+
+  /** Batch==single-probe parity for the LSH batch probe, declared as the
+    * hash-checked `ann_batch_topk` row (round-10): the 20-query batch
+    * probe through the persisted index must return, per query, EXACTLY
+    * what 20 single-vector [[AnnIndex.queryTopK]] probes return — ids AND
+    * rounded scores, in rank order. The listing itself is seed-dependent
+    * (rows-only in r9); the PARITY is an invariant, so the row becomes a
+    * constant the driver hash-checks against a constant oracle — the
+    * ann_append_parity pattern. AnnBatchSpec pins the same equality at
+    * spec level on sf0.001; this row re-proves it on the driver fixtures
+    * every round. Cached: 21 probes are a verification artifact, not
+    * per-query serving work.
+    */
+  private def annBatchParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"ann_batch_parity:$dir") {
+      val queries = embs(s, dir).filter(col("vec_id") < 20)
+      val idx = lshIndex(s, dir)
+      val batch = AnnIndex.queryTopKBatch(idx, queries, "vec_id", "embedding",
+          RecallK, annCfg)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("score"), 6).as("score"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+        }
+      val singles = queries.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        .map { case (q, v) =>
+          q -> AnnIndex.queryTopK(idx, v, RecallK, annCfg)
+            .select(col("id"), round(col("score"), 6).as("score"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
+      val parity = batch.keySet.subsetOf(singles.keySet) &&
+        singles.keys.forall(q => batch.getOrElse(q, Seq.empty) == singles(q))
+      import s.implicits._
+      Seq((20L, RecallK.toLong, if (parity) 1L else 0L))
+        .toDF("n_queries", "k", "parity")
+    }
+
+  /** IVF twin of [[annBatchParity]], declared as `ivf_batch_topk`: the
+    * batch probe against the persisted IVF index vs 20 single
+    * [[IvfIndex.queryTopK]] probes at the same nProbe.
+    */
+  private def ivfBatchParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"ivf_batch_parity:$dir") {
+      val (model, idx) = ivfIndex(s, dir)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      val queries = embs(s, dir).filter(col("vec_id") < 20)
+      val batch = IvfIndex.queryTopKBatch(idx, model, queries, "vec_id", "embedding",
+          RecallK, nProbe)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("score"), 6).as("score"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+        }
+      val singles = queries.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        .map { case (q, v) =>
+          q -> IvfIndex.queryTopK(idx, model, v, RecallK, nProbe)
+            .select(col("id").cast("long"), round(col("score"), 6).as("score"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
+      val parity = batch.keySet.subsetOf(singles.keySet) &&
+        singles.keys.forall(q => batch.getOrElse(q, Seq.empty) == singles(q))
+      import s.implicits._
+      Seq((20L, RecallK.toLong, if (parity) 1L else 0L))
+        .toDF("n_queries", "k", "parity")
+    }
+
+  /** Invariant flags of the incremental embedding near-dedup, declared as
+    * the hash-checked `incremental_near_dedup` row (round-10; the
+    * survivor id list is seed-dependent and stays spec territory). Three
+    * computed invariants over the daily-drop loop on the corpus-slice
+    * index:
+    *
+    *  - `subset_ok`: survivors ⊆ batch (the operator only ever drops);
+    *  - `precision_ok`: every id dropped at the CROSS-INDEX stage has a
+    *    real corpus partner above the threshold, re-verified WITHOUT the
+    *    index by a brute-force cosine join of the dropped rows (small)
+    *    against the corpus slice — catches a probe-pruning bug that the
+    *    by-construction exact-verify filter could itself hide;
+    *  - `roundtrip_ok`: appending the survivors into a copy of the index
+    *    and re-probing them drops ALL of them (each self-hits at cosine
+    *    1) — proves append lands in probe-visible buckets, closing the
+    *    probe→drop→append loop.
+    *
+    * `n_batch` is DuckDB-derivable (count − 3/4-cut), so the whole row
+    * hash-checks. Cached: index copy + brute-force verify are
+    * verification artifacts.
+    */
+  private def incrementalNearDedupFlags(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"inc_near_dedup_flags:$dir") {
+      import s.implicits._
+      val (cut, idx) = lshDedupIndex(s, dir)
+      val corpus = embs(s, dir).filter(col("vec_id") < cut)
+      val batch = embs(s, dir).filter(col("vec_id") >= cut)
+      val batchIds = batch.select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val survivors = AnnIndex.dedupIncrementalLSH(batch, "vec_id", "embedding",
+        idx, threshold = 0.3, dedupCfg)
+      val survivorIds = survivors.select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val subsetOk = survivorIds.subsetOf(batchIds)
+      // isolate the cross-index drops by replaying the within-batch stage
+      val withinIds = Dedup.dedupNear(batch, "vec_id",
+          AnnIndex.nearDupPairsLSH(batch, "vec_id", "embedding", 0.3, dedupCfg))
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val crossDropped = (withinIds -- survivorIds).toSeq.sorted
+      val precisionOk = crossDropped.isEmpty || {
+        val droppedRows = batch
+          .filter(col("vec_id").isin(crossDropped.map(Long.box): _*))
+          .select(col("vec_id").cast("long").as("b_id"), col("embedding").as("b_emb"))
+        // brute force: |drops| × |corpus| distributed cosine join — the
+        // honest no-index verification; never touches the LSH machinery
+        val verified = droppedRows
+          .crossJoin(corpus.select(col("embedding").as("c_emb")))
+          .filter(cosine_sim(col("b_emb"), col("c_emb")) > 0.3)
+          .select("b_id").distinct().count()
+        verified == crossDropped.size
+      }
+      val rtPath = SessionCache.newTempDir("graft-inc-roundtrip")
+      AnnIndex.writeIndex(
+        AnnIndex.buildIndex(corpus, "vec_id", "embedding", dedupCfg), rtPath)
+      AnnIndex.appendToIndex(survivors, rtPath, "vec_id", "embedding", dedupCfg)
+      // survivors are now IN the appended index: re-probing them self-hits
+      // at cosine 1 per id, so the cross stage must drop every one
+      val after = AnnIndex.dedupIncrementalLSH(survivors, "vec_id", "embedding",
+        s.read.parquet(rtPath), threshold = 0.3, dedupCfg).count()
+      val roundtripOk = after == 0L
+      Seq((batchIds.size.toLong,
+        if (subsetOk) 1L else 0L,
+        if (precisionOk) 1L else 0L,
+        if (roundtripOk) 1L else 0L))
+        .toDF("n_batch", "subset_ok", "precision_ok", "roundtrip_ok")
     }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -873,16 +1010,12 @@ object SparkEntry {
     // anything whose exact cosine against the PERSISTED corpus-slice
     // index exceeds the threshold. The corpus is represented only by its
     // index; the batch's touched buckets prune the scan; survivors are
-    // append-ready (the probe→drop→append loop, no rebuild). Seeded LSH
-    // → deterministic but not SQL-replayable, so rows-only; precision /
-    // guaranteed-drop / append-roundtrip pinned by AnnBatchSpec.
-    "incremental_near_dedup" -> ((s, dir) => {
-      val (cut, idx) = lshDedupIndex(s, dir)
-      AnnIndex.dedupIncrementalLSH(
-          embs(s, dir).filter(col("vec_id") >= cut), "vec_id", "embedding",
-          idx, threshold = 0.3, dedupCfg)
-        .select(col("vec_id")).orderBy("vec_id")
-    }),
+    // append-ready (the probe→drop→append loop, no rebuild). The survivor
+    // id list is seeded-LSH territory (AnnBatchSpec); the DECLARED row is
+    // the invariant-flag form (round-10): subset / re-verified drop
+    // precision / append-roundtrip, hash-checked against a
+    // DuckDB-derivable n_batch + constant flags.
+    "incremental_near_dedup" -> ((s, dir) => incrementalNearDedupFlags(s, dir)),
 
     // E2: LSH probe against the PERSISTED index — built+written once per
     // (sfDir, JVM) via SessionCache, probed through read.parquet so the
@@ -901,19 +1034,17 @@ object SparkEntry {
     // serving path at query volume: 20 queries bucketed in one pass, the
     // touched (table,bucket) set pushed as PartitionFilters, candidates
     // deduped by max-score partial agg, ranked through the k-bounded
-    // SimJoin reduction. Seeded planes → deterministic; rows-only (the
-    // oracle would replay LSH); quality pinned by ann_batch_recall below
-    // and the probe-equality spec (AnnBatchSpec).
-    "ann_batch_topk" -> ((s, dir) =>
-      AnnIndex.queryTopKBatch(lshIndex(s, dir),
-          embs(s, dir).filter(col("vec_id") < 20), "vec_id", "embedding",
-          10, annCfg)
-        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
-        .orderBy("q_id", "rank")),
+    // SimJoin reduction. The listing is seeded-LSH territory; the
+    // DECLARED row (round-10) is batch==single-probe PARITY over all 20
+    // queries (ids + rounded scores in rank order) — a computed invariant
+    // hash-checked against a constant oracle, the ann_append_parity
+    // pattern. AnnBatchSpec pins the same equality at spec level.
+    "ann_batch_topk" -> ((s, dir) => annBatchParity(s, dir)),
 
     // E2 quality floor for the batch probe: MEAN recall@10 across the 20
-    // queries vs the exact sim-join — (n_queries, floor_met, mean_recall),
-    // row/schema-checked like the other floors.
+    // queries vs the exact sim-join. floor_met is the hashed value
+    // (round-10); the seed-dependent scalar itself stays spec territory
+    // (AnnBatchSpec re-computes it).
     "ann_batch_recall" -> ((s, dir) => {
       val queries = embs(s, dir).filter(col("vec_id") < 20)
       val approx = AnnIndex.queryTopKBatch(lshIndex(s, dir), queries,
@@ -927,8 +1058,7 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("n"),
           sum(coalesce(col("hit"), lit(0))).cast("double").as("hits"))
         .select(lit(20L).as("n_queries"),
-          when(col("hits") / col("n") >= RecallFloor, 1L).otherwise(0L).as("floor_met"),
-          round(col("hits") / col("n"), 6).as("mean_recall"))
+          when(col("hits") / col("n") >= RecallFloor, 1L).otherwise(0L).as("floor_met"))
     }),
 
     // E2: IVF probe against the PERSISTED index — quantizer fit + index
@@ -948,15 +1078,9 @@ object SparkEntry {
     // E2/E3: IVF batch probe against the persisted index (round-9) — each
     // query ranks the broadcast centroids and probes its own nProbe
     // clusters; touched clusters prune the scan; ids live in one cluster
-    // each so no dedup stage. Seeded k-means → deterministic; rows-only;
-    // per-query equality with ivf_topk's probe pinned by AnnBatchSpec.
-    "ivf_batch_topk" -> ((s, dir) => {
-      val (model, idx) = ivfIndex(s, dir)
-      IvfIndex.queryTopKBatch(idx, model, embs(s, dir).filter(col("vec_id") < 20),
-          "vec_id", "embedding", 10, IvfIndex.defaultNProbe(model.centroids.length))
-        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
-        .orderBy("q_id", "rank")
-    }),
+    // each so no dedup stage. Declared (round-10) as batch==single-probe
+    // PARITY over the 20 queries — the ann_batch_topk argument, IVF twin.
+    "ivf_batch_topk" -> ((s, dir) => ivfBatchParity(s, dir)),
 
     // Training-pipeline decontamination: corpus docs sharing ≥3 distinct
     // bigram shingles with any "benchmark" doc (docs 0-9 stand in for an
@@ -1147,11 +1271,11 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // E2 recall floors: |approx top-k ∩ exact top-k| / k for the two
-    // persisted-index probes. Seed-fixed planes/centroids make the scalar
-    // deterministic; it is not ANSI-expressible (the oracle would have to
-    // replay the LSH/k-means), so the rows stay rows-only — but the
-    // emitted (k, recall, floor_met) schema lets the driver row/schema
-    // check a recall floor instead of trusting an opaque id list.
+    // persisted-index probes. The scalar is seed-dependent (the oracle
+    // would have to replay the LSH/k-means); the FLOOR VERDICT is an
+    // invariant — so the row emits (k, floor_met) and hash-checks against
+    // a constant oracle (round-10, the ann_append_parity pattern). The
+    // scalar itself stays observable at spec level (OperatorsSpec).
     "ann_recall" -> ((s, dir) =>
       recallRow(s, dir, AnnIndex.queryTopK(lshIndex(s, dir), queryVec(s, dir), RecallK, annCfg))),
 
@@ -1173,10 +1297,9 @@ object SparkEntry {
     // is 1.0 by construction — nearDupPairsLSH exact-reranks candidates
     // with the codegen cosine — so recall is the one open quality
     // question, and this row pins it the way ann_recall/ivf_recall pin
-    // the top-k probes. Seed-fixed hyperplanes make the scalar
-    // deterministic; not ANSI-expressible (the oracle would replay LSH),
-    // so rows-only with a driver row/schema check on (n_exact,
-    // floor_met, recall).
+    // the top-k probes. Hash-checked (round-10): DuckDB re-derives
+    // n_exact from the exact cosine pair SQL and pins floor_met=1; the
+    // seed-dependent scalar stays spec territory.
     "near_dup_lsh_recall" -> ((s, dir) => {
       val sub = embs(s, dir).filter(col("vec_id") < 200)
       pairRecallRow(
@@ -1191,10 +1314,9 @@ object SparkEntry {
     // path with neither an oracle row nor a floor (round-9). Misses can
     // come only from minhash banding and 2^18 feature-hash collisions;
     // MLlib's join reports exact feature-set Jaccard for candidates, so
-    // precision is ~1 and recall is the open question. Seeded →
-    // deterministic; not ANSI-expressible (the oracle would replay
-    // MinHash), so rows-only with a row/schema check on
-    // (n_exact, floor_met, recall).
+    // precision is ~1 and recall is the open question. Hash-checked
+    // (round-10): DuckDB re-derives n_exact from the textbook unigram
+    // jaccard SQL and pins floor_met=1.
     "minhash_recall" -> ((s, dir) => {
       val sub = docs(s, dir).filter(col("doc_id") < 60)
       pairRecallRow(
@@ -1230,8 +1352,7 @@ object SparkEntry {
       .agg(count(lit(1)).cast("double").as("n"),
         sum(coalesce(col("hit"), lit(0))).cast("double").as("hits"))
       .select(col("n").cast("long").as("n_exact"),
-        when(col("hits") / col("n") >= NearDupRecallFloor, 1L).otherwise(0L).as("floor_met"),
-        round(col("hits") / col("n"), 6).as("recall"))
+        when(col("hits") / col("n") >= NearDupRecallFloor, 1L).otherwise(0L).as("floor_met"))
 
   private def recallRow(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
     val exact = Similarity.topK(embs(s, dir), "embedding", "vec_id", queryVec(s, dir), RecallK)
@@ -1239,8 +1360,7 @@ object SparkEntry {
     approx.select("id").join(exact, Seq("id"))
       .agg((count(lit(1)).cast("double") / RecallK.toDouble).as("recall"))
       .select(lit(RecallK.toLong).as("k"),
-        when(col("recall") >= RecallFloor, 1L).otherwise(0L).as("floor_met"),
-        round(col("recall"), 6).as("recall"))
+        when(col("recall") >= RecallFloor, 1L).otherwise(0L).as("floor_met"))
   }
 
   // ======================================================== the oracles
