@@ -151,6 +151,17 @@ object Bench {
     // in a deployment (the declared queries probe a persisted index), so
     // pre-build the per-sfDir artifacts — the timed rows measure PROBING.
     SparkEntry.warmArtifacts(spark, sfDir)
+    // Offline build for the bench-only IVF batch-probe row (the declared
+    // ivf_batch_topk is a cached parity constant — see "cached" below).
+    val ivfBenchModel = operators.IvfIndex.fit(
+      core.Tables.embeddings(spark, sfDir), "embedding")
+    val ivfBenchIdx = {
+      val p = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
+      operators.IvfIndex.writeIndex(
+        operators.IvfIndex.buildIndex(core.Tables.embeddings(spark, sfDir),
+          "vec_id", "embedding", ivfBenchModel), p)
+      spark.read.parquet(p)
+    }
 
     // One full measurement pass: every declared query (min-of-ITERS each),
     // the bench-only volume row, then the post canaries that certify the
@@ -172,7 +183,22 @@ object Bench {
           k = 5).count()
         ()
       }
-      (results + ("bench_sim_join_volume_500q" -> simVolume),
+      // The declared ivf_batch_topk row became a cached parity constant in
+      // round 10, so BENCH lost its only timing of the IVF batch-probe
+      // serving path — this bench-only row runs IvfIndex.queryTopKBatch
+      // per iteration against the pre-built persisted index (round-11,
+      // per the r10 advisor; the LSH twin is covered by ann_batch_recall,
+      // which re-probes per iteration).
+      val ivfBatchVolume = timed { () =>
+        val e = core.Tables.embeddings(spark, sfDir)
+        operators.IvfIndex.queryTopKBatch(ivfBenchIdx, ivfBenchModel,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding", 10,
+          operators.IvfIndex.defaultNProbe(ivfBenchModel.centroids.length)).count()
+        ()
+      }
+      (results +
+        ("bench_sim_join_volume_500q" -> simVolume) +
+        ("bench_ivf_batch_topk_20q" -> ivfBatchVolume),
         canarySeconds(), canaryParSeconds(parThreads))
     }
 
@@ -204,6 +230,11 @@ object Bench {
       s"\"" + jsonEscape(k) + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    // Rows whose timing is a SessionCache lookup after warmArtifacts, NOT
+    // operator cost — readers must exclude them from cross-round operator
+    // comparisons (the bench-only volume rows time those operators live).
+    val cached = SparkEntry.cachedQueryNames.toSeq.sorted
+      .map(n => "\"" + jsonEscape(n) + "\"").mkString("[", ",", "]")
     // load_inflated: true iff the box was still hot after the bounded
     // pre-canary retries OR turned hot during the query loop (post canary)
     // — either way the absolute per-query numbers are not comparable to a
@@ -212,7 +243,7 @@ object Bench {
       canaryParPost > hotFactor * CanaryParRefSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$es,"n_err":${errs.size},"iters":$Iters,"agg":"min",""" +
+      s""""errors":$es,"n_err":${errs.size},"iters":$Iters,"agg":"min","cached":$cached,""" +
       s""""canary_pre_sec":$canaryPre,"canary_post_sec":$canaryPost,""" +
       s""""canary_par_pre_sec":$canaryParPre,"canary_par_post_sec":$canaryParPost,""" +
       s""""canary_par_threads":$parThreads,"canary_retries":$canaryRetries,""" +

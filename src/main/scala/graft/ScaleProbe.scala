@@ -67,7 +67,10 @@ object ScaleProbe {
     // SPARK_GRAFT_ONLY_R9=1 probes only the round-9 index-maintenance
     // rows — at high amplification the rest of the sweep has recorded
     // numbers and would add ~15 min for nothing.
-    val onlyR9 = sys.env.contains("SPARK_GRAFT_ONLY_R9")
+    // SPARK_GRAFT_ONLY_R11=1 probes only the round-11 additions (IVF batch
+    // probe at query volume + postings-index lifecycle).
+    val onlyR11 = sys.env.contains("SPARK_GRAFT_ONLY_R11")
+    val onlyR9 = onlyR11 || sys.env.contains("SPARK_GRAFT_ONLY_R9")
     val onlyR8 = onlyR9 || sys.env.contains("SPARK_GRAFT_ONLY_R8")
 
     // ---- the operators whose constants matter at scale ---------------
@@ -292,7 +295,7 @@ object ScaleProbe {
     // append a 1% daily batch into the persisted LSH index vs rebuilding
     // from scratch — the number that justifies appendToIndex at 100 TB
     // (before round 9, ANY new data meant a full rebuild).
-    locally {
+    if (!onlyR11) locally {
       val cfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 8)
       val cut = nEmb * 99 / 100
       val path = java.nio.file.Files.createTempDirectory("graft-scale-append").toString
@@ -332,6 +335,57 @@ object ScaleProbe {
       }
       timed("probe compacted index (top-10)") {
         AnnIndex.queryTopK(spark.read.parquet(path), q, 10, cfg).collect()
+      }
+    }
+    // ---- round-11: IVF batch probe at query volume + postings lifecycle
+    locally {
+      // IVF serving twin of the LSH "BATCH probe 500 q" row: fit + build
+      // are the offline step; the timed row is the 500-query batch probe
+      // through the persisted index — the number the ivf_batch_topk
+      // parity row no longer provides (it became a cached constant).
+      val ivfPath = graft.core.SessionCache.newTempDir("graft-scale-ivf")
+      val model = timed("ivf fit (full corpus)") {
+        IvfIndex.fit(emb, "embedding")
+      }
+      timed("ivf index build+write") {
+        IvfIndex.writeIndex(IvfIndex.buildIndex(emb, "vec_id", "embedding", model), ivfPath)
+      }
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      val ivfIdx = spark.read.parquet(ivfPath)
+      timed(s"IVF BATCH probe 500 q (top-5, nProbe=$nProbe)") {
+        IvfIndex.queryTopKBatch(ivfIdx, model,
+          emb.filter(col("vec_id") < 500), "vec_id", "embedding", 5, nProbe).count()
+      }
+    }
+    locally {
+      // Shingle-postings lifecycle (round-11): the jaccard index's
+      // append-vs-rebuild split — build on 99%, append the 1% daily drop
+      // (linear in the batch), compact (global re-cap + rewrite), vs the
+      // full rebuild a pre-round-11 pipeline paid per drop.
+      val cut = nDocs * 99 / 100
+      val pPath = graft.core.SessionCache.newTempDir("graft-scale-postings")
+      timed("postings build+write (99% corpus)") {
+        Dedup.buildPostingsIndex(docs.filter(col("doc_id") < cut), "doc_id", "text",
+          n = 2, pPath)
+      }
+      // probe BEFORE append (the daily order: drop near-dups vs the
+      // corpus index, then append the survivors' postings)
+      timed("postings incremental dedup (1% drop vs index)") {
+        val n = Dedup.jaccardIncremental(docs.filter(col("doc_id") >= cut),
+          "doc_id", "text", n = 2, threshold = 0.5,
+          Dedup.readPostingsIndex(spark, pPath)).count()
+        println(s"[scale]   -> $n batch rows survive")
+      }
+      timed("postings APPEND 1% batch") {
+        Dedup.appendPostingsIndex(docs.filter(col("doc_id") >= cut), "doc_id", "text",
+          n = 2, pPath)
+      }
+      timed("postings COMPACT (global re-cap)") {
+        Dedup.compactPostingsIndex(spark, pPath)
+      }
+      timed("postings full REBUILD (the avoided cost)") {
+        Dedup.buildPostingsIndex(docs, "doc_id", "text", n = 2,
+          graft.core.SessionCache.newTempDir("graft-scale-postings-rebuild"))
       }
     }
     spark.stop()

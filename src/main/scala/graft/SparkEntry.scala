@@ -106,7 +106,21 @@ object SparkEntry {
     annBatchParity(s, dir)
     ivfBatchParity(s, dir)
     incrementalNearDedupFlags(s, dir)
+    jaccardIndexAppendParity(s, dir)
+    dailyDropRehearsal(s, dir)
   }
+
+  /** Declared rows whose result frame is SessionCache-memoized once
+    * [[warmArtifacts]] has run — verification artifacts (index lifecycles,
+    * parity sweeps), not per-query serving work. BENCH tags these in its
+    * output (`"cached"`): their min-of-N timing is a cache lookup and must
+    * not be read as operator cost (round-11, per the r10 advisor; the
+    * bench-only volume rows time the underlying operators for real).
+    */
+  val cachedQueryNames: Set[String] = Set(
+    "ann_append_parity", "ann_batch_topk", "ivf_batch_topk",
+    "incremental_near_dedup", "jaccard_index_append_parity",
+    "pipeline_daily_drop")
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
     * index over the first 3/4 of the corpus, APPEND the last 1/4 as the
@@ -290,8 +304,13 @@ object SparkEntry {
         AnnIndex.buildIndex(corpus, "vec_id", "embedding", dedupCfg), rtPath)
       AnnIndex.appendToIndex(survivors, rtPath, "vec_id", "embedding", dedupCfg)
       // survivors are now IN the appended index: re-probing them self-hits
-      // at cosine 1 per id, so the cross stage must drop every one
-      val after = AnnIndex.dedupIncrementalLSH(survivors, "vec_id", "embedding",
+      // at cosine 1 per id, so the cross stage must drop every one. A
+      // zero-norm vector is the one exception — cosine_sim guards 0-norm
+      // to 0, so it can't self-hit and would flip the flag spuriously;
+      // exclude it from the re-probe (append still lands every survivor).
+      val probeBatch = survivors.filter(
+        cosine_sim(col("embedding"), col("embedding")) > 0.5)
+      val after = AnnIndex.dedupIncrementalLSH(probeBatch, "vec_id", "embedding",
         s.read.parquet(rtPath), threshold = 0.3, dedupCfg).count()
       val roundtripOk = after == 0L
       Seq((batchIds.size.toLong,
@@ -299,6 +318,77 @@ object SparkEntry {
         if (precisionOk) 1L else 0L,
         if (roundtripOk) 1L else 0L))
         .toDF("n_batch", "subset_ok", "precision_ok", "roundtrip_ok")
+    }
+
+  /** Append==rebuild parity for the persisted shingle-postings index
+    * (round-11, completing the index-maintenance story for the text-dedup
+    * path): build the index on the first 3/4 of `documents`, APPEND the
+    * last quarter, COMPACT (global re-cap from the frequency sidecar +
+    * file rewrite + atomic swap), and compare the resulting postings —
+    * ids, shingles AND post-drop set sizes — against a from-scratch
+    * [[Dedup.shinglePostings]] rebuild over everything. The cap (20) is
+    * chosen to BIND at fixture scale (bigram doc-freq tops out ~47/500),
+    * so the parity exercises the global-re-cap path, not just file
+    * plumbing. Both directions checked via distributed `except` — no
+    * driver materialization. Cached: an offline index lifecycle, not
+    * per-query work.
+    */
+  private def jaccardIndexAppendParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"jaccard_index_append_parity:$dir") {
+      val d = docs(s, dir)
+      val cut = d.count() * 3 / 4
+      val cap = 20L
+      val corpus = d.filter(col("doc_id") < cut)
+      val batch = d.filter(col("doc_id") >= cut)
+      val path = SessionCache.newTempDir("graft-postings-idx")
+      Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, path, cap)
+      Dedup.appendPostingsIndex(batch, "doc_id", "text", n = 2, path, cap)
+      Dedup.compactPostingsIndex(s, path, cap)
+      val appended = Dedup.readPostingsIndex(s, path)
+      val rebuilt = Dedup.shinglePostings(d, "doc_id", "text", n = 2, cap)
+      val parity = appended.except(rebuilt).isEmpty && rebuilt.except(appended).isEmpty
+      import s.implicits._
+      Seq((batch.count(), if (parity) 1L else 0L)).toDF("n_batch", "parity")
+    }
+
+  /** The END-TO-END daily-drop rehearsal (round-11 stretch): one incoming
+    * batch (the last quarter of `documents` + its embeddings) runs the
+    * whole incremental hygiene chain against a corpus represented ONLY by
+    * its three persisted artifacts — content-hash set, shingle-postings
+    * index, LSH index — exactly the 100 TB nightly loop:
+    *
+    *  1. exact sha dedup within the batch + against the corpus hashes
+    *     ([[Dedup.dedupIncremental]]);
+    *  2. n-gram jaccard near-dedup against the postings INDEX built+
+    *     appended by the lifecycle above ([[Dedup.jaccardIncremental]]);
+    *  3. embedding near-dedup against the persisted LSH index
+    *     ([[AnnIndex.dedupIncrementalLSH]] — probe + exact-cosine verify).
+    *
+    * `documents` and `embeddings` are row-aligned (doc_id == vec_id), so
+    * the same 3/4 cut drives all three stages. The LSH stage's keep-set
+    * is banding-dependent → rows-only; PipelineSpec pins the composition
+    * invariants (monotone shrinking, survivors ⊆ batch, re-delivered
+    * text never survives).
+    */
+  private def dailyDropRehearsal(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"daily_drop_rehearsal:$dir") {
+      val d = docs(s, dir)
+      val cut = d.count() * 3 / 4
+      val corpus = d.filter(col("doc_id") < cut)
+      val batch = d.filter(col("doc_id") >= cut)
+      val postingsPath = SessionCache.newTempDir("graft-daily-postings")
+      Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, postingsPath)
+      val s1 = Dedup.dedupIncremental(batch, "doc_id", "text",
+        Dedup.contentHashes(corpus, "text"))
+      val s2 = Dedup.jaccardIncremental(s1, "doc_id", "text",
+        n = 2, threshold = 0.2, Dedup.readPostingsIndex(s, postingsPath))
+      val (embCut, lshIdx) = lshDedupIndex(s, dir)
+      val s3 = AnnIndex.dedupIncrementalLSH(
+        s2.join(embs(s, dir).filter(col("vec_id") >= embCut),
+            col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("embedding")),
+        "doc_id", "embedding", lshIdx, threshold = 0.3, dedupCfg)
+      s3.select(col("doc_id")).orderBy("doc_id")
     }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -624,6 +714,30 @@ object SparkEntry {
       if (!sq.awaitTermination(300000))
         throw new graft.core.EngineError(
           "stream_ann_probe: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("q_id", "c_id")
+    }),
+
+    // E2/E6 (round-11): the BOUNDED-STATE serving form — same probe join,
+    // but the cross-table dedup state expires past the event-time
+    // watermark (dropDuplicatesWithinWatermark), so a continuous
+    // deployment's state is O(horizon), not O(pairs ever). Synthetic
+    // arrival time (epoch + vec_id seconds) + a 365-day delay cover the
+    // whole query span, so this bounded replay emits exactly the
+    // unwatermarked row's pair set (StreamsSpec pins the equality).
+    // Seeded LSH → rows-only.
+    "stream_ann_probe_wm" -> ((s, dir) => {
+      val sinkName = "graft_stream_ann_probe_wm"
+      val queries = Tables.embeddingsStream(s, dir).filter(col("vec_id") < 20)
+        .withColumn("arrival_ts", timestamp_seconds(lit(1704067200L) + col("vec_id")))
+      val sq = Streams.annProbeStreamWithinWatermark(queries,
+          "vec_id", "embedding", lshIndex(s, dir), threshold = 0.5, annCfg,
+          tsCol = "arrival_ts", delay = "365 days")
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_ann_probe_wm: stream did not finish within 300s — refusing to return a partial sink")
       s.table(sinkName).orderBy("q_id", "c_id")
     }),
 
@@ -1138,6 +1252,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
+
+    // E4 index MAINTENANCE (round-11): build + append + compact ==
+    // rebuild for the persisted shingle-postings index, with the
+    // hot-shingle cap BINDING — the jaccard twin of ann_append_parity.
+    // n_batch is DuckDB-derivable; the parity is the only acceptable
+    // outcome, so the row hash-checks against a constant oracle.
+    "jaccard_index_append_parity" -> ((s, dir) => jaccardIndexAppendParity(s, dir)),
+
+    // E4/E7 (round-11 stretch): the WHOLE nightly loop as one declared
+    // row — exact-sha → jaccard-vs-postings-index → LSH-vs-embedding-
+    // index, the corpus present only through its persisted artifacts.
+    // LSH banding makes the keep-set seed-dependent → rows-only;
+    // PipelineSpec pins the composition invariants.
+    "pipeline_daily_drop" -> ((s, dir) => dailyDropRehearsal(s, dir)),
 
     // E5: within-document repetition signals (Gopher-style quality
     // filters) — duplicate-token and duplicate-bigram fractions; catches
@@ -2221,6 +2349,86 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS parity_compact,
         |  CAST(1 AS BIGINT) AS parity_ivf,
         |  CAST(0 AS BIGINT) AS refit_recommended""".stripMargin,
+
+    // Batch==single-probe parity (round-11, wiring the r10 refactor): the
+    // Spark side runs the 20-query batch probe AND 20 single probes for
+    // real and compares ids+rounded scores in rank order; the oracle pins
+    // the only acceptable outcome — the ann_append_parity pattern.
+    "ann_batch_topk" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS parity""".stripMargin,
+
+    "ivf_batch_topk" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS parity""".stripMargin,
+
+    // Incremental near-dedup invariants: n_batch re-derives the Spark
+    // side's `vec_id >= count*3/4` batch slice straight from the parquet
+    // (no density assumption — the FILTER mirrors the Spark filter); the
+    // three computed flags (survivors ⊆ batch, brute-force-verified
+    // cross-index precision, append-roundtrip drop) must all hold.
+    "incremental_near_dedup" ->
+      """SELECT
+        |  CAST(COUNT(*) FILTER (WHERE vec_id >= (SELECT (COUNT(*) * 3) // 4 FROM embeddings)) AS BIGINT) AS n_batch,
+        |  CAST(1 AS BIGINT) AS subset_ok,
+        |  CAST(1 AS BIGINT) AS precision_ok,
+        |  CAST(1 AS BIGINT) AS roundtrip_ok
+        |FROM embeddings""".stripMargin,
+
+    // Recall floors (round-11): the scalar recall is seed-dependent and
+    // stays spec territory (OperatorsSpec/AnnBatchSpec re-compute it);
+    // the floor VERDICT is the designed invariant — 4 bits × 12 tables
+    // (dedup geometry) / nProbe clusters give comfortable margin over the
+    // 0.5/0.6 floors, and a broken probe join fails loudly.
+    "ann_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS floor_met",
+
+    "ivf_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS floor_met",
+
+    "ann_batch_recall" ->
+      "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS floor_met",
+
+    // Postings-index lifecycle parity: n_batch re-derives the 3/4-cut
+    // batch slice; the append+compact==rebuild parity (cap binding) is
+    // the only acceptable outcome — the ann_append_parity pattern.
+    "jaccard_index_append_parity" ->
+      """SELECT
+        |  CAST(COUNT(*) FILTER (WHERE doc_id >= (SELECT (COUNT(*) * 3) // 4 FROM documents)) AS BIGINT) AS n_batch,
+        |  CAST(1 AS BIGINT) AS parity
+        |FROM documents""".stripMargin,
+
+    // Pair-recall floors: DuckDB re-derives n_exact from the exact pair
+    // SQL — the near_dup_pairs oracle's pair set (hash-green at the same
+    // slice/threshold) and the textbook unigram-jaccard pair set — and
+    // pins floor_met.
+    "near_dup_lsh_recall" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    SUM(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)) AS dot,
+        |    SQRT(SUM(CAST(a.embedding[r.i] AS DOUBLE) * CAST(a.embedding[r.i] AS DOUBLE))) AS na,
+        |    SQRT(SUM(CAST(b.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE))) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+        |  CROSS JOIN range(1,65) r(i)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS floor_met
+        |FROM s WHERE CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END > 0.3""".stripMargin,
+
+    "minhash_recall" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS sh
+        |  FROM documents WHERE doc_id < 60
+        |),
+        |p AS (
+        |  SELECT len(list_intersect(a.sh, b.sh)) AS common,
+        |    len(a.sh) AS asz, len(b.sh) AS bsz
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS floor_met
+        |FROM p WHERE CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.5""".stripMargin,
 
     // Filter → pack composition: the quality_filter CTE keeps reasons='',
     // then the pack CTE runs the exclusive-running-sum window over the

@@ -258,13 +258,19 @@ object AnnIndex {
     // prune set excluded — silently dropping candidates. The checkpoint
     // pins ONE evaluation both consumers share; it is batch-sized
     // (≤ |queries|·nTables rows) and its blocks are released by the
-    // ContextCleaner when the returned frame is GC'd.
+    // ContextCleaner when the returned frame is GC'd. LAZY (eager=false):
+    // the touched-set collect right below is the first action, so the
+    // pin costs no extra job (round-11, per the r10 advisor). Tradeoff a
+    // cluster deployment accepts: local checkpoints are non-replayable —
+    // losing an executor mid-probe fails the query instead of recomputing
+    // (retry the batch; the alternative, reliable `checkpoint()`, costs a
+    // full write to the checkpoint dir per probe).
     val qb = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(qEmbCol).as("q_emb"))
       .withColumn("__graft_buckets", bucketsOf(col("q_emb"), cfg))
       .select(posexplode(col("__graft_buckets")).as(Seq("table", "bucket")),
         col("q_id"), col("q_emb"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // ≤ |queries|·nTables pairs — bounded by the batch, driver-safe
     val touched = qb.select(col("table"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1)))

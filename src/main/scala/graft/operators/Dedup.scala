@@ -178,6 +178,103 @@ object Dedup {
     }
   }
 
+  // ----------------------------------- shingle-postings index lifecycle
+  /** Uncapped per-shingle document frequency of `df` — the sidecar that
+    * makes the postings-index cap EXACTLY compactable: capped postings
+    * alone cannot tell a shingle that is globally hot from one that was
+    * only hot inside one batch, but summing per-batch TRUE frequencies
+    * recovers the global count.
+    */
+  private def shingleFreqs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    df.select(explode(shingles(col(textCol), n)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+
+  private def postingsDir(path: String) = path + "/postings"
+  private def freqsDir(path: String) = path + "/freqs"
+
+  /** BUILD a persisted shingle-postings index at `path` — the jaccard twin
+    * of [[AnnIndex.writeIndex]], completing the index-maintenance story
+    * for the text-dedup path (round-11). Layout: `path/postings` holds the
+    * capped [[shinglePostings]] rows hash-laid-out on `shingle` (one file
+    * per shuffle partition; at deployment scale register it as a
+    * shingle-bucketed catalog table via [[graft.store.Bucketing]] to make
+    * every daily-drop join co-located), and `path/freqs` holds the
+    * UNCAPPED per-shingle doc frequencies ([[shingleFreqs]]) that
+    * [[compactPostingsIndex]] needs to re-apply the cap globally.
+    */
+  def buildPostingsIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         n: Int, path: String, maxDocFreq: Long = 1000L): Unit = {
+    shinglePostings(corpus, idCol, textCol, n, maxDocFreq)
+      .repartition(col("shingle"))
+      .write.mode("overwrite").parquet(postingsDir(path))
+    shingleFreqs(corpus, idCol, textCol, n)
+      .write.mode("overwrite").parquet(freqsDir(path))
+  }
+
+  /** APPEND a new batch's postings into an existing index — the daily-drop
+    * path promised by [[jaccardIncremental]]'s contract, linear in the
+    * BATCH alone (the corpus is never re-read): the batch's capped
+    * postings and its uncapped frequencies land as new files. The batch
+    * cap is applied over the batch's own universe, so appended state can
+    * temporarily KEEP a shingle whose union frequency crosses the cap
+    * (per-part hot ⊆ union hot — never the reverse);
+    * [[compactPostingsIndex]] restores exact global-cap semantics on the
+    * compaction cadence. Caller owns id-uniqueness across batches, as
+    * with [[AnnIndex.appendToIndex]].
+    */
+  def appendPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
+                          n: Int, path: String, maxDocFreq: Long = 1000L): Unit = {
+    shinglePostings(batch, idCol, textCol, n, maxDocFreq)
+      .repartition(col("shingle"))
+      .write.mode("append").parquet(postingsDir(path))
+    shingleFreqs(batch, idCol, textCol, n)
+      .write.mode("append").parquet(freqsDir(path))
+  }
+
+  /** The postings frame of a persisted index — feed directly to
+    * [[jaccardIncremental]] as `corpusPostings`.
+    */
+  def readPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.parquet(postingsDir(path))
+
+  /** COMPACT a postings index that accumulated per-append files AND
+    * re-apply the hot-shingle cap over the GLOBAL frequencies — after
+    * which the index is bit-identical to a from-scratch
+    * [[shinglePostings]] rebuild over every ingested document (the
+    * `jaccard_index_append_parity` row proves it with the cap binding):
+    *
+    *  1. global freq = sum of the per-batch sidecar counts;
+    *  2. drop postings of shingles with global freq > cap — per-part-hot
+    *     shingles were already absent, and per-part-hot ⊆ global-hot, so
+    *     the kept set equals the rebuild's kept set;
+    *  3. recompute each doc's `corpus_size` over its kept postings (the
+    *     [[jaccardPairs]] sizes-after-drop discipline);
+    *  4. atomically swap both subdirs under the store's single-writer
+    *     lock ([[graft.store.DocStore.swapDirContents]]).
+    *
+    * Run on the append-count cadence, not per append — it rescans the
+    * index (but never the corpus text).
+    */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, maxDocFreq: Long = 1000L): Unit = {
+    require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
+    graft.store.DocStore.swapDirContents(spark, path) { tmp =>
+      val freqs = spark.read.parquet(freqsDir(path))
+        .groupBy("shingle").agg(sum(col("n_docs")).as("n_docs"))
+      val hot = freqs.filter(col("n_docs") > maxDocFreq).select("shingle")
+      spark.read.parquet(postingsDir(path))
+        .join(hot, Seq("shingle"), "left_anti")
+        .withColumn("corpus_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("corpus_id")))
+        .select(col("corpus_id"), col("corpus_size"), col("shingle"))
+        .repartition(col("shingle"))
+        .write.parquet(postingsDir(tmp))
+      freqs.write.parquet(freqsDir(tmp))
+    }
+  }
+
   /** Incremental n-gram jaccard dedup — the daily-batch shape of
     * [[jaccardPairs]] + [[dedupNear]], completing the incremental trilogy
     * (exact sha [[dedupIncremental]], embedding space

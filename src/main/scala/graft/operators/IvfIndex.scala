@@ -225,7 +225,9 @@ object IvfIndex {
     val qb = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(qEmbCol).as("q_emb"))
       .withColumn("cluster", explode(probesUdf(col("q_emb"))))
-      .localCheckpoint()
+      // lazy: the collect below materializes it — no extra job; see the
+      // non-replayability note at AnnIndex.probeBatch
+      .localCheckpoint(eager = false)
     // ≤ min(|queries|·nProbe, k-clusters) values — always literal-safe
     val touched = qb.select(col("cluster")).distinct().collect().map(_.getInt(0))
     val pruned =

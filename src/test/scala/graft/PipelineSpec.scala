@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, Dedup}
+
+/** Round-11: the shingle-postings index lifecycle and the end-to-end
+  * daily-drop rehearsal — the composition invariants the rows-only
+  * `pipeline_daily_drop` row can't hash-check.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+  private def embs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+
+  test("postings index: build + append + compact == rebuild, with the cap binding") {
+    val cut = docs.count() * 3 / 4
+    val cap = 20L
+    val corpus = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val path = java.nio.file.Files.createTempDirectory("graft-postings-spec").toString
+    Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, path, cap)
+    Dedup.appendPostingsIndex(batch, "doc_id", "text", n = 2, path, cap)
+    Dedup.compactPostingsIndex(spark, path, cap)
+    val appended = Dedup.readPostingsIndex(spark, path)
+    val rebuilt = Dedup.shinglePostings(docs, "doc_id", "text", n = 2, cap)
+    assert(appended.except(rebuilt).isEmpty && rebuilt.except(appended).isEmpty,
+      "append+compact != rebuild")
+    // the parity must be non-trivial: the cap has to actually drop
+    // something, or this test only exercises file plumbing
+    val uncapped = Dedup.shinglePostings(docs, "doc_id", "text", n = 2, Long.MaxValue)
+    assert(rebuilt.count() < uncapped.count(), "cap=20 did not bind at sf0.001")
+  }
+
+  test("postings index feeds jaccardIncremental identically to in-memory postings") {
+    val cut = docs.count() * 3 / 4
+    val corpus = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val path = java.nio.file.Files.createTempDirectory("graft-postings-spec2").toString
+    Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, path)
+    val viaIndex = Dedup.jaccardIncremental(batch, "doc_id", "text", n = 2,
+        threshold = 0.2, Dedup.readPostingsIndex(spark, path))
+      .select("doc_id").as[Long].collect().toSet
+    val viaMemory = Dedup.jaccardIncremental(batch, "doc_id", "text", n = 2,
+        threshold = 0.2, Dedup.shinglePostings(corpus, "doc_id", "text", 2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == viaMemory)
+  }
+
+  test("daily-drop chain: monotone shrinking, survivors ⊆ batch, re-delivered text never survives") {
+    val cut = docs.count() * 3 / 4
+    val corpus = docs.filter(col("doc_id") < cut)
+    // incoming batch: the fresh quarter PLUS a re-delivery of corpus doc 0
+    // under a new id — it must die at stage 1 (exact sha)
+    val redelivered = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(90000L))
+    val batch = docs.filter(col("doc_id") >= cut).unionByName(redelivered)
+    val batchIds = batch.select(col("doc_id").cast("long")).as[Long].collect().toSet
+
+    val postingsPath = java.nio.file.Files.createTempDirectory("graft-daily-spec").toString
+    Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, postingsPath)
+    val dedupCfg = AnnIndex.Config(dim = 64, nBits = 4, nTables = 12)
+    val lshIdx = AnnIndex.buildIndex(
+      embs.filter(col("vec_id") < cut), "vec_id", "embedding", dedupCfg)
+
+    val s1 = Dedup.dedupIncremental(batch, "doc_id", "text",
+      Dedup.contentHashes(corpus, "text"))
+    val s1Ids = s1.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(s1Ids.subsetOf(batchIds), "stage 1 invented rows")
+    assert(!s1Ids.contains(90000L), "re-delivered corpus text survived exact dedup")
+
+    val s2 = Dedup.jaccardIncremental(s1, "doc_id", "text", n = 2,
+      threshold = 0.2, Dedup.readPostingsIndex(spark, postingsPath))
+    val s2Ids = s2.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(s2Ids.subsetOf(s1Ids), "stage 2 invented rows")
+
+    val s3 = AnnIndex.dedupIncrementalLSH(
+      s2.join(embs.filter(col("vec_id") >= cut), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", lshIdx, threshold = 0.3, dedupCfg)
+    val s3Ids = s3.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(s3Ids.subsetOf(s2Ids), "stage 3 invented rows")
+    assert(s3Ids.nonEmpty, "the whole batch died — thresholds degenerate at this sf")
+  }
+}

@@ -114,6 +114,72 @@ class StreamsSpec extends SparkSpec {
       "missing self-matches")
   }
 
+  test("watermarked ANN probe stream equals the unwatermarked pair set") {
+    import graft.operators.AnnIndex
+    val cfg = AnnIndex.Config(dim = 64, nBits = 4, nTables = 8)
+    val thr = 0.4
+    val embs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val index = AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg)
+    val queries = Tables.embeddingsStream(spark, Sf0001).filter(col("vec_id") < 15)
+      .withColumn("arrival_ts", timestamp_seconds(lit(1704067200L) + col("vec_id")))
+    val sq = Streams.annProbeStreamWithinWatermark(queries, "vec_id", "embedding",
+        index, thr, cfg, tsCol = "arrival_ts", delay = "30 days")
+      .writeStream.format("memory").queryName("ann_probe_wm_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(300000), "stream did not finish")
+    // the dedup operator must be the WATERMARKED state store (state rows
+    // expire), not the unbounded dropDuplicates
+    assert(sq.lastProgress != null && sq.lastProgress.stateOperators.nonEmpty,
+      "expected a dedup state operator in the plan")
+    val got = spark.table("ann_probe_wm_test")
+      .select(col("q_id"), col("c_id"), round(col("score"), 6).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    // the unwatermarked form is mode-agnostic — run it on the batch frame
+    val expected = Streams.annProbeStream(embs.filter(col("vec_id") < 15),
+        "vec_id", "embedding", index, thr, cfg)
+      .select(col("q_id"), col("c_id"), round(col("score"), 6).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected, "watermarked stream and batch probe disagree")
+    assert((0L until 15L).forall(i => got.contains((i, i, 1.0))),
+      "missing self-matches")
+  }
+
+  test("expiring sessionizer flushes an idle user's final session and frees its state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import Streams.{ClosedSession, Ev}
+    def ts(s: String) = Timestamp.valueOf(s)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val sessions = Streams.sessionizeStatefulExpiring(
+      ms.toDS().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_exp_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session (2 events, 10 min apart)
+      ms.addData(Ev(1L, ts("2024-01-01 10:00:00")), Ev(1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_exp_test").isEmpty,
+        "no session may close before the gap boundary passes")
+      // batch 2 advances the watermark to 12:00 — past user 1's 10:40
+      // gap boundary; batch 3 gives the engine a trigger in which the
+      // armed timeout fires (timeouts are evaluated against the
+      // watermark computed at the previous batch's end).
+      ms.addData(Ev(2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      ms.addData(Ev(2L, ts("2024-01-01 12:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_exp_test").as[ClosedSession].collect().toSet
+      // user 1's FINAL session emitted without any further user-1 event —
+      // the NoTimeout form would hold it forever; user 2's session is
+      // still inside its gap horizon and must NOT emit.
+      assert(got == Set(ClosedSession(1L, 1L, 2L)), s"got $got")
+      // the flushed key's state is gone: numRowsTotal counts only user 2
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L, s"expected 1 live state row (user 2), got $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming IVF probe is stateless and equals the batch cluster-join") {
     import graft.operators.IvfIndex
     val thr = 0.4
