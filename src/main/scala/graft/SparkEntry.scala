@@ -110,17 +110,21 @@ object SparkEntry {
     dailyDropRehearsal(s, dir)
   }
 
-  /** Declared rows whose result frame is SessionCache-memoized once
-    * [[warmArtifacts]] has run — verification artifacts (index lifecycles,
-    * parity sweeps), not per-query serving work. BENCH tags these in its
-    * output (`"cached"`): their min-of-N timing is a cache lookup and must
-    * not be read as operator cost (round-11, per the r10 advisor; the
-    * bench-only volume rows time the underlying operators for real).
+  /** Declared rows whose result frame is a MATERIALIZED constant after
+    * [[warmArtifacts]] — verification artifacts (parity sweeps) whose
+    * cached frame is a local one-row Seq, so a re-count is a lookup, not
+    * operator cost. BENCH tags these in its output (`"cached"`) so their
+    * min-of-N timings are excluded from cross-round operator comparisons
+    * (round-11, per the r10 advisor; the bench-only volume rows time the
+    * underlying probes for real). `pipeline_daily_drop` is deliberately
+    * NOT here: its SessionCache entry only pins the one-time index
+    * BUILDS — the cached frame is the lazy probe chain, re-executed per
+    * count, so its timing is the real end-to-end nightly-loop serving
+    * cost.
     */
   val cachedQueryNames: Set[String] = Set(
     "ann_append_parity", "ann_batch_topk", "ivf_batch_topk",
-    "incremental_near_dedup", "jaccard_index_append_parity",
-    "pipeline_daily_drop")
+    "incremental_near_dedup", "jaccard_index_append_parity")
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
     * index over the first 3/4 of the corpus, APPEND the last 1/4 as the
@@ -793,6 +797,31 @@ object SparkEntry {
       if (!sq.awaitTermination(300000))
         throw new graft.core.EngineError(
           "sessionize_stateful: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("user_id", "session_seq")
+    }),
+
+    // E6 (round-11): the DEPLOYABLE sessionizer — EventTimeTimeout flushes
+    // an idle user's final session once the watermark passes its gap
+    // boundary and FREES the key's state (the NoTimeout form above keeps
+    // every user forever and swallows finals). With delay 0 the final
+    // watermark is the global max event time, so the bounded replay emits
+    // the closed sessions PLUS every final whose last event sits > gap
+    // before the stream's end — all oracle-derivable (the fixtures have
+    // no user within 1 ms of the boundary at any sf, so engine
+    // strict-vs-nonstrict comparisons cannot flip a row). The timeout
+    // fires in the engine's trailing no-data micro-batch.
+    "sessionize_stateful_exp" -> ((s, dir) => {
+      import s.implicits._
+      val evs = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts")).as[Streams.Ev]
+        .withWatermark("ts", "0 seconds")
+      val sinkName = "graft_sessionize_stateful_exp"
+      val sq = Streams.sessionizeStatefulExpiring(evs, gapMinutes = 30).toDF()
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "sessionize_stateful_exp: stream did not finish within 300s — refusing to return a partial sink")
       s.table(sinkName).orderBy("user_id", "session_seq")
     }),
 
@@ -1959,6 +1988,34 @@ object SparkEntry {
         |      FROM g GROUP BY 1, 2)
         |SELECT user_id, session_seq, n_events FROM c
         |QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // The expiring form: same session assignment, but a FINAL session also
+    // emits when its gap boundary (last event + 30 min, ms-floored the way
+    // the engine arms the event-time alarm) lies before the final
+    // watermark (global max ts, delay 0). No fixture user sits within
+    // 1 ms of the boundary, so comparison strictness cannot flip a row.
+    "sessionize_stateful_exp" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s
+        |),
+        |c AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+        |             MAX(ts) AS last_ts
+        |      FROM g GROUP BY 1, 2),
+        |m AS (SELECT MAX(ts) AS maxts FROM events)
+        |SELECT user_id, session_seq, n_events FROM c CROSS JOIN m
+        |QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
+        |     OR epoch_us(last_ts) // 1000 + 1800000 < epoch_us(maxts) // 1000
         |ORDER BY user_id, session_seq""".stripMargin,
 
     "events_setops" ->

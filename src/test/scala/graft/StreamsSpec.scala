@@ -180,6 +180,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expiring sessionizer on a bounded replay = closed sessions + watermark-flushed finals") {
+    import Streams.Ev
+    val evs = Tables.eventsStream(spark, Sf0001)
+      .select(col("user_id"), col("ts")).as[Ev]
+      .withWatermark("ts", "0 seconds")
+    val sq = Streams.sessionizeStatefulExpiring(evs, gapMinutes = 30).toDF()
+      .writeStream.format("memory").queryName("sess_exp_replay").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(300000), "stream did not finish")
+    val got = spark.table("sess_exp_replay")
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // expected: batch window sessionization; keep non-final sessions, plus
+    // finals whose ms-floored gap boundary precedes the final watermark
+    // (global max event time at delay 0) — the engine's alarm arithmetic.
+    val batchEvents = Tables.events(spark, Sf0001)
+    val maxTsUs = batchEvents.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val rows = Streams.sessionize(batchEvents, gapMinutes = 30)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id").cast("long"), col("session_seq").cast("long"),
+        col("n_events").cast("long"), col("last_us"))
+      .as[(Long, Long, Long, Long)].collect()
+    val maxSeq = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    val expected = rows.filter { case (u, seq, _, lastUs) =>
+      seq < maxSeq(u) || lastUs / 1000L + 30L * 60000L < maxTsUs / 1000L
+    }.map(t => (t._1, t._2, t._3)).toSet
+    assert(got == expected, s"stream=${got.size} rows, expected=${expected.size} rows")
+    // and it must emit strictly more than the NoTimeout form (the flushed
+    // finals are the whole point)
+    assert(expected.exists { case (u, seq, _) => seq == maxSeq(u) },
+      "fixture produced no flushed final — test is vacuous")
+  }
+
   test("streaming IVF probe is stateless and equals the batch cluster-join") {
     import graft.operators.IvfIndex
     val thr = 0.4
