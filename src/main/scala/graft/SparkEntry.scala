@@ -1114,13 +1114,22 @@ object SparkEntry {
 
     // ================= rows-only queries (no ANSI-SQL oracle) =========
 
-    // E4: MinHash-LSH near-dup candidates (MLlib, seeded)
+    // E4: MinHash-LSH near-dup candidates. Hash-checked (round-11): the
+    // row runs the PORTABLE md5-hash-family variant, so the DuckDB oracle
+    // re-derives every signature, bucket collision and exact-Jaccard
+    // verify in SQL — byte-equal pair sets or the row fails. The MLlib
+    // variant stays the library's alternate path (its recall is pinned by
+    // minhash_recall).
     "minhash_pairs" -> ((s, dir) =>
-      MinHashDedup.nearDupPairs(docs(s, dir).filter(col("doc_id") < 100),
-          "doc_id", "text", n = 1, maxDistance = 0.5)
+      MinHashDedup.nearDupPairsPortable(docs(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text", n = 1, threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
-    // E4: SimHash banding near-dup candidates
+    // E4: SimHash banding near-dup candidates. Hash-checked (round-11):
+    // simhash64 switched to the portable md5 token hash, so the DuckDB
+    // oracle recomputes every signature in SQL and brute-forces the
+    // hamming filter — verifying hash portability AND banding
+    // completeness against an independent implementation.
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           "doc_id", "text", maxHamming = 12)
@@ -1665,6 +1674,71 @@ object SparkEntry {
         |)
         |SELECT a_id, b_id, ROUND(CAST(common AS DOUBLE) / (asz + bsz - common), 6) AS jaccard
         |FROM p WHERE CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.05
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // SimHash pairs, INDEPENDENTLY re-derived (round-11): simhash64's
+    // per-token bits are the first 16 hex digits of md5(token) (two
+    // big-endian 32-bit halves), so DuckDB recomputes every signature
+    // from scratch in SQL and brute-forces the hamming<=12 filter over
+    // the slice. Spark's banded self-join must produce EXACTLY this set
+    // — the oracle independently verifies both the hash portability and
+    // the pigeonhole completeness of the banding.
+    "simhash_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+        |      t -> [('0x' || substr(md5(t), 1, 8))::BIGINT,
+        |            ('0x' || substr(md5(t), 9, 8))::BIGINT]) AS hs
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  SELECT doc_id,
+        |    COALESCE(list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+        |          CASE WHEN ((h[1] >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_lo,
+        |    COALESCE(list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+        |          CASE WHEN ((h[2] >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_hi
+        |  FROM s)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) <= 12
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // MinHash pairs, INDEPENDENTLY re-derived (round-11): the portable
+    // variant's whole hash family is md5 — shingle base-hash = first 7
+    // hex digits of md5(shingle) (28-bit), permutation p = affine map
+    // with constants hex7("perm-a:p")|1 / hex7("perm-b:p") mod 2^28 — so
+    // DuckDB re-derives every signature, every candidate bucket
+    // collision, and the exact-Jaccard verify from scratch in SQL. The
+    // emitted pair set (candidates ∩ jaccard >= 0.5) must be byte-equal.
+    "minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS sh
+        |  FROM documents WHERE doc_id < 100),
+        |hv AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+        |  FROM t WHERE len(sh) > 0),
+        |sig AS (
+        |  SELECT doc_id, p.p AS perm,
+        |    list_min(list_transform(hs, y ->
+        |      ((('0x' || substr(md5('perm-a:' || p.p), 1, 7))::BIGINT | 1) * y
+        |       + ('0x' || substr(md5('perm-b:' || p.p), 1, 7))::BIGINT) % 268435456)) AS sig
+        |  FROM hv CROSS JOIN (SELECT UNNEST(range(0, 8)) AS p) p),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sig a JOIN sig b ON a.perm = b.perm AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT c.a_id, c.b_id,
+        |    len(list_intersect(ta.sh, tb.sh)) AS common, len(ta.sh) AS asz, len(tb.sh) AS bsz
+        |  FROM cand c JOIN t ta ON ta.doc_id = c.a_id JOIN t tb ON tb.doc_id = c.b_id)
+        |SELECT a_id, b_id, ROUND(CAST(common AS DOUBLE) / (asz + bsz - common), 6) AS jaccard
+        |FROM j WHERE CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     // The composed hygiene pipeline, replayed stage-for-stage as one CTE

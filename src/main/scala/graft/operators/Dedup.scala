@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.util.hashing.MurmurHash3
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -358,20 +356,44 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------ simhash
-  /** 64-bit SimHash of a token stream: per-token 64-bit hash (two seeded
-    * murmur32 halves), signed bit-count accumulation, sign → bit.
+  /** Thread-local MD5 digest: [[simhash64]] runs per row on executor task
+    * threads, and `MessageDigest` is stateful/non-thread-safe — one
+    * instance per thread, reset by `digest()` itself.
     */
-  def simhash64(text: String, seed: Int = 42): Long = {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash of a token stream: per-token 64-bit hash, signed
+    * bit-count accumulation, sign → bit (tie → 0).
+    *
+    * PORTABLE hash (round-11): the per-token bits are the first 16 hex
+    * digits of `md5(token)` read as two big-endian 32-bit halves — i.e.
+    * bit `b` of half `j` is `(('0x'||substr(md5(t),1+8j,8))::int >> b) & 1`
+    * in any engine with an md5 function. The signature (and therefore
+    * [[simhashPairs]]' COMPLETE pair set) is thus re-derivable in plain
+    * SQL, which is what turns the declared `simhash_pairs` row from
+    * rows-only into a hash-checked row: the DuckDB oracle recomputes the
+    * signatures independently and brute-forces the hamming filter.
+    * Tokenization: ROOT-locale lowercase, split on whitespace.
+    */
+  def simhash64(text: String): Long = {
     if (text == null) return 0L
+    val md = md5Local.get()
     val counts = new Array[Int](64)
-    val it = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+    val it = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .iterator.filter(_.nonEmpty)
     while (it.hasNext) {
-      val t = it.next()
-      val h = (MurmurHash3.stringHash(t, seed).toLong << 32) |
-        (MurmurHash3.stringHash(t, seed + 7) & 0xffffffffL)
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
       var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      while (b < 32) {
+        if (((h1 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((h2 >>> b) & 1L) == 1L) counts(32 + b) += 1 else counts(32 + b) -= 1
         b += 1
       }
     }
@@ -418,7 +440,7 @@ object Dedup {
     a.join(b, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig") bitwiseXOR col("b_sig")).as("hamming"))
+        bit_count(col("a_sig") bitwiseXOR col("b_sig")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

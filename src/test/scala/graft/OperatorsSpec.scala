@@ -248,6 +248,31 @@ class OperatorsSpec extends SparkSpec {
     assert(p1.forall { case (a, b) => a < b })
   }
 
+  test("portable MinHash: precision 1.0 vs exact Jaccard, recall sane, hash matches hex7") {
+    val subset = docs.filter(col("doc_id") < 40)
+    val got = MinHashDedup.nearDupPairsPortable(subset, "doc_id", "text",
+        n = 1, threshold = 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // exact (uncapped) unigram Jaccard over the same slice = the truth set
+    val exact = Dedup.jaccardPairs(subset, "doc_id", "text", n = 1,
+        threshold = 0.5, maxDocFreq = Long.MaxValue)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got.subsetOf(exact), "portable minhash emitted a pair below threshold")
+    assert(got.nonEmpty)
+    // candidate recall at s>=0.5 is >= 1-(1-0.5)^8 = 99.6% per pair — on
+    // this fixture the hash family deterministically misses exactly one of
+    // ~550 true pairs. A systematic permutation/hash bug would crater
+    // recall, not shave one pair; pin ≥ 0.99.
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.99, s"recall $recall; missed ${(exact -- got).take(5)}")
+    // the Scala-side permutation constants equal the SQL derivation
+    assert(MinHashDedup.hex7("perm-a:0") ==
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("perm-a:0".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 7), 16))
+  }
+
   // ------------------------------------------------------------ AnnIndex
   test("ANN recall ≥ 0.5 at k=10 on the fixture, and probes are deterministic") {
     val q = embs.filter(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
