@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.util.hashing.MurmurHash3
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -41,27 +39,46 @@ object AnnIndex {
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
   }
 
-  /** Deterministic pseudo-gaussian plane component for (table, bit, i):
-    * the sum of three murmur-derived uniforms in [-1, 1] (Irwin–Hall
-    * approximation — close enough to gaussian for hyperplane LSH).
+  /** Deterministic pseudo-gaussian plane component for (table, bit, i).
+    *
+    * PORTABLE hash (round-11): the component is derived from
+    * `md5("plane:seed:table:bit:i")` — three 8-hex-digit chunks read as
+    * uniforms `u_j = chunk_j / 2^32 ∈ [0,1)`, Irwin–Hall-summed and
+    * centered to `2·(u_1+u_2+u_3) − 3 ∈ [−3,3)` (close enough to gaussian
+    * for sign-random-projection LSH). Every intermediate here is an EXACT
+    * double (each u_j is a 32-bit dyadic rational; their sum carries ≤ 34
+    * significand bits; ×2 and −3 are exact), so ANY engine with an md5
+    * function reproduces the planes bit-identically:
+    * `2*(('0x'||substr(md5(k),1,8))::BIGINT/4294967296.0 + …) - 3` in
+    * DuckDB yields the same doubles — which is what lets the declared LSH
+    * rows (`near_dup_lsh`, `ann_topk`, the streaming probes) hash-check
+    * against plain-SQL oracles that re-derive every bucket from scratch.
+    * No RNG state either way: any executor recomputes planes from the
+    * config alone, so index builds and appends stay reproducible.
     */
-  private def planeAt(cfg: Config, table: Int, bit: Int, i: Int): Float = {
-    var s = 0.0f
-    var r = 0
-    while (r < 3) {
-      val h = MurmurHash3.productHash((table, bit, i, r), cfg.seed)
-      s += h.toFloat / Int.MaxValue.toFloat
-      r += 1
+  private def planeAt(cfg: Config, table: Int, bit: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:${cfg.seed}:$table:$bit:$i"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def chunk(off: Int): Double = {
+      val v = ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+        ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+      v.toDouble / 4294967296.0
     }
-    s
+    2.0 * (chunk(0) + chunk(4) + chunk(8)) - 3.0
   }
 
   /** All planes of one table: nBits × dim. */
-  def tablePlanes(cfg: Config, table: Int): Array[Array[Float]] =
+  def tablePlanes(cfg: Config, table: Int): Array[Array[Double]] =
     Array.tabulate(cfg.nBits)(b => Array.tabulate(cfg.dim)(i => planeAt(cfg, table, b, i)))
 
-  /** Bucket id of a vector in one table: nBits sign bits. */
-  def bucketOf(v: Array[Float], planes: Array[Array[Float]]): Int = {
+  /** Bucket id of a vector in one table: nBits sign bits. The dot is
+    * accumulated in double over ascending dim index — the same fold any
+    * SQL twin's SUM performs; sign margins on real embeddings sit far
+    * above summation-order rounding (~1e-15 relative), so the bucket is
+    * engine-portable in practice and pinned by the oracle rows.
+    */
+  def bucketOf(v: Array[Float], planes: Array[Array[Double]]): Int = {
     var sig = 0
     var b = 0
     while (b < planes.length) {
@@ -70,7 +87,7 @@ object AnnIndex {
         s"ann bucket: dimension mismatch ${v.length} vs cfg.dim ${p.length}")
       var dot = 0.0
       var i = 0
-      while (i < p.length) { dot += p(i).toDouble * v(i); i += 1 }
+      while (i < p.length) { dot += p(i) * v(i); i += 1 }
       if (dot > 0) sig |= (1 << b)
       b += 1
     }
