@@ -121,6 +121,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -251,5 +252,11 @@ object Bench {
       s""""canary_ref_sec":$CanaryRefSec,"canary_par_ref_sec":$CanaryParRefSec,""" +
       s""""canary_par_ref_threads":$CanaryParRefThreads,"sf":"${jsonEscape(sfDir)}"}""")
     spark.stop()
+    // A bench with errored queries is a FAILED bench run (round-11: seven
+    // analysis-errored event queries shipped under rc=0 and the round was
+    // recorded green with no parsed timings). The JSON artifact above still
+    // carries the per-query detail; the exit code makes the failure
+    // machine-visible to any harness that only checks rc.
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

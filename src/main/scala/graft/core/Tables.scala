@@ -19,36 +19,51 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4.x rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw
-    * nanos (legacy conf) and truncate to a microsecond TimestampType with
-    * integer division. NOTE: DuckDB reads the same column as full-precision
-    * TIMESTAMP_NS — boundary-sensitive oracles therefore CAST ts to
-    * microsecond TIMESTAMP on the DuckDB side too (the fixtures are
-    * µs-aligned, but the cast makes the comparison precision-identical by
-    * construction). (`a div b`, not `/`: nanos exceed 2^53, double math
+  /** The events fixture's `ts` column has shipped in two physical
+    * encodings across driver testdata generations: parquet
+    * TIMESTAMP(NANOS) — which Spark 4.x rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as raw longs via the legacy
+    * `nanosAsLong` conf and truncated with `ts div 1000` — and plain
+    * TIMESTAMP(MICROS), which Spark reads natively as TimestampType.
+    * This reader inspects the LOADED dtype and normalizes both to a
+    * microsecond TimestampType, so it is portable across fixture
+    * generations. (`a div b`, not `/`: nanos exceed 2^53, double math
     * would corrupt them.)
     *
     * SIDE EFFECT (documented contract, VERDICT r7 #3): this reader SETS
     * the SESSION-GLOBAL `spark.sql.legacy.parquet.nanosAsLong` flag —
     * Spark exposes no per-read override for it — so any OTHER
     * TIMESTAMP(NANOS) parquet read in the same session will also surface
-    * raw longs from then on. Acceptable for this fixture harness (the
-    * events table is the only nanos source here); a multi-tenant session
-    * embedding this library should scope such reads to a dedicated
-    * session (`spark.newSession()` shares the context but isolates conf).
+    * raw longs from then on. The flag is inert for MICROS fixtures.
+    * Acceptable for this fixture harness (the events table is the only
+    * potential nanos source here); a multi-tenant session embedding this
+    * library should scope such reads to a dedicated session
+    * (`spark.newSession()` shares the context but isolates conf).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos surfaced as raw longs under the legacy conf
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw // native micros — nothing to normalize
+      case TimestampNTZType =>
+        // naive micros (pyarrow timestamp[us] without tz). Cast to the
+        // session-zoned TimestampType the rest of the engine speaks; all
+        // graft entrypoints pin spark.sql.session.timeZone=UTC, so the
+        // wall-clock values are preserved as epoch-UTC instants —
+        // identical to how DuckDB treats the same naive column.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet dtype $other (expected nanos-as-long or timestamp)")
+    }
   }
 
-  /** Raw (pre-cast) events schema under the nanosAsLong conf: `ts`
-    * surfaces as LongType nanos. Needed because streaming reads require
-    * a user-supplied schema.
+  /** Raw (pre-cast) events schema with `ts` as raw LongType nanos (the
+    * legacy-fixture shape under the nanosAsLong conf). Needed because
+    * streaming reads require a user-supplied schema.
     */
-  private val eventsRawSchema: StructType = StructType(Seq(
+  private val eventsRawNanosSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -56,20 +71,36 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Events schema with `ts` as naive TimestampNTZType (micros fixtures —
+    * pyarrow writes timestamp[us] without tz, which Spark 4 infers as NTZ;
+    * the supplied streaming schema must match what inference would say).
+    */
+  private val eventsNtzSchema: StructType = StructType(
+    eventsRawNanosSchema.map(f => if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
   /** Streaming twin of [[events]]: a file-source stream over the fixture
-    * parquet DIRECTLY — same nanos workaround applied inside the streaming
-    * read, so no normalized temp copy of the table is ever written (round 3
-    * rewrote one per run: 11 s of gate overhead + a temp-disk leak).
+    * parquet DIRECTLY — no normalized temp copy of the table is ever
+    * written (round 3 rewrote one per run: 11 s of gate overhead + a
+    * temp-disk leak). Streaming reads demand the schema up front, so the
+    * `ts` encoding is sniffed from the parquet footer via a one-off batch
+    * `read.parquet(...).schema` (metadata only — no data scan) and the
+    * matching schema + normalization is applied. Supplying the WRONG
+    * LongType schema over a micros file would silently surface raw micros
+    * and then mis-divide them — sniffing makes that impossible.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val tsIsLong = spark.read.parquet(path).schema("ts").dataType == LongType
     // `{events.parquet}` is a GLOB matching exactly that file: for a
     // non-glob path FileStreamSource force-overrides basePath with the
     // path itself, which for a bare fixture FILE fails "basePath must be
     // a directory"; a glob keeps our directory basePath in force.
-    spark.readStream.schema(eventsRawSchema)
+    val raw = spark.readStream
+      .schema(if (tsIsLong) eventsRawNanosSchema else eventsNtzSchema)
       .option("basePath", sfDir).parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType)) // NTZ → UTC instant, see [[events]]
   }
   /** Fixture documents schema — needed because streaming reads require a
     * user-supplied schema.
