@@ -369,10 +369,11 @@ object SparkEntry {
     *     ([[AnnIndex.dedupIncrementalLSH]] — probe + exact-cosine verify).
     *
     * `documents` and `embeddings` are row-aligned (doc_id == vec_id), so
-    * the same 3/4 cut drives all three stages. The LSH stage's keep-set
-    * is banding-dependent → rows-only; PipelineSpec pins the composition
-    * invariants (monotone shrinking, survivors ⊆ batch, re-delivered
-    * text never survives).
+    * the same 3/4 cut drives all three stages. The md5-derived LSH
+    * planes ([[lshSigsCte]]) make even the banding stage re-derivable in
+    * SQL, so the survivor id set is fully oracle-checked (round-12);
+    * PipelineSpec additionally pins the composition invariants (monotone
+    * shrinking, survivors ⊆ batch, re-delivered text never survives).
     */
   private def dailyDropRehearsal(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCreate(s"daily_drop_rehearsal:$dir") {
@@ -1304,8 +1305,10 @@ object SparkEntry {
     // E4/E7 (round-11 stretch): the WHOLE nightly loop as one declared
     // row — exact-sha → jaccard-vs-postings-index → LSH-vs-embedding-
     // index, the corpus present only through its persisted artifacts.
-    // LSH banding makes the keep-set seed-dependent → rows-only;
-    // PipelineSpec pins the composition invariants.
+    // Fully ORACLE-CHECKED since round 12 (the md5-derived LSH planes
+    // make the banding engine-portable): DuckDB re-runs all three stages
+    // independently and the survivor id set hash-matches. PipelineSpec
+    // additionally pins the composition invariants.
     "pipeline_daily_drop" -> ((s, dir) => dailyDropRehearsal(s, dir)),
 
     // E5: within-document repetition signals (Gopher-style quality
@@ -2732,6 +2735,99 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE doc_id >= (SELECT (COUNT(*) * 3) // 4 FROM documents)) AS BIGINT) AS n_batch,
         |  CAST(1 AS BIGINT) AS parity
         |FROM documents""".stripMargin,
+
+    // The WHOLE nightly loop re-derived independently (round-12): exact
+    // text dedup → bigram-jaccard vs corpus → md5-plane LSH banding +
+    // exact cosine, within-batch union-find at each near-dup stage. Every
+    // stage reuses a construction that is hash-green on its own row
+    // (incremental_dedup, incremental_jaccard_dedup, near_dedup_apply_lsh)
+    // — composable because round-11 made the LSH planes md5-derivable.
+    "pipeline_daily_drop" ->
+      s"""WITH RECURSIVE ${lshSigsCte(nTables = 12, nBits = 4)},
+         |cut AS (SELECT COUNT(*) * 3 // 4 AS c FROM documents),
+         |ecut AS (SELECT COUNT(*) * 3 // 4 AS c FROM embeddings),
+         |s1 AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM documents WHERE doc_id >= (SELECT c FROM cut))
+         |  WHERE rn = 1
+         |    AND text NOT IN (SELECT text FROM documents WHERE doc_id < (SELECT c FROM cut))),
+         |bt AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM s1)),
+         |ct AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM documents WHERE doc_id < (SELECT c FROM cut))),
+         |pr2 AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS asz, len(b.sh) AS bsz
+         |    FROM bt a JOIN bt b ON a.doc_id < b.doc_id)
+         |  WHERE common > 0 AND CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.2),
+         |edges2 AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pr2
+         |  UNION SELECT b_id, a_id FROM pr2),
+         |walk2 AS (
+         |  SELECT src, dst FROM edges2
+         |  UNION
+         |  SELECT w.src, e.dst FROM walk2 w JOIN edges2 e ON w.dst = e.src),
+         |lab2 AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk2 GROUP BY src),
+         |surv2a AS (
+         |  SELECT doc_id, sh FROM bt
+         |  WHERE doc_id NOT IN (SELECT id FROM lab2 WHERE id <> group_id)),
+         |dup2 AS (
+         |  SELECT DISTINCT s.doc_id
+         |  FROM surv2a s JOIN ct c ON len(list_intersect(s.sh, c.sh)) > 0
+         |  WHERE CAST(len(list_intersect(s.sh, c.sh)) AS DOUBLE)
+         |        / (len(s.sh) + len(c.sh) - len(list_intersect(s.sh, c.sh))) >= 0.2),
+         |s2 AS (
+         |  SELECT doc_id FROM surv2a WHERE doc_id NOT IN (SELECT doc_id FROM dup2)),
+         |b3 AS (
+         |  SELECT s2.doc_id AS vec_id FROM s2
+         |  WHERE s2.doc_id >= (SELECT c FROM ecut)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM b3) AND b.vec_id IN (SELECT vec_id FROM b3)),
+         |$pairCosineCte,
+         |pr3 AS (SELECT a_id, b_id FROM scored WHERE score > 0.3),
+         |edges3 AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pr3
+         |  UNION SELECT b_id, a_id FROM pr3),
+         |walk3 AS (
+         |  SELECT src, dst FROM edges3
+         |  UNION
+         |  SELECT w.src, e.dst FROM walk3 w JOIN edges3 e ON w.dst = e.src),
+         |lab3 AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk3 GROUP BY src),
+         |surv3a AS (
+         |  SELECT vec_id FROM b3
+         |  WHERE vec_id NOT IN (SELECT id FROM lab3 WHERE id <> group_id)),
+         |xcand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, s.vec_id AS c_id
+         |  FROM surv3a q
+         |  JOIN sigs sq ON sq.vec_id = q.vec_id
+         |  JOIN sigs s ON s.t = sq.t AND s.bucket = sq.bucket
+         |  WHERE s.vec_id < (SELECT c FROM ecut)),
+         |xsc AS (
+         |  SELECT c.q_id, c.c_id,
+         |    SUM(CAST(eq.embedding[r.i] AS DOUBLE) * CAST(ec.embedding[r.i] AS DOUBLE)) AS dot,
+         |    SQRT(SUM(CAST(eq.embedding[r.i] AS DOUBLE) * CAST(eq.embedding[r.i] AS DOUBLE))) AS na,
+         |    SQRT(SUM(CAST(ec.embedding[r.i] AS DOUBLE) * CAST(ec.embedding[r.i] AS DOUBLE))) AS nb
+         |  FROM xcand c
+         |  JOIN embeddings eq ON eq.vec_id = c.q_id
+         |  JOIN embeddings ec ON ec.vec_id = c.c_id
+         |  CROSS JOIN range(1, 65) r(i)
+         |  GROUP BY c.q_id, c.c_id),
+         |xdup AS (
+         |  SELECT DISTINCT q_id FROM xsc
+         |  WHERE (CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END) > 0.3)
+         |SELECT vec_id AS doc_id FROM surv3a
+         |WHERE vec_id NOT IN (SELECT q_id FROM xdup)
+         |ORDER BY doc_id""".stripMargin,
 
     // Pair-recall floors: DuckDB re-derives n_exact from the exact pair
     // SQL — the near_dup_pairs oracle's pair set (hash-green at the same
