@@ -330,8 +330,18 @@ object AnnIndex {
   def dedupIncrementalLSH(newBatch: DataFrame, idCol: String, embCol: String,
                           index: DataFrame, threshold: Double, cfg: Config,
                           maxPruneLiterals: Int = 4096): DataFrame = {
-    val withinPairs = nearDupPairsLSH(newBatch, idCol, embCol, threshold, cfg)
-    val within = Dedup.dedupNear(newBatch, idCol, withinPairs)
+    // Pin ONE evaluation of the batch-sized frames each consumed more
+    // than once (`nb` by the within-pair LSH subtree — twice, for the
+    // band join and the vector join-back — plus the survivor anti-join;
+    // `within` by the index probe and the final anti-join): in a composed
+    // hygiene chain the unpinned form re-runs the entire upstream
+    // pipeline once per consumer (2.6× end-to-end at sf0.1,
+    // DailyDropProfile). LAZY + batch-sized, never corpus-sized; same
+    // non-replayable tradeoff as [[probeBatch]]'s pin below.
+    val nb = newBatch.localCheckpoint(eager = false)
+    val withinPairs = nearDupPairsLSH(nb, idCol, embCol, threshold, cfg)
+    val within = Dedup.dedupNear(nb, idCol, withinPairs)
+      .localCheckpoint(eager = false)
     val (qb, pruned) = probeBatch(index, within, idCol, embCol, cfg, maxPruneLiterals)
     val dupIds = pruned.join(qb, Seq("table", "bucket"))
       .filter(graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb"))

@@ -301,8 +301,19 @@ object Dedup {
   def jaccardIncremental(newBatch: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double, corpusPostings: DataFrame,
                          maxDocFreq: Long = 1000L): DataFrame = {
-    val within = dedupNear(newBatch, idCol,
-      jaccardPairs(newBatch, idCol, textCol, n, threshold, maxDocFreq))
+    // Pin ONE evaluation of the batch-sized frames each consumed twice
+    // (`nb` by the pair subtree + the survivor anti-join; `within` by the
+    // cross-index postings probe + the final anti-join): in a composed
+    // chain (see SparkEntry's daily-drop rehearsal) the unpinned form
+    // re-runs the whole upstream hygiene chain once per consumer — 2.6×
+    // the end-to-end cost at sf0.1 (DailyDropProfile). LAZY checkpoints:
+    // no extra job; blocks are batch-sized (the daily drop), NEVER
+    // corpus-sized, and the ContextCleaner releases them on GC. Same
+    // non-replayable tradeoff as AnnIndex.probeBatch, documented there.
+    val nb = newBatch.localCheckpoint(eager = false)
+    val within = dedupNear(nb, idCol,
+      jaccardPairs(nb, idCol, textCol, n, threshold, maxDocFreq))
+      .localCheckpoint(eager = false)
     val bsets = within.select(col(idCol).cast("long").as("__b_id"),
       shingles(col(textCol), n).as("__sh"))
     val bpost =
