@@ -69,7 +69,10 @@ object ScaleProbe {
     // numbers and would add ~15 min for nothing.
     // SPARK_GRAFT_ONLY_R11=1 probes only the round-11 additions (IVF batch
     // probe at query volume + postings-index lifecycle).
-    val onlyR11 = sys.env.contains("SPARK_GRAFT_ONLY_R11")
+    // SPARK_GRAFT_ONLY_R12=1 probes only the round-12 addition (the
+    // complete nightly daily-drop chain vs persisted artifacts).
+    val onlyR12 = sys.env.contains("SPARK_GRAFT_ONLY_R12")
+    val onlyR11 = onlyR12 || sys.env.contains("SPARK_GRAFT_ONLY_R11")
     val onlyR9 = onlyR11 || sys.env.contains("SPARK_GRAFT_ONLY_R9")
     val onlyR8 = onlyR9 || sys.env.contains("SPARK_GRAFT_ONLY_R8")
 
@@ -338,7 +341,7 @@ object ScaleProbe {
       }
     }
     // ---- round-11: IVF batch probe at query volume + postings lifecycle
-    locally {
+    if (!onlyR12) locally {
       // IVF serving twin of the LSH "BATCH probe 500 q" row: fit + build
       // are the offline step; the timed row is the 500-query batch probe
       // through the persisted index — the number the ivf_batch_topk
@@ -357,7 +360,7 @@ object ScaleProbe {
           emb.filter(col("vec_id") < 500), "vec_id", "embedding", 5, nProbe).count()
       }
     }
-    locally {
+    if (!onlyR12) locally {
       // Shingle-postings lifecycle (round-11): the jaccard index's
       // append-vs-rebuild split — build on 99%, append the 1% daily drop
       // (linear in the batch), compact (global re-cap + rewrite), vs the
@@ -386,6 +389,47 @@ object ScaleProbe {
       timed("postings full REBUILD (the avoided cost)") {
         Dedup.buildPostingsIndex(docs, "doc_id", "text", n = 2,
           graft.core.SessionCache.newTempDir("graft-scale-postings-rebuild"))
+      }
+    }
+    // ---- round-12: the COMPLETE nightly loop vs persisted artifacts ---
+    // The pipeline_daily_drop composition at deployment shape: a 1% daily
+    // drop runs exact-sha → jaccard-vs-postings → LSH-vs-index against a
+    // 99% corpus present ONLY through its three persisted artifacts
+    // (content-hash set, shingle-postings index, LSH index). The timed
+    // row is the composed CHAIN — one evaluation per stage thanks to the
+    // round-12 batch-frame pins; the artifact builds are the offline
+    // step a deployment amortizes across drops via the append/compact
+    // lifecycles measured above. Requires the amplified docs/emb tables
+    // to stay id-aligned (they are whenever the base fixtures are).
+    if (nDocs == nEmb) locally {
+      val cutD = nDocs * 99 / 100
+      val corpusD = docs.filter(col("doc_id") < cutD)
+      val batchD = docs.filter(col("doc_id") >= cutD)
+      val hashPath = graft.core.SessionCache.newTempDir("graft-scale-dd-hashes") + "/h"
+      val postPath = graft.core.SessionCache.newTempDir("graft-scale-dd-postings")
+      val lshPath = graft.core.SessionCache.newTempDir("graft-scale-dd-lsh")
+      val ddCfg = AnnIndex.Config(dim = 64, nBits = 4, nTables = 12)
+      timed("daily-drop OFFLINE: content-hash index (99%)") {
+        Dedup.contentHashes(corpusD, "text").write.parquet(hashPath)
+      }
+      timed("daily-drop OFFLINE: postings index (99%)") {
+        Dedup.buildPostingsIndex(corpusD, "doc_id", "text", n = 2, postPath)
+      }
+      timed("daily-drop OFFLINE: LSH index (99%)") {
+        AnnIndex.writeIndex(AnnIndex.buildIndex(
+          emb.filter(col("vec_id") < cutD), "vec_id", "embedding", ddCfg), lshPath)
+      }
+      timed("daily-drop CHAIN: 1% drop through all three stages") {
+        val s1 = Dedup.dedupIncremental(batchD, "doc_id", "text",
+          spark.read.parquet(hashPath))
+        val s2 = Dedup.jaccardIncremental(s1, "doc_id", "text", n = 2,
+          threshold = 0.5, Dedup.readPostingsIndex(spark, postPath))
+        val n = AnnIndex.dedupIncrementalLSH(
+          s2.join(emb.filter(col("vec_id") >= cutD), col("doc_id") === col("vec_id"))
+            .select(col("doc_id"), col("embedding")),
+          "doc_id", "embedding", spark.read.parquet(lshPath),
+          threshold = 0.3, ddCfg).count()
+        println(s"[scale]   -> $n drop rows survive the nightly loop")
       }
     }
     spark.stop()

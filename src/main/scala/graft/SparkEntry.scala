@@ -117,10 +117,11 @@ object SparkEntry {
     * min-of-N timings are excluded from cross-round operator comparisons
     * (round-11, per the r10 advisor; the bench-only volume rows time the
     * underlying probes for real). `pipeline_daily_drop` is deliberately
-    * NOT here: its SessionCache entry only pins the one-time index
-    * BUILDS — the cached frame is the lazy probe chain, re-executed per
-    * count, so its timing is the real end-to-end nightly-loop serving
-    * cost.
+    * NOT here: only its index BUILDS are session-cached — the chain
+    * frame is reconstructed per call, fresh round-12 evaluation pins
+    * included, so its timing is the real end-to-end nightly-loop
+    * serving cost (a cached frame would re-scan the first iteration's
+    * checkpoint blocks and time a cache lookup instead).
     */
   val cachedQueryNames: Set[String] = Set(
     "ann_append_parity", "ann_batch_topk", "ivf_batch_topk",
@@ -375,14 +376,27 @@ object SparkEntry {
     * PipelineSpec additionally pins the composition invariants (monotone
     * shrinking, survivors ⊆ batch, re-delivered text never survives).
     */
-  private def dailyDropRehearsal(s: SparkSession, dir: String): DataFrame =
-    SessionCache.getOrCreate(s"daily_drop_rehearsal:$dir") {
+  private def dailyDropPostings(s: SparkSession, dir: String): (Long, String) =
+    SessionCache.getOrCreate(s"daily_drop_postings:$dir") {
       val d = docs(s, dir)
       val cut = d.count() * 3 / 4
+      val postingsPath = SessionCache.newTempDir("graft-daily-postings")
+      Dedup.buildPostingsIndex(d.filter(col("doc_id") < cut),
+        "doc_id", "text", n = 2, postingsPath)
+      (cut, postingsPath)
+    }
+
+  // Only the one-time index BUILDS are session-cached (dailyDropPostings +
+  // lshDedupIndex); the chain frame itself is reconstructed per call, so
+  // each bench iteration re-runs the whole nightly loop — including
+  // re-materializing the round-12 batch-frame pins — instead of re-scanning
+  // the previous iteration's checkpoint blocks (which would time a cache
+  // lookup, the r10 bench-hygiene trap).
+  private def dailyDropRehearsal(s: SparkSession, dir: String): DataFrame = {
+      val (cut, postingsPath) = dailyDropPostings(s, dir)
+      val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") < cut)
       val batch = d.filter(col("doc_id") >= cut)
-      val postingsPath = SessionCache.newTempDir("graft-daily-postings")
-      Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, postingsPath)
       val s1 = Dedup.dedupIncremental(batch, "doc_id", "text",
         Dedup.contentHashes(corpus, "text"))
       val s2 = Dedup.jaccardIncremental(s1, "doc_id", "text",
@@ -394,7 +408,7 @@ object SparkEntry {
           .select(col("doc_id"), col("embedding")),
         "doc_id", "embedding", lshIdx, threshold = 0.3, dedupCfg)
       s3.select(col("doc_id")).orderBy("doc_id")
-    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * embed-side scan → codegen cosine score → TakeOrderedAndProject top-5 →

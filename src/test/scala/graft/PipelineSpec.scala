@@ -83,4 +83,20 @@ class PipelineSpec extends SparkSpec {
     assert(s3Ids.subsetOf(s2Ids), "stage 3 invented rows")
     assert(s3Ids.nonEmpty, "the whole batch died — thresholds degenerate at this sf")
   }
+
+  test("pipeline_daily_drop reconstructs a fresh chain per call, same result") {
+    // Bench honesty (round-12): the chain's lazy evaluation pins
+    // materialize on first action, so a session-cached FRAME would make
+    // every later count a checkpoint-block scan — the bench would time a
+    // cache lookup, not the nightly loop. Only the index builds may be
+    // cached; the frame must be rebuilt per invocation.
+    val q = SparkEntry.queries("pipeline_daily_drop")
+    val f1 = q(spark, Sf0001)
+    val f2 = q(spark, Sf0001)
+    assert(f1 ne f2,
+      "chain frame is session-cached — bench would time a checkpoint scan, not the chain")
+    assert(f1.select("doc_id").as[Long].collect().toSeq ==
+      f2.select("doc_id").as[Long].collect().toSeq,
+      "fresh chains disagree")
+  }
 }
