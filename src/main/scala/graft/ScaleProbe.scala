@@ -399,12 +399,28 @@ object ScaleProbe {
     // row is the composed CHAIN — one evaluation per stage thanks to the
     // round-12 batch-frame pins; the artifact builds are the offline
     // step a deployment amortizes across drops via the append/compact
-    // lifecycles measured above. Requires the amplified docs/emb tables
-    // to stay id-aligned (they are whenever the base fixtures are).
-    if (nDocs == nEmb) locally {
-      val cutD = nDocs * 99 / 100
-      val corpusD = docs.filter(col("doc_id") < cutD)
-      val batchD = docs.filter(col("doc_id") >= cutD)
+    // lifecycles measured above. The shared amplified tables are NOT
+    // id-aligned (fixture generations ship different doc/embedding
+    // counts), so this section amplifies its OWN aligned pair from the
+    // joined base — every amplified doc has exactly one embedding.
+    locally {
+      val base = baseDocs.join(baseEmb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val nBaseA = base.count()
+      val aligned = base.select(col("doc_id"), col("text"), col("embedding"), copies)
+        .select((col("doc_id") + col("copy") * nBaseA).as("id"),
+          concat(col("text"), lit(" tail"), col("copy")).as("text"),
+          transform(col("embedding"),
+            (x, i) => (x + (pmod(xxhash64(col("doc_id"), col("copy"), i), lit(1000L)).cast("float")
+              - 500f) / 50000f).cast("float")).as("embedding"))
+        .cache()
+      val nAll = timed(s"daily-drop: amplify aligned corpus x$amp")(aligned.count())
+      println(s"[scale] aligned corpus: $nAll (doc, embedding) rows")
+      val docsA = aligned.select(col("id").as("doc_id"), col("text"))
+      val embA = aligned.select(col("id").as("vec_id"), col("embedding"))
+      val cutD = nAll * 99 / 100
+      val corpusD = docsA.filter(col("doc_id") < cutD)
+      val batchD = docsA.filter(col("doc_id") >= cutD)
       val hashPath = graft.core.SessionCache.newTempDir("graft-scale-dd-hashes") + "/h"
       val postPath = graft.core.SessionCache.newTempDir("graft-scale-dd-postings")
       val lshPath = graft.core.SessionCache.newTempDir("graft-scale-dd-lsh")
@@ -417,7 +433,7 @@ object ScaleProbe {
       }
       timed("daily-drop OFFLINE: LSH index (99%)") {
         AnnIndex.writeIndex(AnnIndex.buildIndex(
-          emb.filter(col("vec_id") < cutD), "vec_id", "embedding", ddCfg), lshPath)
+          embA.filter(col("vec_id") < cutD), "vec_id", "embedding", ddCfg), lshPath)
       }
       timed("daily-drop CHAIN: 1% drop through all three stages") {
         val s1 = Dedup.dedupIncremental(batchD, "doc_id", "text",
@@ -425,7 +441,7 @@ object ScaleProbe {
         val s2 = Dedup.jaccardIncremental(s1, "doc_id", "text", n = 2,
           threshold = 0.5, Dedup.readPostingsIndex(spark, postPath))
         val n = AnnIndex.dedupIncrementalLSH(
-          s2.join(emb.filter(col("vec_id") >= cutD), col("doc_id") === col("vec_id"))
+          s2.join(embA.filter(col("vec_id") >= cutD), col("doc_id") === col("vec_id"))
             .select(col("doc_id"), col("embedding")),
           "doc_id", "embedding", spark.read.parquet(lshPath),
           threshold = 0.3, ddCfg).count()

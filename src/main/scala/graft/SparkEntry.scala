@@ -375,6 +375,13 @@ object SparkEntry {
     * SQL, so the survivor id set is fully oracle-checked (round-12);
     * PipelineSpec additionally pins the composition invariants (monotone
     * shrinking, survivors ⊆ batch, re-delivered text never survives).
+    *
+    * Contract note: the row emits the LSH stage's output, so only batch
+    * docs that HAVE an embedding row can survive — on a fixture
+    * generation where the tables are misaligned (sf0.1 ships 5000 docs
+    * but 2000 embeddings, so no batch doc has one) the row is empty, and
+    * the oracle's stage-3 CTE joins `embeddings` to reproduce exactly
+    * that (round-12 cross-sf audit).
     */
   private def dailyDropPostings(s: SparkSession, dir: String): (Long, String) =
     SessionCache.getOrCreate(s"daily_drop_postings:$dir") {
@@ -2802,6 +2809,7 @@ object SparkEntry {
          |  SELECT doc_id FROM surv2a WHERE doc_id NOT IN (SELECT doc_id FROM dup2)),
          |b3 AS (
          |  SELECT s2.doc_id AS vec_id FROM s2
+         |  JOIN embeddings e ON e.vec_id = s2.doc_id
          |  WHERE s2.doc_id >= (SELECT c FROM ecut)),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
