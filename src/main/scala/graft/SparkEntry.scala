@@ -1434,15 +1434,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // multimodal: fake decode → feature vectors. The md5 digest pins the
-    // exact feature values deterministically but the stride-hash decoder
-    // is not ANSI-expressible, so this row stays rows-only; the
-    // ORACLE-CHECKABLE half (shape + norm) lives in the hash-checked
-    // `multimodal_invariants` twin below.
+    // multimodal: fake decode → feature vectors. Hash-checked since
+    // round 12: the digest covers the decoder's INTEGER bucket
+    // accumulation (Multimodal.fakeDecodeAccum), whose stride hash has a
+    // closed form (h = C·31^k + Σ bⱼ·31^(k−1−j) mod 2^64) the DuckDB
+    // oracle re-derives with HUGEINT arithmetic — Long wraparound,
+    // signed bytes, and Java % semantics reproduced exactly. The float
+    // half (L2 normalize) stays covered by the hash-checked
+    // `multimodal_invariants` twin below, and MultimodalSpec pins
+    // accumulate→normalize == featurize.
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.featurize(docs(s, dir).filter(col("doc_id") < 50), "text", 32)
+      Multimodal.fakeAssets(docs(s, dir).filter(col("doc_id") < 50), "text")
+        .withColumn("accum", Multimodal.decodeAccumCol(col("asset_bytes"), 32))
         .select(col("doc_id"),
-          md5(to_json(col("features"))).as("feat_digest"))
+          md5(to_json(col("accum"))).as("feat_digest"))
         .orderBy("doc_id")),
 
     // Hash-checked invariants of the multimodal featurizer, mirroring the
@@ -2991,6 +2996,51 @@ object SparkEntry {
     "multimodal_invariants" ->
       """SELECT doc_id, CAST(32 AS BIGINT) AS n_features,
         |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 1 END AS BIGINT) AS unit_norm
-        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // The fake decoder's integer accumulation re-derived from scratch
+    // (round-12): per 8-byte stride the Java rolling hash
+    // h = h*31 + signed_byte (Long wraparound) has the closed form
+    // C·31^k + Σ bⱼ·31^(k−1−j), evaluated in HUGEINT and reduced mod
+    // 2^64; the signed reinterpretation + Java truncated-% pick the
+    // bucket, the low bit picks ±1. Exact 31-powers come from a literal
+    // list (DuckDB's ** returns DOUBLE and rounds at these magnitudes).
+    // The digest string matches Spark's to_json(array<int>) compact form.
+    "multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 50),
+        |strides AS (
+        |  SELECT doc_id, hx, n, s.s AS s, LEAST(8, n - s.s) AS k
+        |  FROM b, LATERAL (SELECT UNNEST(range(0, n, 8)) AS s) s),
+        |hashes AS (
+        |  SELECT doc_id, s,
+        |    ((h_raw % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS h
+        |  FROM (
+        |    SELECT st.doc_id, st.s,
+        |      1125899906842597::HUGEINT
+        |        * list_value(1::HUGEINT,31,961,29791,923521,28629151,887503681,27512614111,852891037441)[st.k + 1]
+        |      + COALESCE(SUM(
+        |          (CASE WHEN bv > 127 THEN bv - 256 ELSE bv END)::HUGEINT
+        |          * list_value(1::HUGEINT,31,961,29791,923521,28629151,887503681,27512614111,852891037441)[st.k - j.j]), 0) AS h_raw
+        |    FROM strides st, LATERAL (
+        |      SELECT UNNEST(range(st.k)) AS j,
+        |        ('0x' || substr(st.hx, 2 * (st.s + UNNEST(range(st.k))) + 1, 2))::INT AS bv) j
+        |    GROUP BY st.doc_id, st.s, st.k)),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    (((CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN h - 18446744073709551616::HUGEINT ELSE h END) % 32) + 32) % 32 AS idx,
+        |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS c
+        |  FROM hashes),
+        |accum AS (
+        |  SELECT b.doc_id, g.i AS i, COALESCE(SUM(c.c), 0)::BIGINT AS v
+        |  FROM b CROSS JOIN (SELECT UNNEST(range(32)) AS i) g
+        |  LEFT JOIN contrib c ON c.doc_id = b.doc_id AND c.idx = g.i
+        |  GROUP BY b.doc_id, g.i)
+        |SELECT doc_id,
+        |  md5('[' || string_agg(v, ',' ORDER BY i) || ']') AS feat_digest
+        |FROM accum GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -46,8 +46,19 @@ object Multimodal {
     * replaces ONLY this body (e.g. JPEG decode → CNN features) keeping the
     * exact `Array[Byte] => Array[Float]` batch-parallel signature.
     */
-  def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val v = new Array[Float](dim)
+  /** INTEGER bucket accumulation of the fake decoder, BEFORE the L2
+    * normalization — each 8-byte stride adds ±1 to one signed bucket.
+    * Exposed separately because it is integer-exact and ENGINE-PORTABLE:
+    * the stride hash has the closed form
+    * `h = C·31^k + Σ bⱼ·31^(k−1−j)  (mod 2^64)`  (C = 1125899906842597,
+    * k = stride length, bⱼ the signed bytes), so an external engine with
+    * 128-bit integers can re-derive the accumulation exactly — the
+    * `multimodal_features` DuckDB oracle does, turning the multimodal
+    * digest row into a hash-checked row (round-12). The float form below
+    * normalizes this vector for similarity pipelines.
+    */
+  def fakeDecodeAccum(bytes: Array[Byte], dim: Int): Array[Int] = {
+    val v = new Array[Int](dim)
     if (bytes == null || bytes.isEmpty) return v
     var i = 0
     while (i < bytes.length) {
@@ -56,15 +67,33 @@ object Multimodal {
       val end = math.min(i + 8, bytes.length)
       while (j < end) { h = h * 31 + bytes(j); j += 1 }
       val idx = (((h % dim) + dim) % dim).toInt
-      v(idx) += (if ((h & 1L) == 0L) 1f else -1f)
+      v(idx) += (if ((h & 1L) == 0L) 1 else -1)
       i += 8
     }
+    v
+  }
+
+  def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // ±1 integer counts convert to float exactly (|count| ≪ 2^24), so
+    // accumulate-then-convert is bit-identical to the float accumulation.
+    val a = fakeDecodeAccum(bytes, dim)
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { v(i) = a(i).toFloat; i += 1 }
     VectorOps.l2Normalize(v)
   }
 
   /** Column form of the (fake) feature extractor. */
   def decodeFeaturesCol(bytes: Column, dim: Int = 64): Column = {
     val f = udf((b: Array[Byte]) => fakeDecodeFeatures(b, dim))
+    f(bytes)
+  }
+
+  /** Column form of [[fakeDecodeAccum]] — the engine-portable integer
+    * accumulation (see its doc).
+    */
+  def decodeAccumCol(bytes: Column, dim: Int = 64): Column = {
+    val f = udf((b: Array[Byte]) => fakeDecodeAccum(b, dim))
     f(bytes)
   }
 

@@ -15,8 +15,8 @@ class EntrySpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
     // a typo'd key silently downgrades a query to rows-only — pin the floor
-    // at the round-12 surface (83 oracles / 86 queries)
-    assert(SparkEntry.oracleSql.size >= 83, s"oracle count ${SparkEntry.oracleSql.size}")
+    // at the round-12 surface (84 oracles / 86 queries)
+    assert(SparkEntry.oracleSql.size >= 84, s"oracle count ${SparkEntry.oracleSql.size}")
     assert(SparkEntry.queries.size >= 86, s"query count ${SparkEntry.queries.size}")
   }
 

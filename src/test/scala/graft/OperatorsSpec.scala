@@ -391,6 +391,22 @@ class OperatorsSpec extends SparkSpec {
     assert(viaPart.toSeq == viaUdf.toSeq)
   }
 
+  test("fakeDecodeAccum: normalize(accum) == featurize, and accums differ across docs") {
+    // The hash-checked multimodal_features row digests the INTEGER
+    // accumulation (round-12); this pins that the declared digest's input
+    // and the float feature path are the same computation.
+    val texts = Seq("alpha bravo charlie", "delta echo foxtrot golf", "über café naïve 日本語")
+    for (t <- texts) {
+      val bytes = t.getBytes("UTF-8")
+      val accum = Multimodal.fakeDecodeAccum(bytes, 16)
+      val viaAccum = graft.functions.VectorOps.l2Normalize(accum.map(_.toFloat))
+      assert(viaAccum.toSeq == Multimodal.fakeDecodeFeatures(bytes, 16).toSeq, s"mismatch for '$t'")
+    }
+    val accums = texts.map(t => Multimodal.fakeDecodeAccum(t.getBytes("UTF-8"), 16).toSeq)
+    assert(accums.distinct.size == texts.size, "degenerate accumulation: docs collide")
+    assert(Multimodal.fakeDecodeAccum(Array.emptyByteArray, 16).toSeq == Seq.fill(16)(0))
+  }
+
   test("multimodal plumbing: byte metadata, fake features, frame explode") {
     val df = Seq((1L, "abcdefgh" * 32)).toDF("id", "text")
     val feat = Multimodal.featurize(df, "text", dim = 16)
