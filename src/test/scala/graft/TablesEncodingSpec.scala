@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.core.Tables
+
+/** The events fixture's `ts` column has shipped as TIMESTAMP(NANOS) (read
+  * as raw longs under the legacy nanosAsLong conf) in some driver testdata
+  * generations and as plain timestamp[us] (TimestampNTZ) in others.
+  * Round 11 shipped red because the reader assumed nanos unconditionally —
+  * `ts div 1000` failed analysis on the micros generation and 7 bench
+  * queries + 3 correctness rows broke. These tests pin BOTH dispatch
+  * paths of [[Tables.events]] / [[Tables.eventsStream]] so neither
+  * encoding can regress again, whichever one the live fixtures use.
+  */
+class TablesEncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2024-01-01T00:00:00Z and one hour later, as epoch NANOS stored in a
+  // plain int64 column — the raw-long shape the legacy conf surfaces.
+  private val T0s = 1704067200L
+  private def longEncodedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-enc").toString
+    Seq(
+      (1L, T0s * 1000000000L, 7L, "click", 1.0, "{}"),
+      (2L, (T0s + 3600L) * 1000000000L + 123456789L, 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("events: raw-long nanos encoding normalizes to micro-precision TimestampType") {
+    val e = Tables.events(spark, longEncodedDir)
+    assert(e.schema("ts").dataType == TimestampType)
+    val ts = e.orderBy("event_id")
+      .select(unix_timestamp(col("ts")), unix_micros(col("ts"))).collect()
+    assert(ts(0).getLong(0) == T0s)
+    // nanos truncate (div, not double math): …123456789 ns → …123456 µs
+    assert(ts(1).getLong(1) == (T0s + 3600L) * 1000000L + 123456L)
+  }
+
+  test("events: the live fixture encoding (whatever it is) normalizes to TimestampType") {
+    val e = Tables.events(spark, Sf0001)
+    assert(e.schema("ts").dataType == TimestampType)
+    // sanity: fixture timestamps land in a plausible year, not 1970 (a
+    // mis-applied div) and not far future (a missed one)
+    val yr = e.select(year(min(col("ts")))).head.getInt(0)
+    assert(yr >= 2000 && yr <= 2100, s"events.ts normalized to year $yr")
+  }
+
+  test("eventsStream: raw-long nanos encoding streams with the same normalization") {
+    val dir = longEncodedDir
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)
+    val sinkName = "graft_events_enc_stream"
+    val q = Tables.eventsStream(spark, dir)
+      .writeStream.format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "encoding stream did not finish")
+    val rows = spark.table(sinkName).orderBy("event_id")
+      .select(col("event_id"), unix_micros(col("ts"))).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).getLong(1) == T0s * 1000000L)
+    assert(rows(1).getLong(1) == (T0s + 3600L) * 1000000L + 123456L)
+  }
+
+  test("eventsStream equals events on the live fixture (batch == stream rows)") {
+    val sinkName = "graft_events_live_stream"
+    val q = Tables.eventsStream(spark, Sf0001)
+      .writeStream.format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "live-fixture stream did not finish")
+    val streamed = spark.table(sinkName)
+    val batch = Tables.events(spark, Sf0001)
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("event_id", "ts").except(batch.select("event_id", "ts")).isEmpty &&
+      batch.select("event_id", "ts").except(streamed.select("event_id", "ts")).isEmpty,
+      "stream and batch normalize ts differently")
+  }
+}
