@@ -102,8 +102,8 @@ object Tables {
     if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts", col("ts").cast(TimestampType)) // NTZ → UTC instant, see [[events]]
   }
-  /** Fixture documents schema — needed because streaming reads require a
-    * user-supplied schema.
+  /** Fixture documents schema — the fallback for arrival-dir streams that
+    * may start before any file exists ([[documentsArrivalStream]]).
     */
   private val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -113,27 +113,24 @@ object Tables {
     StructField("n_chars", LongType)))
 
   /** Streaming twin of [[documents]] — file-source stream over the fixture
-    * parquet (same glob trick as [[eventsStream]]): the arrival shape of a
-    * training-data ingest pipeline.
+    * parquet (same glob trick as [[eventsStream]]). The required schema is
+    * SNIFFED from the parquet footer via a one-off batch read (metadata
+    * only — no data scan) rather than hardcoded: a fixture generation
+    * that drifts a column's physical type would otherwise break the
+    * stream while the batch read still works — the exact failure class
+    * the events `ts` column hit in round 11.
     */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(documentsSchema)
+    spark.readStream.schema(spark.read.parquet(s"$sfDir/documents.parquet").schema)
       .option("basePath", sfDir).parquet(s"$sfDir/{documents.parquet}")
-
-  /** Fixture embeddings schema — needed because streaming reads require a
-    * user-supplied schema.
-    */
-  private val embeddingsSchema: StructType = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(FloatType)),
-    StructField("label", IntegerType)))
 
   /** Streaming twin of [[embeddings]] — the arrival shape of online ANN
     * query traffic ([[graft.streaming.Streams.annProbeStream]] serves it
-    * against a static persisted index).
+    * against a static persisted index). Schema sniffed from the footer,
+    * see [[documentsStream]].
     */
   def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(embeddingsSchema)
+    spark.readStream.schema(spark.read.parquet(s"$sfDir/embeddings.parquet").schema)
       .option("basePath", sfDir).parquet(s"$sfDir/{embeddings.parquet}")
 
   /** Documents-schema stream over an arbitrary arrival DIRECTORY (a staged
