@@ -62,6 +62,26 @@ object DailyDropProfile {
         s3(p2).count()
       }
     }
+    // stage-2 internals: where does the jaccard stage's time go?
+    locally {
+      val p1 = s1().localCheckpoint()
+      t("s2 breakdown: within-batch jaccardPairs") {
+        Dedup.jaccardPairs(p1, "doc_id", "text", n = 2, threshold = 0.2).count()
+      }
+      val pairs = Dedup.jaccardPairs(p1, "doc_id", "text", n = 2, threshold = 0.2)
+      t("s2 breakdown: dedupNear (groups + anti-join)") {
+        Dedup.dedupNear(p1, "doc_id", pairs).count()
+      }
+      val within = Dedup.dedupNear(p1, "doc_id", pairs).localCheckpoint()
+      t("s2 breakdown: cross-index postings join (incl. residual within-pass)") {
+        Dedup.jaccardIncremental(within, "doc_id", "text", n = 2,
+          threshold = 0.2, Dedup.readPostingsIndex(spark, postingsPath)).count()
+      }
+      t("s2 breakdown: shingle UDF + explode scan only") {
+        p1.select(org.apache.spark.sql.functions.explode(
+          Dedup.shingles(col("text"), 2))).count()
+      }
+    }
     spark.stop()
   }
 }
