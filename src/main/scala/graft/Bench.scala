@@ -163,6 +163,13 @@ object Bench {
           "vec_id", "embedding", ivfBenchModel), p)
       spark.read.parquet(p)
     }
+    val ivfBenchNProbe =
+      operators.IvfIndex.defaultNProbe(ivfBenchModel.centroids.length)
+    // The flagship query vector, fetched once — the per-iteration rows
+    // below time PROBING, not this lookup.
+    val benchQueryVec = core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
 
     // One full measurement pass: every declared query (min-of-ITERS each),
     // the bench-only volume row, then the post canaries that certify the
@@ -170,6 +177,7 @@ object Bench {
     // partial-agg sim-join plan at realistic query volume (500 queries ×
     // full corpus, k=5) — same operator as sim_join_topk, no second
     // oracle needed.
+    var benchStreamSinkSeq = 0
     def runLoop(): (Map[String, Either[String, Double]], Double, Double) = {
       val results: Map[String, Either[String, Double]] =
         SparkEntry.queries.map { case (name, fn) =>
@@ -194,12 +202,39 @@ object Bench {
         val e = core.Tables.embeddings(spark, sfDir)
         operators.IvfIndex.queryTopKBatch(ivfBenchIdx, ivfBenchModel,
           e.filter(col("vec_id") < 20), "vec_id", "embedding", 10,
-          operators.IvfIndex.defaultNProbe(ivfBenchModel.centroids.length)).count()
+          ivfBenchNProbe).count()
+        ()
+      }
+      // Round-13: the declared ivf_topk and stream_ivf_probe rows became
+      // cached parity constants (closing the last two rows-only oracle
+      // gaps), so these bench-only rows keep timing the live IVF serving
+      // paths: the single-query pruned-partition probe, and the
+      // stateless streaming probe end-to-end (file source → AvailableNow
+      // → memory sink; a unique sink name per iteration because a memory
+      // sink registers a temp view).
+      val ivfSingleVolume = timed { () =>
+        operators.IvfIndex.queryTopK(ivfBenchIdx, ivfBenchModel,
+          benchQueryVec, 10, ivfBenchNProbe).count()
+        ()
+      }
+      val ivfStreamVolume = timed { () =>
+        benchStreamSinkSeq += 1
+        val sink = s"bench_ivf_stream_$benchStreamSinkSeq"
+        val sq = streaming.Streams.ivfProbeStream(
+            core.Tables.embeddingsStream(spark, sfDir).filter(col("vec_id") < 20),
+            "vec_id", "embedding", ivfBenchIdx, ivfBenchModel,
+            threshold = 0.5, ivfBenchNProbe)
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        if (!sq.awaitTermination(300000))
+          throw new RuntimeException("bench stream_ivf_probe: timeout after 300s")
         ()
       }
       (results +
         ("bench_sim_join_volume_500q" -> simVolume) +
-        ("bench_ivf_batch_topk_20q" -> ivfBatchVolume),
+        ("bench_ivf_batch_topk_20q" -> ivfBatchVolume) +
+        ("bench_ivf_topk_single" -> ivfSingleVolume) +
+        ("bench_stream_ivf_probe_20q" -> ivfStreamVolume),
         canarySeconds(), canaryParSeconds(parThreads))
     }
 
@@ -242,7 +277,7 @@ object Bench {
     // clean run and should be discarded, not re-litigated.
     val loadInflated = canaryParPre > hotFactor * CanaryParRefSec ||
       canaryParPost > hotFactor * CanaryParRefSec
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$es,"n_err":${errs.size},"iters":$Iters,"agg":"min","cached":$cached,""" +
       s""""canary_pre_sec":$canaryPre,"canary_post_sec":$canaryPost,""" +
@@ -250,7 +285,20 @@ object Bench {
       s""""canary_par_threads":$parThreads,"canary_retries":$canaryRetries,""" +
       s""""load_inflated":$loadInflated,"loop_retried":$loopRetried,""" +
       s""""canary_ref_sec":$CanaryRefSec,"canary_par_ref_sec":$CanaryParRefSec,""" +
-      s""""canary_par_ref_threads":$CanaryParRefThreads,"sf":"${jsonEscape(sfDir)}"}""")
+      s""""canary_par_ref_threads":$CanaryParRefThreads,"sf":"${jsonEscape(sfDir)}"}"""
+    // Durable artifact (round-13): the driver captures only a log TAIL of
+    // this process, and the single JSON line above was front-truncated in
+    // BENCH_r11/r12 ("parsed": null two rounds running). Persist the full
+    // artifact to a repo file first so cross-round per-query comparison
+    // never depends on tail luck; the println stays the driver contract.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
     // A bench with errored queries is a FAILED bench run (round-11: seven
     // analysis-errored event queries shipped under rc=0 and the round was

@@ -105,6 +105,8 @@ object SparkEntry {
     lshDedupIndex(s, dir)
     annBatchParity(s, dir)
     ivfBatchParity(s, dir)
+    ivfTopkParity(s, dir)
+    streamIvfParity(s, dir)
     incrementalNearDedupFlags(s, dir)
     jaccardIndexAppendParity(s, dir)
     dailyDropRehearsal(s, dir)
@@ -125,6 +127,7 @@ object SparkEntry {
     */
   val cachedQueryNames: Set[String] = Set(
     "ann_append_parity", "ann_batch_topk", "ivf_batch_topk",
+    "ivf_topk", "stream_ivf_probe",
     "incremental_near_dedup", "jaccard_index_append_parity")
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
@@ -253,6 +256,102 @@ object SparkEntry {
       import s.implicits._
       Seq((20L, RecallK.toLong, if (parity) 1L else 0L))
         .toDF("n_queries", "k", "parity")
+    }
+
+  /** Invariant flags of the flagship single-query IVF probe, declared as
+    * the hash-checked `ivf_topk` row (round-13; the raw listing is
+    * seeded-k-means territory — rows-only through r12 — and stays spec
+    * territory: AnnBatchSpec/IndexAppendSpec re-derive it). Two designed
+    * invariants:
+    *
+    *  - `parity`: [[IvfIndex.queryTopK]] through the PERSISTED index must
+    *    return, id-for-id and rounded-score-for-score, the exact rerank
+    *    over a FRESH in-memory assignment of the raw corpus restricted to
+    *    the same probed clusters — proves the persisted partition
+    *    contents, the pruned scan, and the rank stage lose nothing
+    *    relative to a from-scratch evaluation of the same probe set;
+    *  - `recall_floor_met`: recall@10 of the served probe vs the exact
+    *    brute-force top-10 over the FULL corpus clears [[RecallFloor]]
+    *    (the ivf_recall argument, re-proven on the serving row itself).
+    *
+    * Both flags are invariants, so the row is a constant the driver
+    * hash-checks against a constant oracle — the ann_batch_topk pattern
+    * that closed r10's rows-only gap. Cached: the full-corpus fresh
+    * re-assignment is a verification artifact, not serving work (the
+    * bench-only `bench_ivf_topk_single` row times the live probe).
+    */
+  private def ivfTopkParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"ivf_topk_parity:$dir") {
+      val q = queryVec(s, dir)
+      val (model, idx) = ivfIndex(s, dir)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      def probed(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("id").cast("long"), round(col("score"), 6).as("score"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val served = probed(IvfIndex.queryTopK(idx, model, q, RecallK, nProbe))
+      // independent rerank: assign the raw corpus fresh (never touching
+      // the persisted files), restrict to the same probed clusters, rank
+      val probes = model.nearestClusters(q, nProbe)
+      val fresh = IvfIndex.buildIndex(embs(s, dir), "vec_id", "embedding", model)
+        .filter(col("cluster").isin(probes.map(Int.box): _*))
+      val parity = served == probed(Similarity.topK(fresh, "embedding", "id", q, RecallK))
+      val exact = probed(Similarity.topK(
+          embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
+          "embedding", "id", q, RecallK))
+        .map(_._1).toSet
+      val recall = served.map(_._1).count(exact.contains).toDouble / RecallK
+      import s.implicits._
+      Seq((RecallK.toLong, if (parity) 1L else 0L,
+        if (recall >= RecallFloor) 1L else 0L))
+        .toDF("k", "parity", "recall_floor_met")
+    }
+
+  /** Invariant flags of the streaming IVF probe, declared as the
+    * hash-checked `stream_ivf_probe` row (round-13; rows-only through
+    * r12 — the pair listing is seeded-k-means territory and stays pinned
+    * by StreamsSpec). The probe is mode-agnostic DataFrame code, so the
+    * designed invariants are:
+    *
+    *  - `parity`: the streaming execution (file source → AvailableNow →
+    *    memory sink) emits EXACTLY the (q_id, c_id, rounded score) set
+    *    the same [[Streams.ivfProbeStream]] plan produces on the batch
+    *    frame — the StreamsSpec equality, re-proven on the driver
+    *    fixtures every round;
+    *  - `stateless`: the executed streaming plan ran ZERO state
+    *    operators (each indexed id lives in exactly one cluster, so no
+    *    dedup store exists) — checked on the actual
+    *    StreamingQueryProgress, not the code.
+    *
+    * Constant row → constant oracle (the ann_batch_topk pattern).
+    * Cached: the bench-only `bench_stream_ivf_probe_20q` row times the
+    * live streaming probe per iteration.
+    */
+  private def streamIvfParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"stream_ivf_parity:$dir") {
+      val (model, idx) = ivfIndex(s, dir)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      val sinkName = "graft_stream_ivf_probe"
+      val sq = Streams.ivfProbeStream(
+          Tables.embeddingsStream(s, dir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", idx, model, threshold = 0.5, nProbe)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_ivf_probe: stream did not finish within 300s — refusing to return a partial sink")
+      val stateless = sq.lastProgress != null && sq.lastProgress.stateOperators.isEmpty
+      def rows(df: DataFrame): Set[(Long, Long, Double)] =
+        df.select(col("q_id"), col("c_id"), col("score"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = rows(s.table(sinkName))
+      val expected = rows(Streams.ivfProbeStream(
+          embs(s, dir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", idx, model, threshold = 0.5, nProbe)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score")))
+      import s.implicits._
+      Seq((20L, if (got == expected) 1L else 0L, if (stateless) 1L else 0L))
+        .toDF("n_queries", "parity", "stateless")
     }
 
   /** Invariant flags of the incremental embedding near-dedup, declared as
@@ -771,23 +870,11 @@ object SparkEntry {
 
     // E2/E6 (round-9): the IVF twin of stream_ann_probe — and fully
     // STATELESS: each indexed id lives in exactly one cluster, so no
-    // (q_id, c_id) dedup store exists in the plan at all. Seeded k-means
-    // → rows-only; stream == batch equality pinned by StreamsSpec.
-    "stream_ivf_probe" -> ((s, dir) => {
-      val (model, idx) = ivfIndex(s, dir)
-      val sinkName = "graft_stream_ivf_probe"
-      val sq = Streams.ivfProbeStream(
-          Tables.embeddingsStream(s, dir).filter(col("vec_id") < 20),
-          "vec_id", "embedding", idx, model, threshold = 0.5,
-          IvfIndex.defaultNProbe(model.centroids.length))
-        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
-        .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_ivf_probe: stream did not finish within 300s — refusing to return a partial sink")
-      s.table(sinkName).orderBy("q_id", "c_id")
-    }),
+    // (q_id, c_id) dedup store exists in the plan at all. Declared
+    // (round-13) as the stream==batch parity + zero-state-operators
+    // invariant row, hash-checked against a constant oracle — the
+    // listing itself is seeded-k-means territory (StreamsSpec pins it).
+    "stream_ivf_probe" -> ((s, dir) => streamIvfParity(s, dir)),
 
     // ---- E6: SLIDING windows (1h window, 30m slide) ------------------
     "events_sliding" -> ((s, dir) =>
@@ -1239,18 +1326,14 @@ object SparkEntry {
     }),
 
     // E2: IVF probe against the PERSISTED index — quantizer fit + index
-    // write happen once per (sfDir, JVM); the declared query only ranks
-    // centroids driver-side and scans the nProbe pruned cluster
-    // partitions (round 3 re-fit MLlib k-means per run: ~4 s of training
-    // billed as serving).
-    "ivf_topk" -> ((s, dir) => {
-      val q = queryVec(s, dir)
-      val (model, idx) = ivfIndex(s, dir)
-      IvfIndex.queryTopK(idx, model, q, 10,
-          nProbe = IvfIndex.defaultNProbe(model.centroids.length))
-        .select(col("id"), round(col("score"), 6).as("score"))
-        .orderBy(desc("score"), col("id"))
-    }),
+    // write happen once per (sfDir, JVM); the probe ranks centroids
+    // driver-side and scans the nProbe pruned cluster partitions.
+    // Declared (round-13) as the probe==fresh-rerank parity +
+    // recall-floor invariant row, hash-checked against a constant
+    // oracle — the raw listing is seeded-k-means territory
+    // (AnnBatchSpec pins it; bench_ivf_topk_single times the live
+    // probe).
+    "ivf_topk" -> ((s, dir) => ivfTopkParity(s, dir)),
 
     // E2/E3: IVF batch probe against the persisted index (round-9) — each
     // query ranks the broadcast centroids and probes its own nProbe
@@ -2699,6 +2782,20 @@ object SparkEntry {
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS parity""".stripMargin,
 
+    // Round-13: the last two rows-only queries become invariant rows.
+    // ivf_topk: the Spark side probes the persisted index for real and
+    // compares against a fresh re-assignment rerank + the exact top-10
+    // recall floor; the oracle pins the only acceptable outcome.
+    "ivf_topk" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS parity,
+        |  CAST(1 AS BIGINT) AS recall_floor_met""".stripMargin,
+
+    // stream_ivf_probe: streaming emission == batch emission of the same
+    // plan, and the executed streaming plan ran zero state operators.
+    "stream_ivf_probe" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS parity,
+        |  CAST(1 AS BIGINT) AS stateless""".stripMargin,
+
     // Incremental near-dedup invariants: n_batch re-derives the Spark
     // side's `vec_id >= count*3/4` batch slice straight from the parquet
     // (no density assumption — the FILTER mirrors the Spark filter); the
@@ -2768,6 +2865,21 @@ object SparkEntry {
     // stage reuses a construction that is hash-green on its own row
     // (incremental_dedup, incremental_jaccard_dedup, near_dedup_apply_lsh)
     // — composable because round-11 made the LSH planes md5-derivable.
+    //
+    // PRECONDITION (ADVICE r12): the stage-2 CTEs below (bt/ct/dup2)
+    // model UNCAPPED full bigram-shingle sets, while the engine path
+    // applies the hot-shingle cap (maxDocFreq = 1000: a bigram appearing
+    // in > 1000 corpus docs is dropped from the postings index AND from
+    // the batch side, and jaccard denominators use post-cap set sizes —
+    // Dedup.buildJaccardIndex/jaccardIncremental). The two agree exactly
+    // while no bigram's document frequency exceeds 1000 — true at every
+    // shipped fixture sf (the oracle runs at sf0.01: ~3.8k corpus docs,
+    // max observed bigram df far below the cap) and asserted green every
+    // round by the driver's hash compare, which would surface the first
+    // generation where the cap binds as a loud red row, not a silent
+    // skew. Replicating the cap in SQL would mean re-deriving df over
+    // the corpus slice and recomputing post-cap set sizes in every
+    // downstream CTE; documented instead, per the advisor's option (b).
     "pipeline_daily_drop" ->
       s"""WITH RECURSIVE ${lshSigsCte(nTables = 12, nBits = 4)},
          |cut AS (SELECT COUNT(*) * 3 // 4 AS c FROM documents),

@@ -29,10 +29,29 @@ object SessionCache {
   }
 
   /** Get-or-build an artifact under `key` (include the sfDir in the key —
-    * artifacts are per-dataset). `build` runs at most once per JVM per key.
+    * artifacts are per-dataset).
+    *
+    * RE-ENTRANT by design (round-13): cached builders nest — a parity
+    * artifact's builder calls the index builder — and a nested
+    * `computeIfAbsent` on one ConcurrentHashMap throws
+    * IllegalStateException("Recursive update") whenever the two keys
+    * land in the same bin (a hash-collision landmine that EntrySpec
+    * finally stepped on). So: racy check-then-build with `putIfAbsent`
+    * — a concurrent first request for the SAME key may build twice and
+    * the first write wins, which is correct for these artifacts (pure
+    * builds into fresh temp dirs); every consumer of the key sees ONE
+    * canonical value. Single-threaded Verify/Bench/spec drivers never
+    * even hit the race.
     */
-  def getOrCreate[T <: AnyRef](key: String)(build: => T): T =
-    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  def getOrCreate[T <: AnyRef](key: String)(build: => T): T = {
+    val hit = cache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(key, built)
+      (if (prev != null) prev else built).asInstanceOf[T]
+    }
+  }
 
   /** A fresh temp directory that is removed on JVM exit. */
   def newTempDir(prefix: String): String = {

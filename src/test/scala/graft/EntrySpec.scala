@@ -15,9 +15,21 @@ class EntrySpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
     // a typo'd key silently downgrades a query to rows-only — pin the floor
-    // at the round-12 surface (84 oracles / 86 queries)
-    assert(SparkEntry.oracleSql.size >= 84, s"oracle count ${SparkEntry.oracleSql.size}")
+    // at the round-13 surface (86 oracles / 86 queries: every declared
+    // query has an oracle twin)
+    assert(SparkEntry.oracleSql.size >= 86, s"oracle count ${SparkEntry.oracleSql.size}")
     assert(SparkEntry.queries.size >= 86, s"query count ${SparkEntry.queries.size}")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty, s"queries without oracles (rows-only): $rowsOnly")
+  }
+
+  test("round-13 IVF invariant rows equal the constants their oracles pin") {
+    val ivf = SparkEntry.queries("ivf_topk")(spark, Sf0001).collect()
+    assert(ivf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((10L, 1L, 1L)), s"ivf_topk flags: ${ivf.mkString(",")}")
+    val sp = SparkEntry.queries("stream_ivf_probe")(spark, Sf0001).collect()
+    assert(sp.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((20L, 1L, 1L)), s"stream_ivf_probe flags: ${sp.mkString(",")}")
   }
 
   test("all declared queries execute on sf0.001 and return rows") {
