@@ -82,6 +82,26 @@ object DailyDropProfile {
           Dedup.shingles(col("text"), 2))).count()
       }
     }
+    // Round-13 (VERDICT r12 #5): the same cross-index stage, corpus
+    // postings served from a plain parquet read (the join reshuffles the
+    // whole index side on shingle every drop) vs from the bucketed
+    // catalog registration (zero-Exchange corpus side — the shuffle was
+    // paid once at registration; PlanShapeSpec pins the plan shape).
+    locally {
+      val p1 = s1().localCheckpoint()
+      Dedup.registerPostingsBucketed(spark, postingsPath,
+        "ddp_postings_bucketed", nBuckets = 8)
+      for (i <- 1 to 2) {
+        t(s"[$i] s2 cross-join, PLAIN postings read") {
+          Dedup.jaccardIncremental(p1, "doc_id", "text", n = 2,
+            threshold = 0.2, Dedup.readPostingsIndex(spark, postingsPath)).count()
+        }
+        t(s"[$i] s2 cross-join, BUCKETED postings table") {
+          Dedup.jaccardIncremental(p1, "doc_id", "text", n = 2,
+            threshold = 0.2, spark.table("ddp_postings_bucketed")).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

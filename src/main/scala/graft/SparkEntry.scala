@@ -489,7 +489,14 @@ object SparkEntry {
       val postingsPath = SessionCache.newTempDir("graft-daily-postings")
       Dedup.buildPostingsIndex(d.filter(col("doc_id") < cut),
         "doc_id", "text", n = 2, postingsPath)
-      (cut, postingsPath)
+      // Serving registration (round-13): a plain parquet read of the
+      // postings carries no partitioning, so stage 2 of every nightly
+      // drop would reshuffle the ENTIRE corpus-postings side on shingle
+      // — the bucketed catalog table moves that shuffle to build time,
+      // once (zero-Exchange corpus side, PlanShapeSpec-pinned).
+      val tbl = "graft_daily_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.registerPostingsBucketed(s, postingsPath, tbl, nBuckets = 32)
+      (cut, tbl)
     }
 
   // Only the one-time index BUILDS are session-cached (dailyDropPostings +
@@ -499,14 +506,14 @@ object SparkEntry {
   // the previous iteration's checkpoint blocks (which would time a cache
   // lookup, the r10 bench-hygiene trap).
   private def dailyDropRehearsal(s: SparkSession, dir: String): DataFrame = {
-      val (cut, postingsPath) = dailyDropPostings(s, dir)
+      val (cut, postingsTable) = dailyDropPostings(s, dir)
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") < cut)
       val batch = d.filter(col("doc_id") >= cut)
       val s1 = Dedup.dedupIncremental(batch, "doc_id", "text",
         Dedup.contentHashes(corpus, "text"))
       val s2 = Dedup.jaccardIncremental(s1, "doc_id", "text",
-        n = 2, threshold = 0.2, Dedup.readPostingsIndex(s, postingsPath))
+        n = 2, threshold = 0.2, s.table(postingsTable))
       val (embCut, lshIdx) = lshDedupIndex(s, dir)
       val s3 = AnnIndex.dedupIncrementalLSH(
         s2.join(embs(s, dir).filter(col("vec_id") >= embCut),

@@ -311,10 +311,21 @@ object Streams {
   /** Stateful sessionization via `flatMapGroupsWithState` — the custom-state
     * streaming shape of the builder brief (`KeyValueGroupedDataset`). Emits
     * a session row when its gap closes; the in-flight session stays in
-    * state (bounded: one small struct per active user). Works identically
-    * on a batch Dataset (state starts empty, in-flight sessions unemitted),
-    * which is how the spec pins it against the window-based [[sessionize]].
+    * state. Works identically on a batch Dataset (state starts empty,
+    * in-flight sessions unemitted), which is how the spec pins it against
+    * the window-based [[sessionize]].
+    *
+    * DEPRECATED for continuous deployments (round-13, VERDICT r12 nit
+    * #3): `NoTimeout` retains one state struct for EVERY user ever seen
+    * — unbounded on a continuous stream — and never emits a user's final
+    * session. [[sessionizeStatefulExpiring]] has identical gap semantics
+    * with `EventTimeTimeout` expiry (state bounded to active users,
+    * finals flushed once the watermark passes their gap boundary); reach
+    * for this form only for bounded replays that must NOT emit in-flight
+    * finals (the declared `sessionize_stateful` row's contract).
     */
+  @deprecated("NoTimeout state grows with every user ever seen and never flushes final " +
+    "sessions; use sessionizeStatefulExpiring (EventTimeTimeout) for deployments", "round-13")
   def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

