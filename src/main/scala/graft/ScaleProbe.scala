@@ -71,7 +71,10 @@ object ScaleProbe {
     // probe at query volume + postings-index lifecycle).
     // SPARK_GRAFT_ONLY_R12=1 probes only the round-12 addition (the
     // complete nightly daily-drop chain vs persisted artifacts).
-    val onlyR12 = sys.env.contains("SPARK_GRAFT_ONLY_R12")
+    // SPARK_GRAFT_ONLY_R13=1 probes only the round-13 addition (online
+    // watermarked ANN serving against the amplified persisted index).
+    val onlyR13 = sys.env.contains("SPARK_GRAFT_ONLY_R13")
+    val onlyR12 = onlyR13 || sys.env.contains("SPARK_GRAFT_ONLY_R12")
     val onlyR11 = onlyR12 || sys.env.contains("SPARK_GRAFT_ONLY_R11")
     val onlyR9 = onlyR11 || sys.env.contains("SPARK_GRAFT_ONLY_R9")
     val onlyR8 = onlyR9 || sys.env.contains("SPARK_GRAFT_ONLY_R8")
@@ -403,7 +406,7 @@ object ScaleProbe {
     // id-aligned (fixture generations ship different doc/embedding
     // counts), so this section amplifies its OWN aligned pair from the
     // joined base — every amplified doc has exactly one embedding.
-    locally {
+    if (!onlyR13) locally {
       val base = baseDocs.join(baseEmb, col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("text"), col("embedding"))
       val nBaseA = base.count()
@@ -446,6 +449,52 @@ object ScaleProbe {
           "doc_id", "embedding", spark.read.parquet(lshPath),
           threshold = 0.3, ddCfg).count()
         println(s"[scale]   -> $n drop rows survive the nightly loop")
+      }
+    }
+    // ---- round-13: ONLINE ANN SERVING at index scale -------------------
+    // The stream_ann_probe_wm deployment form (watermark-bounded dedup
+    // state) probing the amp× PERSISTED LSH index: query traffic arrives
+    // in waves (one parquet file per micro-batch via maxFilesPerTrigger),
+    // each wave's arrival_ts one hour later, with a 10-minute dedup
+    // delay — so cross-batch state EXPIRES as the stream runs and the
+    // bounded-state claim is MEASURED per micro-batch (state row
+    // high-water mark from StreamingQueryProgress), not asserted.
+    locally {
+      val cfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 16)
+      val idxPath = graft.core.SessionCache.newTempDir("graft-scale-stream-lsh")
+      timed(s"stream-serve OFFLINE: LSH index build+write ($nEmb vec)") {
+        AnnIndex.writeIndex(AnnIndex.buildIndex(emb, "vec_id", "embedding", cfg), idxPath)
+      }
+      val index = spark.read.parquet(idxPath)
+      val nWaves = 10
+      val waveSize = 200
+      val qDir = graft.core.SessionCache.newTempDir("graft-scale-stream-q")
+      for (w <- 0 until nWaves)
+        emb.filter(col("vec_id") >= w.toLong * waveSize &&
+            col("vec_id") < (w + 1).toLong * waveSize)
+          .withColumn("arrival_ts",
+            timestamp_seconds(lit(1704067200L) + lit(w.toLong * 3600L)))
+          .coalesce(1).write.mode("append").parquet(qDir)
+      timed(s"stream-serve: ${nWaves * waveSize} q in $nWaves waves vs index") {
+        val queries = spark.readStream
+          .schema(spark.read.parquet(qDir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(qDir)
+        val sq = graft.streaming.Streams.annProbeStreamWithinWatermark(
+            queries, "vec_id", "embedding", index, threshold = 0.9, cfg,
+            tsCol = "arrival_ts", delay = "10 minutes")
+          .select(col("q_id"), col("c_id"))
+          .writeStream.format("memory").queryName("scale_stream_ann")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(sq.awaitTermination(600000), "serving stream did not finish in 600s")
+        val progresses = sq.recentProgress.filter(_.numInputRows > 0)
+        val stateRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal))
+        val batchMs = progresses.map(_.durationMs.getOrDefault("triggerExecution", 0L))
+        println(s"[scale]   -> ${spark.table("scale_stream_ann").count()} pairs emitted " +
+          s"over ${progresses.length} micro-batches")
+        println(s"[scale]   -> state rows per batch: ${stateRows.mkString(", ")} " +
+          s"(high-water ${if (stateRows.isEmpty) 0L else stateRows.max})")
+        println(s"[scale]   -> per-batch trigger ms: ${batchMs.mkString(", ")}")
       }
     }
     spark.stop()

@@ -180,4 +180,134 @@ object Multimodal {
   def featurize(df: DataFrame, textCol: String, dim: Int = 64): DataFrame =
     fakeAssets(df, textCol)
       .withColumn("features", decodeFeaturesCol(col("asset_bytes"), dim))
+
+  // ------------------------------------------------- REAL decode (round-13)
+  // The container ships no native codecs, but the JDK itself decodes
+  // PNG/BMP/GIF/JPEG via javax.imageio (pure JVM, headless-safe) — so the
+  // decode→feature→resize verb chain below is REAL for those formats,
+  // behind the same Array[Byte]-in signatures as the fake path. The fake
+  // remains the fallback for payloads no installed reader recognizes
+  // (e.g. the text/plain fixture assets), so mixed-media frames process
+  // in one pass and existing digest rows stay byte-identical.
+
+  /** Decode an image payload with the JDK's ImageIO readers.
+    * None when no installed reader recognizes the bytes (not an image, or
+    * a codec-less format) — callers dispatch to the fake/stub path.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+  /** REAL feature extraction from decoded pixels: an L2-normalized
+    * luminance histogram over `dim` buckets (integer-accumulated, so the
+    * pre-normalization counts are exact and portable, mirroring
+    * [[fakeDecodeAccum]]'s discipline). Deliberately simple — the
+    * contract this path proves is decode-then-featurize plumbing; a CNN
+    * embedding would replace only this body.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    require(dim > 0, s"feature dim must be positive, got $dim")
+    val counts = new Array[Int](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        // integer ITU-R 601 luma in [0, 255]
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts((lum * dim) / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { v(i) = counts(i).toFloat; i += 1 }
+    VectorOps.l2Normalize(v)
+  }
+
+  /** Decode-dispatching feature extractor: REAL luminance-histogram
+    * features when ImageIO can decode the payload, the deterministic
+    * [[fakeDecodeFeatures]] stub otherwise — one signature for
+    * mixed-media columns.
+    */
+  def decodeFeaturesReal(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(img) => imageFeatures(img, dim)
+      case None => fakeDecodeFeatures(bytes, dim)
+    }
+
+  /** Column form of [[decodeFeaturesReal]]. */
+  def decodeFeaturesRealCol(bytes: Column, dim: Int = 64): Column = {
+    val f = udf((b: Array[Byte]) => decodeFeaturesReal(b, dim))
+    f(bytes)
+  }
+
+  /** REAL image resize: decode → bilinear scale to target pixels →
+    * re-encode (`png` by default — lossless, so the resized payload
+    * decodes to exactly the scaled pixels). Falls back to the
+    * byte-stride [[resizeAsset]] sampler for unrecognized payloads, so
+    * one call handles a mixed-media column. Same
+    * `Array[Byte] => Array[Byte]` shape as the stub documented in
+    * [[resizeAsset]].
+    */
+  def resizeImageBytes(bytes: Array[Byte], targetW: Int, targetH: Int,
+                       format: String = "png"): Array[Byte] = {
+    require(targetW > 0 && targetH > 0,
+      s"resize target must be positive, got ${targetW}x$targetH")
+    decodeImage(bytes) match {
+      case Some(img) =>
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, format, bos)
+        bos.toByteArray
+      case None =>
+        // non-image payload: the deterministic stride sampler (the
+        // resizeAsset stub body, byte budget = targetW × targetH)
+        val budget = targetW * targetH
+        if (bytes == null || bytes.length <= budget) bytes
+        else {
+          val out = new Array[Byte](budget)
+          var i = 0
+          while (i < budget) {
+            out(i) = bytes(((i.toLong * bytes.length) / budget).toInt)
+            i += 1
+          }
+          out
+        }
+    }
+  }
+
+  /** Batch-shaped REAL decode via mapPartitions — the partition-amortized
+    * twin of [[decodeFeaturesPartitioned]] running the ImageIO dispatch.
+    * Emits (idCol, is_image, features).
+    */
+  def decodeImagesPartitioned(df: DataFrame, idCol: String, bytesCol: String,
+                              dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // ImageIO reader discovery is JVM-static; a stateful codec would
+        // be opened here, once per partition
+        rows.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case Some(img) => (id, true, imageFeatures(img, dim))
+            case None => (id, false, fakeDecodeFeatures(bytes, dim))
+          }
+        }
+      }
+      .toDF(idCol, "is_image", "features")
+  }
 }
