@@ -122,6 +122,12 @@ class PlanShapeSpec extends SparkSpec {
     val postings = operators.Dedup.registerPostingsBucketed(
       spark, path, "b_plan_postings", nBuckets = 8)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // jaccardIncremental registers lazy localCheckpoint frames; this test
+    // only PLANS (never runs) them, so without explicit cleanup they sit
+    // in the persistent-RDD registry until the ContextCleaner happens to
+    // GC them — perturbing any later suite that counts registrations on
+    // the shared session (DocStoreSpec's leak test).
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = operators.Dedup.jaccardIncremental(
@@ -153,7 +159,15 @@ class PlanShapeSpec extends SparkSpec {
       val belowJoin = path.drop(joinIdx + 1)
       assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
         s"corpus-postings side reshuffles before its join (index moved per drop):\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // …and no SORT either: writeBucketed lays out one file per bucket
+      // sorted on shingle, so the scan's reported ordering satisfies the
+      // sort-merge join directly — the index is read as-is per drop.
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => persistedBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   test("the corpus side of sim-join is scored via broadcast, not shuffled") {
