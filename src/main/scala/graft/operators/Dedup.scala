@@ -261,8 +261,13 @@ object Dedup {
   def registerPostingsBucketed(spark: org.apache.spark.sql.SparkSession,
                                path: String, table: String,
                                nBuckets: Int = 32): DataFrame = {
+    // external table at a per-JVM temp location: re-registering the same
+    // table name from a fresh process never collides with a previous
+    // process's warehouse leftovers (see writeBucketed), and the data
+    // dir is reaped on JVM exit with the other session artifacts
     graft.store.Bucketing.writeBucketed(
-      readPostingsIndex(spark, path), table, "shingle", nBuckets)
+      readPostingsIndex(spark, path), table, "shingle", nBuckets,
+      path = Some(graft.core.SessionCache.newTempDir("graft-postings-bucketed")))
     spark.table(table)
   }
 

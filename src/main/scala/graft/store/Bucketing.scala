@@ -29,9 +29,20 @@ object Bucketing {
     * bucket it happens to hold and the ordering guarantee is lost.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int, sorted: Boolean = true): Unit = {
+                    nBuckets: Int, sorted: Boolean = true,
+                    path: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
-    val w = df.repartition(nBuckets, col(bucketCol)).write.mode("overwrite")
+    // Registration must survive process restarts: with the default
+    // in-memory catalog a NEW JVM starts with an empty catalog but the
+    // warehouse DIRECTORY persists, and saveAsTable refuses a managed
+    // table whose leftover location already exists
+    // (LOCATION_ALREADY_EXISTS — caught by a round-13 PlanAudit rerun).
+    // Callers that re-register per process should pass `path` (an
+    // EXTERNAL table at a caller-owned location, which Spark accepts
+    // pre-existing); the drop handles same-session re-registration.
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w0 = df.repartition(nBuckets, col(bucketCol)).write.mode("overwrite")
+    val w = path.fold(w0)((p: String) => w0.option("path", p))
       .bucketBy(nBuckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
   }
