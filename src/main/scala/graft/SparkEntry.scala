@@ -1230,6 +1230,35 @@ object SparkEntry {
             .otherwise(0L).as("unit_norm"))
         .orderBy("doc_id")),
 
+    // E1/E2 (round-13): symmetric int8 embedding quantization — the
+    // 4×-storage form of the embedding corpus. Per vector: the scale
+    // (max|x|/127), the EXACT integer checksum of the quantized vector
+    // (Σ q_i — any change to rounding, scale, or one element moves it),
+    // and the max reconstruction error (≤ scale/2 by construction; the
+    // spec pins the bound and the cosine fidelity). All double math over
+    // the float32 inputs with floor(v+0.5) rounding, so DuckDB re-derives
+    // every value bit-identically via list_transform/list_sum/list_max.
+    "embed_quantize" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("__scale", Quantize.scaleOf(col("embedding")))
+      e.select(
+          col("vec_id"),
+          round(col("__scale"), 6).as("scale"),
+          Quantize.quantSum(col("embedding"), col("__scale")).as("q_sum"),
+          round(Quantize.maxReconstructionError(col("embedding"), col("__scale")), 6)
+            .as("max_err"))
+        .orderBy("vec_id")
+    }),
+
+    // E7 (round-13): deterministic global shuffle — the reproducible
+    // order-randomization pass before sharding a training corpus. The
+    // emitted (doc_id, shuffle_key) pairs ARE the permutation; ordering
+    // by the md5 key is the one full sort the operation is.
+    "shuffle_order" -> ((s, dir) =>
+      Splits.globalShuffle(
+          docs(s, dir).select(col("doc_id")), "doc_id", salt = "shuffle")
+        .select(col("doc_id"), col("shuffle_key"))),
+
     // ================= rows-only queries (no ANSI-SQL oracle) =========
 
     // E4: MinHash-LSH near-dup candidates. Hash-checked (round-11): the
@@ -2471,6 +2500,31 @@ object SparkEntry {
       """SELECT doc_id, CAST(64 AS BIGINT) AS dim,
         |  CAST(CASE WHEN regexp_matches(lower(text), '[a-z0-9]') THEN 1 ELSE 0 END AS BIGINT) AS unit_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // int8 quantization twin: identical double math over the float32
+    // inputs — scale = max|x|/127, q_i = FLOOR(x_i/scale + 0.5) (the one
+    // rounding both engines express the same way), Σ q_i exact in
+    // BIGINT, max|x_i − q_i·scale| rounded at the end.
+    "embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  ROUND(scale, 6) AS scale,
+        |  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(list_sum(list_transform(embedding,
+        |      x -> FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT) END AS q_sum,
+        |  ROUND(CASE WHEN scale = 0 THEN 0.0
+        |    ELSE list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE) - FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+        |    END, 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // the permutation is pure md5 arithmetic — any engine reproduces it
+    "shuffle_order" ->
+      """SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
     // octet_length(encode(..)): UTF-8 BYTES, matching Spark's
     // length(binary) — plain length() counts characters and diverges on

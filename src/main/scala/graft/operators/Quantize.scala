@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 embedding quantization — the storage-side
+  * companion of the ANN family: a 100 TB embedding corpus is 4× smaller
+  * (and its scans 4× cheaper) stored as `array<tinyint>` + one float
+  * scale per vector, at a bounded reconstruction cost the spec pins
+  * (per-element error ≤ scale/2 = max|x|/254; cosine against the
+  * reconstruction stays ≳0.99 at the fixtures' dim-64 geometry).
+  *
+  * Everything is higher-order-function column arithmetic
+  * (`transform`/`aggregate`/`array_max`) — native Catalyst expressions,
+  * no UDF, so the quantization pass composes with pruned scans and the
+  * whole pipeline stays declarative. The scheme is the standard
+  * symmetric one (e.g. FAISS `ScalarQuantizer` QT_8bit_direct /
+  * ONNX-style symmetric int8): q_i = round(x_i · 127 / max|x|),
+  * dequant x̂_i = q_i · scale with scale = max|x| / 127.
+  *
+  * Determinism: round is `floor(v + 0.5)` (half-up) in DOUBLE math over
+  * the float32 inputs — bit-reproducible across engines, which is what
+  * lets the `embed_quantize` row hash-check against a DuckDB twin.
+  * A zero vector has scale 0 and quantizes to all zeros (the guard
+  * mirrors the cosine zero-norm discipline).
+  */
+object Quantize {
+
+  /** Per-vector scale: max|x| / 127 (0.0 for a zero vector). */
+  def scaleOf(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double")))) / lit(127d)
+
+  /** Round-half-up in double math — the one rounding both Spark and
+    * DuckDB express identically (`FLOOR(v + 0.5)`).
+    */
+  private def halfUp(v: Column): Column = floor(v + lit(0.5d))
+
+  /** Quantize against a precomputed [[scaleOf]] column: array<int> in
+    * [-127, 127] (no clamp needed — |x|/scale ≤ 127 by construction).
+    */
+  def quantize(emb: Column, scale: Column): Column =
+    transform(emb, x =>
+      when(scale === 0d, lit(0L)).otherwise(halfUp(x.cast("double") / scale))
+        .cast("int"))
+
+  /** Reconstruct float32 from (quantized, scale). */
+  def dequantize(quant: Column, scale: Column): Column =
+    transform(quant, q => (q.cast("double") * scale).cast("float"))
+
+  /** Exact integer checksum of the quantized vector (Σ q_i) — the
+    * hash-checkable signature the declared row emits: any change to the
+    * rounding, the scale, or a single element moves it.
+    */
+  def quantSum(emb: Column, scale: Column): Column =
+    when(scale === 0d, lit(0L)).otherwise(
+      aggregate(emb, lit(0L),
+        (acc, x) => acc + halfUp(x.cast("double") / scale).cast("long")))
+
+  /** Max per-element reconstruction error |x − q·scale| (0 for a zero
+    * vector). Bounded by scale/2 by construction of half-up rounding.
+    */
+  def maxReconstructionError(emb: Column, scale: Column): Column =
+    when(scale === 0d, lit(0d)).otherwise(
+      array_max(transform(emb, x =>
+        abs(x.cast("double") - halfUp(x.cast("double") / scale) * scale))))
+}

@@ -184,4 +184,25 @@ object Splits {
         floor(col("__keep_rate") * buckets).cast("long"))
       .drop("__keep_rate")
   }
+
+  /** Deterministic GLOBAL SHUFFLE of a training corpus — the
+    * order-randomization pass every pretraining pipeline runs before
+    * sharding (examples must not arrive grouped by source/time, and the
+    * order must be REPRODUCIBLE for resumable/debuggable training runs).
+    * Same discipline as the rest of this file: no RNG — the order key is
+    * `md5(salt || ':' || id)`, so any engine with md5 derives the exact
+    * same permutation, and re-running after a failure yields it again.
+    *
+    * Scale contract: this plans as a range-partitioned sort on the key
+    * (sample → range exchange → per-partition sort) — the one full
+    * shuffle the operation IS; there is no cheaper way to globally
+    * reorder 100 TB, and writing the result partitioned by key-range
+    * gives the sharded, shuffled training layout directly. No window, no
+    * single-partition stage, no driver hop.
+    */
+  def globalShuffle(df: DataFrame, idCol: String,
+                    salt: String = "shuffle"): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .orderBy(col("shuffle_key"), col(idCol))
 }

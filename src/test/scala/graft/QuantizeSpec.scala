@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.{Quantize, Splits}
+
+/** Round-13: int8 embedding quantization bounds + the deterministic
+  * global shuffle (the two new declared rows' engine-side contracts;
+  * their value-level correctness is oracle-checked by the driver).
+  */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+
+  test("quantize/dequantize: range, error bound scale/2, and cosine fidelity on the fixtures") {
+    val e = embs.withColumn("__scale", Quantize.scaleOf(col("embedding")))
+    val rows = e.select(
+        col("vec_id"),
+        col("embedding"),
+        col("__scale"),
+        Quantize.quantize(col("embedding"), col("__scale")).as("q"),
+        Quantize.dequantize(
+          Quantize.quantize(col("embedding"), col("__scale")), col("__scale")).as("deq"))
+      .as[(Long, Array[Float], Double, Array[Int], Array[Float])]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, x, scale, q, deq) =>
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id: q out of range")
+      assert(x.length == q.length && q.length == deq.length)
+      // per-element reconstruction error ≤ scale/2 (+ float32 cast slack)
+      val bound = scale / 2 + 1e-6
+      x.indices.foreach { i =>
+        val err = math.abs(x(i).toDouble - q(i).toDouble * scale)
+        assert(err <= bound, s"vec $id[$i]: err $err > $bound (scale=$scale)")
+      }
+      val c = VectorOps.cosine(x, deq)
+      if (scale > 0) assert(c >= 0.99, s"vec $id: cosine after roundtrip $c")
+    }
+  }
+
+  test("quantize: zero vector → scale 0, all-zero codes, zero error") {
+    val z = Seq((1L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+      .withColumn("__scale", Quantize.scaleOf(col("embedding")))
+    val r = z.select(col("__scale"),
+        Quantize.quantize(col("embedding"), col("__scale")),
+        Quantize.quantSum(col("embedding"), col("__scale")),
+        Quantize.maxReconstructionError(col("embedding"), col("__scale")))
+      .head
+    assert(r.getDouble(0) == 0d)
+    assert(r.getSeq[Int](1).forall(_ == 0))
+    assert(r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0d)
+  }
+
+  test("globalShuffle: a reproducible permutation keyed by md5, not a reorderless pass-through") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet").select("doc_id")
+    val s1 = Splits.globalShuffle(docs, "doc_id").select("doc_id", "shuffle_key")
+      .as[(Long, String)].collect()
+    val s2 = Splits.globalShuffle(docs, "doc_id").select("doc_id", "shuffle_key")
+      .as[(Long, String)].collect()
+    assert(s1.toSeq == s2.toSeq, "shuffle is not reproducible")
+    assert(s1.map(_._1).sorted.toSeq ==
+      docs.as[Long].collect().sorted.toSeq, "shuffle lost or invented rows")
+    assert(s1.map(_._1).toSeq != s1.map(_._1).sorted.toSeq,
+      "shuffled order equals id order — no permutation happened")
+    // the key really is md5("shuffle:" || id) — cross-checked with the JDK
+    val md = java.security.MessageDigest.getInstance("MD5")
+    s1.take(5).foreach { case (id, key) =>
+      val expect = md.digest(s"shuffle:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(key == expect, s"key mismatch for id $id")
+    }
+  }
+}
