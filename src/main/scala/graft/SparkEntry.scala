@@ -1259,6 +1259,27 @@ object SparkEntry {
           docs(s, dir).select(col("doc_id")), "doc_id", salt = "shuffle")
         .select(col("doc_id"), col("shuffle_key"))),
 
+    // E2 (round-13): the flagship top-k over the QUANTIZED corpus — the
+    // serving face of embed_quantize: corpus stored int8+scale, queries
+    // full precision, scoring against the dequantized reconstruction.
+    // The full LISTING hash-checks (ids AND rounded scores) because the
+    // whole quantize→dequantize→cosine chain is reproducible double
+    // arithmetic — so the "4× smaller corpus, same answers" claim is
+    // oracle-verified, not asserted (QuantizeSpec separately pins the
+    // ≥0.99 roundtrip cosine bound behind it).
+    "topk_cosine_quantized" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      val deq = embs(s, dir)
+        .withColumn("__scale", Quantize.scaleOf(col("embedding")))
+        .select(col("vec_id"),
+          Quantize.dequantize(
+            Quantize.quantize(col("embedding"), col("__scale")), col("__scale"))
+            .as("embedding"))
+      Similarity.topK(deq, "embedding", "vec_id", q, 10)
+        .select(col("vec_id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
     // ================= rows-only queries (no ANSI-SQL oracle) =========
 
     // E4: MinHash-LSH near-dup candidates. Hash-checked (round-11): the
@@ -2525,6 +2546,32 @@ object SparkEntry {
     "shuffle_order" ->
       """SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    // Quantized-corpus top-k: re-derive the int8 reconstruction per
+    // element (same FLOOR(v+0.5) half-up, cast through FLOAT exactly as
+    // the engine's float32 dequant does), then the standard cosine rank.
+    "topk_cosine_quantized" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |se AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS s
+        |  FROM embeddings),
+        |s2 AS (
+        |  SELECT e.vec_id,
+        |    SUM(CAST(CAST((CASE WHEN e.s = 0 THEN 0.0
+        |        ELSE FLOOR(CAST(e.embedding[r.i] AS DOUBLE) / e.s + 0.5) * e.s END) AS FLOAT) AS DOUBLE)
+        |      * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+        |    SQRT(SUM(CAST(CAST((CASE WHEN e.s = 0 THEN 0.0
+        |        ELSE FLOOR(CAST(e.embedding[r.i] AS DOUBLE) / e.s + 0.5) * e.s END) AS FLOAT) AS DOUBLE)
+        |      * CAST(CAST((CASE WHEN e.s = 0 THEN 0.0
+        |        ELSE FLOOR(CAST(e.embedding[r.i] AS DOUBLE) / e.s + 0.5) * e.s END) AS FLOAT) AS DOUBLE))) AS na,
+        |    SQRT(SUM(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE))) AS nb
+        |  FROM se e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY e.vec_id),
+        |sc AS (SELECT vec_id, CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS score FROM s2),
+        |top AS (SELECT vec_id AS doc_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10)
+        |SELECT doc_id, ROUND(score, 6) AS score FROM top
+        |ORDER BY ROUND(score, 6) DESC, doc_id""".stripMargin,
 
     // octet_length(encode(..)): UTF-8 BYTES, matching Spark's
     // length(binary) — plain length() counts characters and diverges on
