@@ -1280,6 +1280,69 @@ object SparkEntry {
         .orderBy(desc("score"), col("doc_id"))
     }),
 
+    // E5 (round-13): corpus VOCABULARY — top-30 words by term frequency
+    // with doc frequency: the word-count table BPE/WordPiece training
+    // starts from. Two-level agg (word,doc pre-agg → word rollup) so the
+    // shuffle carries distinct pairs, then a k-bounded top-N.
+    "vocab_topn" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", topN = 30)
+        .select(col("word"), col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"))),
+
+    // E5 (round-13): exact distinct-word count + HLL++ sketch parity —
+    // the row that justifies trusting approx_count_distinct as the
+    // per-build monitor at 100 TB (the sketch needs no distinct shuffle;
+    // the exact count is the rare audit). approx_ok is the ≤5% bound.
+    "approx_distinct" -> ((s, dir) =>
+      TextAnalysis.distinctWordStats(docs(s, dir), "text")
+        .select(col("n_words").cast("long").as("n_words"), col("approx_ok"))),
+
+    // E5 (round-13): PII SCRUB — redact emails/phones with typed
+    // sentinels, counting redactions. The fixture text is synthetic word
+    // salad with no PII, so the row plants deterministic PII (one email,
+    // one NANP phone derived from doc_id) identically on both sides —
+    // the scrubbed STRING hash-checks the full replacement behavior.
+    // Patterns restricted to Java-regex/RE2-identical syntax.
+    "pii_scrub" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 555-"),
+            (lit(1000L) + col("doc_id") % 9000L).cast("string"), lit(" now"))
+            .as("__aug"))
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(col("__aug")).as("scrubbed"),
+          TextAnalysis.piiCount(col("__aug")).as("n_pii"))
+        .orderBy("doc_id")),
+
+    // E7 (round-13): CURRICULUM sampling — quality-tiered deterministic
+    // down-sampling (keep all high-quality mass, thin mid, heavily thin
+    // low — the quality-mixing step of a corpus recipe). Tier cuts
+    // compare the ROUND(quality,6) value both engines agree on (pinned
+    // by the quality_score hash row), so boundary docs tier identically;
+    // membership is the salted-md5 arithmetic of the other samplers.
+    "curriculum_sample" -> ((s, dir) => {
+      val tiered = docs(s, dir).select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .withColumn("tier",
+          when(col("quality") >= 0.8, "high")
+            .when(col("quality") >= 0.65, "mid").otherwise("low"))
+      Splits.stratifiedSample(tiered, "doc_id", col("tier"),
+          Seq("low" -> 0.2, "mid" -> 0.5, "high" -> 1.0), salt = "curr")
+        .select(col("doc_id"), col("tier"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // E5 (round-13): BIGRAM NOVELTY — per-doc integer-exact n-gram-LM
+    // signals vs corpus bigram counts (familiarity = Σ corpus-frequency
+    // of the doc's bigrams, rarest_cf = its most corpus-unique phrase).
+    // Integer arithmetic so the row hash-checks (a float log-prob sum
+    // would be summation-order-dependent); <2-token docs surface with
+    // zeros, never silently dropped.
+    "bigram_novelty" -> ((s, dir) =>
+      TextAnalysis.bigramNovelty(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ================= rows-only queries (no ANSI-SQL oracle) =========
 
     // E4: MinHash-LSH near-dup candidates. Hash-checked (round-11): the
@@ -2572,6 +2635,114 @@ object SparkEntry {
         |top AS (SELECT vec_id AS doc_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10)
         |SELECT doc_id, ROUND(score, 6) AS score FROM top
         |ORDER BY ROUND(score, 6) DESC, doc_id""".stripMargin,
+
+    // Tokenization + blank guard mirror token_count; tie-break (tf desc,
+    // word asc) is total because words are distinct after the rollup.
+    "vocab_topn" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents WHERE trim(text) <> ''
+        |)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS tf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM tok GROUP BY word ORDER BY tf DESC, word LIMIT 30""".stripMargin,
+
+    // The sketch side is engine-internal (HLL++); the oracle checks the
+    // EXACT count and the constant within-5% verdict the row emits.
+    "approx_distinct" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents WHERE trim(text) <> ''
+        |)
+        |SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+        |  TRUE AS approx_ok FROM tok""".stripMargin,
+
+    // Same augmentation, patterns, replacement order and 'replace-all'
+    // semantics as the engine row; phone count runs after email
+    // redaction on both sides so the two totals decompose identically.
+    "pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+        |    ' now' AS t
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS e,
+        |    CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email
+        |  FROM aug
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(e, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b|\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed,
+        |  n_email + CAST(len(regexp_extract_all(e, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b|\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_pii
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Quality CTEs replayed from quality_score (the hash row proving both
+    // engines agree at 6dp — so the >= tier cuts decide identically),
+    // then the salted-md5 keep-rate arithmetic of the other samplers.
+    "curriculum_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id,
+        |    LEAST(len / 200.0, 1.0) AS len_score,
+        |    LEAST(ntok / 40.0, 1.0) AS tok_score,
+        |    GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |      ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) AS punct_score,
+        |    LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE len(list_filter(tok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0) AS stop_score
+        |  FROM t
+        |),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND((len_score + tok_score + punct_score + stop_score) / 4.0, 6) AS quality
+        |  FROM c
+        |),
+        |tiered AS (
+        |  SELECT doc_id, quality,
+        |    CASE WHEN quality >= 0.8 THEN 'high'
+        |         WHEN quality >= 0.65 THEN 'mid' ELSE 'low' END AS tier
+        |  FROM q
+        |)
+        |SELECT doc_id, tier, quality FROM tiered
+        |WHERE ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |      < CAST(FLOOR((CASE tier WHEN 'high' THEN 1.0 WHEN 'mid' THEN 0.5 ELSE 0.2 END) * 10000) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Bigram construction mirrors decontaminate (WITHOUT list_distinct —
+    // novelty counts every occurrence); all-integer outputs, zeros for
+    // <2-token docs via the left join.
+    "bigram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''
+        |),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM tok
+        |),
+        |cf AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+        |per AS (
+        |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(cf.c) AS BIGINT) AS familiarity,
+        |    CAST(MIN(cf.c) AS BIGINT) AS rarest_cf
+        |  FROM bg JOIN cf USING (bigram) GROUP BY bg.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(p.familiarity, 0) AS BIGINT) AS familiarity,
+        |  CAST(COALESCE(p.rarest_cf, 0) AS BIGINT) AS rarest_cf
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // octet_length(encode(..)): UTF-8 BYTES, matching Spark's
     // length(binary) — plain length() counts characters and diverges on

@@ -205,4 +205,33 @@ object Splits {
     df.withColumn("shuffle_key",
         md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
       .orderBy(col("shuffle_key"), col(idCol))
+
+  /** Deterministic STRATIFIED sampling: each row carries a stratum label
+    * (a quality tier, a curriculum stage, a toxicity band) and the
+    * recipe prescribes a keep-rate per stratum — the curriculum /
+    * quality-mixing step of a corpus build, where high-quality docs are
+    * kept whole and low-quality mass is thinned rather than cliff-cut.
+    * Selection is the same salted-md5-bucket arithmetic as
+    * [[sampleToTokenBudget]]: membership is reproducible across runs,
+    * engines, and corpus revisions, and a doc's fate changes only if its
+    * OWN stratum's rate changes.
+    *
+    * Scale contract: the rate table is a literal CASE expression — zero
+    * joins, zero extra scans, one codegen filter pass over the corpus.
+    * Unknown strata are a policy decision, not a silent drop: they keep
+    * `defaultRate` (0.0 = drop, 1.0 = keep-all).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: Column,
+                       rates: Seq[(String, Double)], defaultRate: Double = 0.0,
+                       buckets: Int = 10000, salt: String = "strata"): DataFrame = {
+    require(rates.nonEmpty, "rates must be non-empty")
+    rates.foreach { case (s, r) =>
+      require(r >= 0.0 && r <= 1.0, s"rate for '$s' out of [0,1]: $r") }
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(strataCol === stratum, lit(r)).otherwise(acc)
+    }
+    // floor, not round: identical across engines (round-half rules differ)
+    df.filter(hashBucket(col(idCol), buckets, salt) <
+      floor(rate * buckets).cast("long"))
+  }
 }

@@ -268,4 +268,123 @@ object TextAnalysis {
         round(avg(length(col(textCol))), 6).as("avg_chars"),
         sum(tokenCount(col(textCol))).as("total_tokens"),
         round(avg(qualityScore(col(textCol))), 6).as("avg_quality"))
+
+  // ------------------------------------------------ vocabulary building
+  /** Corpus VOCABULARY: the top-N words by total term frequency with
+    * document frequency alongside — the first pass of any tokenizer
+    * training (BPE/WordPiece start from exactly this word-count table)
+    * and the cheapest corpus-drift monitor.
+    *
+    * Scale contract: explode(tokens) never materializes the corpus-sized
+    * token stream across the wire — BOTH aggregations partial-combine
+    * map-side. Document frequency is computed by the standard two-level
+    * rollup (groupBy(word, doc) pre-agg, then groupBy(word)), so the
+    * first shuffle carries distinct (word, doc) pairs — bounded by
+    * corpus-distinct mass, not token mass — and hot words ("the" in
+    * every doc) cannot skew a reducer: their per-partition pre-agg rows
+    * collapse before the exchange. The final top-N is a
+    * TakeOrderedAndProject (k-bounded), never a global sort.
+    *
+    * Tie-break: (tf desc, word asc) — total order, oracle-reproducible.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val tok = docs.select(col(idCol).as("__doc"),
+        explode(tokens(col(textCol))).as("word"))
+    val perDoc = tok.groupBy(col("word"), col("__doc"))
+      .agg(count(lit(1)).as("__c"))
+    perDoc.groupBy(col("word"))
+      .agg(sum(col("__c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("word").asc)
+      .limit(topN)
+  }
+
+  /** Exact + sketched distinct-word count over a corpus: `n_words` is the
+    * exact two-level distinct (same shuffle discipline as [[vocabulary]]);
+    * `approx_ok` asserts the HyperLogLog++ sketch (`approx_count_distinct`,
+    * rsd 2%) landed within `tol` of it. At 100 TB the EXACT count is the
+    * expensive audit you run rarely and the SKETCH is the per-build
+    * monitor — this operator is the parity row that justifies trusting
+    * the sketch: constant-memory per partition, one tiny exchange of
+    * sketch buffers, no distinct shuffle at all.
+    */
+  def distinctWordStats(docs: DataFrame, textCol: String,
+                        tol: Double = 0.05): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .agg(countDistinct(col("word")).as("n_words"),
+        approx_count_distinct(col("word"), 0.02).as("__a"))
+      .select(col("n_words"),
+        (abs(col("__a") - col("n_words")) <= col("n_words") * tol)
+          .as("approx_ok"))
+
+  // ------------------------------------------------ PII scrubbing
+  /** Email pattern — deliberately restricted to syntax whose semantics
+    * are IDENTICAL in Java regex and RE2 (character classes, bounded
+    * quantifiers, no lookaround), so the scrub is oracle-checkable and
+    * portable across engines.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** NANP-style phone pattern (word-bounded `NNN-NNN-NNNN` / `NNN-NNNN`;
+    * longest alternative first — both Java regex and RE2 take the
+    * leftmost-FIRST alternative, so order is part of the semantics).
+    */
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b|\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII SCRUB: replace emails/phones with typed sentinels — the
+    * redaction pass a pretraining corpus build runs before anything else
+    * ships. Pure `regexp_replace` projection: codegen'd, scan-speed,
+    * composes with pruned scans. Order matters and is fixed (emails
+    * first — a phone-shaped substring inside an address local-part must
+    * not break the address before the email rule sees it).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of PII matches redacted by [[scrubPii]] (emails + phones,
+    * counted on the SAME order: phones counted after email redaction so
+    * the two totals decompose the replacement exactly).
+    */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(EmailPattern)) +
+      regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(PhonePattern))).cast("long")
+
+  // ------------------------------------------------ bigram novelty
+  /** Per-document BIGRAM NOVELTY against corpus-level bigram statistics —
+    * the integer-exact core of an n-gram language-model quality score.
+    * For each document: how many bigrams it has, the summed corpus
+    * frequency of those bigrams ("familiarity" — high = the doc is made
+    * of phrases the corpus repeats), and the corpus frequency of its
+    * RAREST bigram (1 = contains a corpus-unique phrase). Boilerplate
+    * scores high familiarity; genuinely novel text scores low — the same
+    * signal a KenLM perplexity filter extracts, kept in integer
+    * arithmetic so the row hash-checks bit-exactly (a float log-prob sum
+    * would be summation-order-dependent).
+    *
+    * Scale contract: corpus counts are one partial-agg groupBy(bigram);
+    * the doc×counts join shuffles on bigram (both sides keyed, AQE
+    * handles the "the the" hot keys); the per-doc rollup partial-aggs.
+    * Documents with <2 tokens surface with zeros via the left join —
+    * never silently dropped.
+    */
+  def bigramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol).as("__doc"),
+        explode(wordNgrams(col(textCol), 2)).as("bigram"))
+    val corpus = bg.groupBy(col("bigram")).agg(count(lit(1)).as("__cf"))
+    val perDoc = bg.join(corpus, "bigram")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__cf")).as("familiarity"),
+        min(col("__cf")).as("rarest_cf"))
+    docs.select(col(idCol))
+      .join(perDoc, docs(idCol) === perDoc("__doc"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("familiarity"), lit(0L)).as("familiarity"),
+        coalesce(col("rarest_cf"), lit(0L)).as("rarest_cf"))
+  }
 }

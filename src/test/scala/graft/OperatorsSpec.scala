@@ -689,4 +689,89 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("null id") ||
       Option(e.getCause).exists(_.getMessage.contains("null id")))
   }
+
+  test("vocabulary: counts match a brute-force tally; top-N k-bounded plan") {
+    val rows = TextAnalysis.vocabulary(docs, "doc_id", "text", topN = 5).collect()
+    // brute force on the driver over the same fixture
+    val raw = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    raw.foreach { case (id, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        tf(w) = tf.getOrElse(w, 0L) + 1
+        df(w) = df.getOrElse(w, Set.empty) + id
+      }
+    }
+    val expect = tf.toSeq.map { case (w, c) => (w, c, df(w).size.toLong) }
+      .sortBy { case (w, c, _) => (-c, w) }.take(5)
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == expect)
+    // top-N must plan as TakeOrderedAndProject (k-bounded), not a global sort
+    val plan = TextAnalysis.vocabulary(docs, "doc_id", "text", topN = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected k-bounded top-N:\n$plan")
+  }
+
+  test("distinctWordStats: exact count right, sketch within tolerance") {
+    val r = TextAnalysis.distinctWordStats(docs, "text").collect().head
+    val exact = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct().count()
+    assert(r.getLong(0) == exact)
+    assert(r.getBoolean(1), "HLL++ sketch fell outside the 5% bound")
+  }
+
+  test("scrubPii/piiCount: emails and both phone shapes redacted; clean text untouched") {
+    val in = Seq(
+      (1L, "mail a.b-c_1%d@sub.example.org now"),
+      (2L, "call 555-867-5309 or 555-0199 today"),
+      (3L, "x@y.io and 123-4567"),
+      (4L, "no pii here 12-34 a@b almost@.com"),
+      (5L, "")).toDF("id", "t")
+    val out = in.select(col("id"), TextAnalysis.scrubPii(col("t")).as("s"),
+        TextAnalysis.piiCount(col("t")).as("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "mail <EMAIL> now", 1L)))
+    assert(out(1) == ((2L, "call <PHONE> or <PHONE> today", 2L)))
+    assert(out(2) == ((3L, "<EMAIL> and <PHONE>", 2L)))
+    // '12-34' is not phone-shaped; 'a@b' lacks a dotted TLD; 'almost@.com'
+    // fails because the domain needs ≥1 char before its final dot
+    assert(out(3) == ((4L, "no pii here 12-34 a@b almost@.com", 0L)))
+    assert(out(4) == ((5L, "", 0L)))
+  }
+
+  test("stratifiedSample: per-stratum rates hold, default drops unknowns, membership stable") {
+    val d = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "high")
+        .when(col("doc_id") % 3 === 1, "mid").otherwise("weird").as("tier"))
+    val kept = Splits.stratifiedSample(d, "doc_id", col("tier"),
+      Seq("high" -> 1.0, "mid" -> 0.5))
+    val byTier = kept.groupBy("tier").count().as[(String, Long)].collect().toMap
+    val totals = d.groupBy("tier").count().as[(String, Long)].collect().toMap
+    assert(byTier("high") == totals("high"), "rate 1.0 must keep every row")
+    val midFrac = byTier("mid").toDouble / totals("mid")
+    assert(midFrac > 0.3 && midFrac < 0.7, s"mid keep-rate off: $midFrac")
+    assert(!byTier.contains("weird"), "unknown stratum must take defaultRate=0")
+    // determinism: same call, same membership
+    val again = Splits.stratifiedSample(d, "doc_id", col("tier"),
+      Seq("high" -> 1.0, "mid" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    val e = intercept[IllegalArgumentException] {
+      Splits.stratifiedSample(d, "doc_id", col("tier"), Seq("high" -> 1.5))
+    }
+    assert(e.getMessage.contains("out of [0,1]"))
+  }
+
+  test("bigramNovelty: integer signals match brute force; short docs get zeros") {
+    val in = Seq(
+      (1L, "a b c"),          // bigrams: "a b", "b c"
+      (2L, "a b a b"),        // "a b" ×2, "b a"
+      (3L, "x"),              // no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNovelty(in, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // corpus counts: "a b"→3, "b c"→1, "b a"→1
+    assert(out(0) == ((1L, 2L, 4L, 1L)))   // 3+1, rarest "b c"=1
+    assert(out(1) == ((2L, 3L, 7L, 1L)))   // 3+3+1, rarest "b a"=1
+    assert(out(2) == ((3L, 0L, 0L, 0L)))
+    assert(out(3) == ((4L, 0L, 0L, 0L)))
+  }
 }
