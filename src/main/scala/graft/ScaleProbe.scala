@@ -73,7 +73,11 @@ object ScaleProbe {
     // complete nightly daily-drop chain vs persisted artifacts).
     // SPARK_GRAFT_ONLY_R13=1 probes only the round-13 addition (online
     // watermarked ANN serving against the amplified persisted index).
-    val onlyR13 = sys.env.contains("SPARK_GRAFT_ONLY_R13")
+    // SPARK_GRAFT_ONLY_R13B=1 probes only the round-13 text-curation
+    // additions (vocabulary / distinct sketch / bigram novelty / PII
+    // scrub / stratified sample) over the amplified documents.
+    val onlyR13b = sys.env.contains("SPARK_GRAFT_ONLY_R13B")
+    val onlyR13 = onlyR13b || sys.env.contains("SPARK_GRAFT_ONLY_R13")
     val onlyR12 = onlyR13 || sys.env.contains("SPARK_GRAFT_ONLY_R12")
     val onlyR11 = onlyR12 || sys.env.contains("SPARK_GRAFT_ONLY_R11")
     val onlyR9 = onlyR11 || sys.env.contains("SPARK_GRAFT_ONLY_R9")
@@ -459,7 +463,7 @@ object ScaleProbe {
     // delay — so cross-batch state EXPIRES as the stream runs and the
     // bounded-state claim is MEASURED per micro-batch (state row
     // high-water mark from StreamingQueryProgress), not asserted.
-    locally {
+    if (!onlyR13b) locally {
       val cfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 16)
       val idxPath = graft.core.SessionCache.newTempDir("graft-scale-stream-lsh")
       timed(s"stream-serve OFFLINE: LSH index build+write ($nEmb vec)") {
@@ -495,6 +499,40 @@ object ScaleProbe {
         println(s"[scale]   -> state rows per batch: ${stateRows.mkString(", ")} " +
           s"(high-water ${if (stateRows.isEmpty) 0L else stateRows.max})")
         println(s"[scale]   -> per-batch trigger ms: ${batchMs.mkString(", ")}")
+      }
+    }
+
+    // Round-13 text-curation additions over the amplified documents: the
+    // two explode-heavy aggregations (vocabulary's two-level rollup,
+    // bigram novelty's count join) are the ones whose shuffle volume
+    // scales with token mass — measured here; the scrub and the
+    // stratified sample are single codegen passes and should track the
+    // plain scan time.
+    locally {
+      timed(s"vocabulary top-100 ($nDocs docs)") {
+        TextAnalysis.vocabulary(docs, "doc_id", "text", 100).collect()
+      }
+      timed(s"distinct words exact+sketch ($nDocs docs)") {
+        val r = TextAnalysis.distinctWordStats(docs, "text").collect().head
+        require(r.getBoolean(1), "sketch outside 5% at scale")
+      }
+      timed(s"bigram novelty ($nDocs docs)") {
+        // aggregate a VALUE column — a bare count() lets the optimizer
+        // eliminate the unique-key left join and measure nothing
+        TextAnalysis.bigramNovelty(docs, "doc_id", "text")
+          .agg(sum(col("familiarity"))).collect()
+      }
+      timed(s"PII scrub pass ($nDocs docs)") {
+        docs.select(TextAnalysis.scrubPii(col("text")).as("s"))
+          .agg(sum(length(col("s")))).collect()
+      }
+      timed(s"stratified sample ($nDocs docs)") {
+        Splits.stratifiedSample(
+          docs.withColumn("tier",
+            when(col("doc_id") % 3 === 0, "high")
+              .when(col("doc_id") % 3 === 1, "mid").otherwise("low")),
+          "doc_id", col("tier"),
+          Seq("high" -> 1.0, "mid" -> 0.5, "low" -> 0.2)).count()
       }
     }
     spark.stop()

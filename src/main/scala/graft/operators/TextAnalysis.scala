@@ -275,27 +275,33 @@ object TextAnalysis {
     * training (BPE/WordPiece start from exactly this word-count table)
     * and the cheapest corpus-drift monitor.
     *
-    * Scale contract: explode(tokens) never materializes the corpus-sized
-    * token stream across the wire — BOTH aggregations partial-combine
-    * map-side. Document frequency is computed by the standard two-level
-    * rollup (groupBy(word, doc) pre-agg, then groupBy(word)), so the
-    * first shuffle carries distinct (word, doc) pairs — bounded by
-    * corpus-distinct mass, not token mass — and hot words ("the" in
-    * every doc) cannot skew a reducer: their per-partition pre-agg rows
-    * collapse before the exchange. The final top-N is a
-    * TakeOrderedAndProject (k-bounded), never a global sort.
+    * Scale contract: document frequency is made shuffle-free by
+    * computing per-document distinctness INSIDE the row
+    * (`array_distinct` over the token array) instead of a
+    * groupBy(word, doc) rollup — the rollup's exchange carries the
+    * corpus's distinct (word, doc) pairs (~token mass on natural text;
+    * measured 199 s at 2.5M docs), while here one explode emits
+    * (word, tf=1) per token plus (word, df=1) per in-doc-distinct word
+    * and the single groupBy(word) partial agg collapses each partition
+    * to vocabulary size BEFORE the exchange (measured 105 s at the same
+    * 2.5M docs — the cost is the tokenize scan, not the shuffle). Hot
+    * words cannot skew a reducer for the same reason. The final top-N
+    * is a TakeOrderedAndProject (k-bounded), never a global sort.
     *
     * Tie-break: (tf desc, word asc) — total order, oracle-reproducible.
     */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
                  topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val tok = docs.select(col(idCol).as("__doc"),
-        explode(tokens(col(textCol))).as("word"))
-    val perDoc = tok.groupBy(col("word"), col("__doc"))
-      .agg(count(lit(1)).as("__c"))
-    perDoc.groupBy(col("word"))
-      .agg(sum(col("__c")).as("tf"), count(lit(1)).as("df"))
+    val pairs = docs.select(tokens(col(textCol)).as("__toks"))
+      .select(explode(concat(
+        transform(col("__toks"),
+          w => struct(w.as("word"), lit(1L).as("tf"), lit(0L).as("df"))),
+        transform(array_distinct(col("__toks")),
+          w => struct(w.as("word"), lit(0L).as("tf"), lit(1L).as("df")))))
+        .as("e"))
+    pairs.groupBy(col("e.word").as("word"))
+      .agg(sum(col("e.tf")).as("tf"), sum(col("e.df")).as("df"))
       .orderBy(col("tf").desc, col("word").asc)
       .limit(topN)
   }
