@@ -1332,6 +1332,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E5 (round-13): N-GRAM COUNT TABLE — trigram counts with a
+    // min-count prune and deterministic top-50: the n>1 generalization
+    // of vocab_topn (LM count tables, shingle-frequency forensics).
+    "ngram_counts" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(docs(s, dir), "text", n = 3,
+          minCount = 2L, topN = 50)
+        .select(col("ngram"), col("cnt").cast("long").as("cnt"))),
+
+    // E5×E6 (round-13): streaming PII scrub — the ingest-time redaction
+    // pass as a REAL AvailableNow stream: stateless projection, so the
+    // batch pii_scrub oracle replays it exactly (same planted PII).
+    "stream_pii_scrub" -> ((s, dir) => {
+      val sinkName = "graft_stream_pii_scrub"
+      val aug = Tables.documentsStream(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 555-"),
+          (lit(1000L) + col("doc_id") % 9000L).cast("string"), lit(" now"))
+          .as("__aug"))
+      val sq = Streams.piiScrubStream(aug, "__aug")
+        .select(col("doc_id"), col("scrubbed"), col("n_pii"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_pii_scrub: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("doc_id")
+    }),
+
     // E5 (round-13): BIGRAM NOVELTY — per-doc integer-exact n-gram-LM
     // signals vs corpus bigram counts (familiarity = Σ corpus-frequency
     // of the doc's bigrams, rarest_cf = its most corpus-unique phrase).
@@ -1882,6 +1910,29 @@ object SparkEntry {
        |SELECT q_id, c_id, ROUND(score, 6) AS score
        |FROM scored WHERE score > 0.5
        |ORDER BY q_id, c_id""".stripMargin
+
+  /** Shared by `pii_scrub` and `stream_pii_scrub`: the streaming face is
+    * a stateless projection of the same redaction pass over the same
+    * planted PII, so one SQL derivation oracle-checks both.
+    */
+  private lazy val piiScrubOracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail.example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+      |    ' now' AS t
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id,
+      |    regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS e,
+      |    CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email
+      |  FROM aug
+      |)
+      |SELECT doc_id,
+      |  regexp_replace(e, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b|\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed,
+      |  n_email + CAST(len(regexp_extract_all(e, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b|\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_pii
+      |FROM s ORDER BY doc_id""".stripMargin
 
   private val langCase = {
     def hits(ms: Seq[String]) =
@@ -2660,24 +2711,27 @@ object SparkEntry {
     // Same augmentation, patterns, replacement order and 'replace-all'
     // semantics as the engine row; phone count runs after email
     // redaction on both sides so the two totals decompose identically.
-    "pii_scrub" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-        |    '@mail.example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
-        |    ' now' AS t
-        |  FROM documents
+    "pii_scrub" -> piiScrubOracle,
+
+    // The streaming face is a stateless projection of the same pass —
+    // one oracle serves both (same planted PII, same augmentation).
+    "stream_pii_scrub" -> piiScrubOracle,
+
+    // Trigram construction mirrors bigram_novelty's CTE shape; the
+    // HAVING prune and (cnt desc, ngram asc) tie-break are total.
+    "ngram_counts" ->
+      """WITH tok AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''
         |),
-        |s AS (
-        |  SELECT doc_id,
-        |    regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS e,
-        |    CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email
-        |  FROM aug
+        |ng AS (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+        |  FROM tok
         |)
-        |SELECT doc_id,
-        |  regexp_replace(e, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b|\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed,
-        |  n_email + CAST(len(regexp_extract_all(e, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b|\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_pii
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM ng GROUP BY ngram HAVING COUNT(*) >= 2
+        |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
 
     // Quality CTEs replayed from quality_score (the hash row proving both
     // engines agree at 6dp — so the >= tier cuts decide identically),

@@ -324,6 +324,30 @@ object TextAnalysis {
         (abs(col("__a") - col("n_words")) <= col("n_words") * tol)
           .as("approx_ok"))
 
+  /** N-GRAM COUNT TABLE: corpus-wide word n-gram counts with a min-count
+    * prune and a deterministic top-N — the n>1 generalization of
+    * [[vocabulary]] and the raw material of n-gram LM training, MinHash
+    * shingle-frequency analysis, and contamination forensics.
+    *
+    * Scale contract: one tokenize+explode scan; the groupBy(ngram)
+    * partial agg collapses each partition to its distinct-ngram set
+    * before the exchange (on natural text that set is large — it IS the
+    * count table; the build is one linear pass, which is the best any
+    * engine does). The min-count prune runs post-agg (a pre-agg prune
+    * would need the very counts it prunes); the top-N is k-bounded.
+    */
+  def ngramCounts(docs: DataFrame, textCol: String, n: Int,
+                  minCount: Long, topN: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    docs.select(explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(topN)
+  }
+
   // ------------------------------------------------ PII scrubbing
   /** Email pattern — deliberately restricted to syntax whose semantics
     * are IDENTICAL in Java regex and RE2 (character classes, bounded

@@ -245,6 +245,20 @@ object Streams {
       .withColumn("quality", col("__m.quality"))
       .drop("__m")
 
+  /** Streaming PII SCRUB — the ingest-time redaction face of
+    * [[graft.operators.TextAnalysis.scrubPii]]: emails/phones replaced
+    * with typed sentinels plus a per-row redaction count, as a pure
+    * stateless projection (append mode, no watermark, no state store).
+    * Statelessness is the deployment property: the pass composes with
+    * any source/sink, survives any micro-batching, and a 100 TB
+    * backfill shares the one definition with the live stream — the same
+    * contract as [[qualityFilterStream]].
+    */
+  def piiScrubStream(stream: DataFrame, textCol: String): DataFrame =
+    stream
+      .withColumn("scrubbed", graft.operators.TextAnalysis.scrubPii(col(textCol)))
+      .withColumn("n_pii", graft.operators.TextAnalysis.piiCount(col(textCol)))
+
   /** Streaming exact dedup — the ingest face of
     * [[graft.operators.Dedup.dedupExact]]: hash each arriving document's
     * text and keep only the FIRST arrival per hash. State is one 64-hex

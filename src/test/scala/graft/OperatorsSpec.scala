@@ -760,6 +760,25 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("out of [0,1]"))
   }
 
+  test("ngramCounts: counts, prune, and tie-break match brute force") {
+    val got = TextAnalysis.ngramCounts(docs, "text", n = 2, minCount = 2L, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    val raw = docs.select("text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    raw.foreach { t =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(2).filter(_.length == 2)
+        .foreach { b => val k = b.mkString(" "); counts(k) = counts.getOrElse(k, 0L) + 1 }
+    }
+    val expect = counts.toSeq.filter(_._2 >= 2L)
+      .sortBy { case (g, c) => (-c, g) }.take(10)
+    assert(got == expect)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.ngramCounts(docs, "text", n = 0, minCount = 1L, topN = 1)
+    }
+    assert(e.getMessage.contains("n must be >= 1"))
+  }
+
   test("bigramNovelty: integer signals match brute force; short docs get zeros") {
     val in = Seq(
       (1L, "a b c"),          // bigrams: "a b", "b c"

@@ -42,6 +42,26 @@ class StreamsSpec extends SparkSpec {
     // though every text arrived twice (2 × 500 input rows)
   }
 
+  test("streaming PII scrub equals the batch scrub and carries no state operators") {
+    val sinkName = "spec_stream_pii"
+    val sq = Streams.piiScrubStream(Tables.documentsStream(spark, Sf0001), "text")
+      .select(col("doc_id"), col("scrubbed"), col("n_pii"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "stream did not finish")
+    // stateless: no state operators in any progress
+    assert(sq.recentProgress.forall(_.stateOperators.isEmpty),
+      "PII scrub must not allocate state store")
+    val streamed = spark.table(sinkName)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val batch = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.scrubPii(col("text")).as("s"),
+        graft.operators.TextAnalysis.piiCount(col("text")).as("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
   test("watermark-bounded dedup variant runs and dedups within the horizon") {
     val sinkName = "spec_stream_dedup_wm"
     val ev = Tables.eventsStream(spark, Sf0001)
