@@ -534,6 +534,22 @@ object ScaleProbe {
           "doc_id", col("tier"),
           Seq("high" -> 1.0, "mid" -> 0.5, "low" -> 0.2)).count()
       }
+      // maintained count table: append is linear in the batch — the
+      // avoided cost is the full recount
+      val ctPath = graft.core.SessionCache.newTempDir("graft-scale-count-table")
+      val ctCut = (nDocs * 99L) / 100L
+      timed(s"count-table BUILD (99% of $nDocs docs)") {
+        CountTable.build(docs.filter(col("doc_id") < ctCut), "text", n = 1, ctPath)
+      }
+      timed("count-table APPEND 1% batch") {
+        CountTable.append(docs.filter(col("doc_id") >= ctCut), "text", n = 1, ctPath)
+      }
+      timed("count-table COMPACT (merge deltas)") {
+        CountTable.compact(spark, ctPath)
+      }
+      timed("count-table top-100 from maintained state") {
+        CountTable.topN(spark, ctPath, 100).collect()
+      }
     }
     spark.stop()
   }

@@ -437,6 +437,35 @@ object SparkEntry {
     * driver materialization. Cached: an offline index lifecycle, not
     * per-query work.
     */
+  /** Count-table lifecycle parity (round-13): build the word count table
+    * on the first 3/4 of the corpus, APPEND the last quarter as delta
+    * files, COMPACT, and prove the maintained table equals a
+    * from-scratch recount over everything — the append-don't-recount
+    * contract of maintained corpus statistics
+    * ([[operators.CountTable]]). The row emits the table's invariant
+    * totals (n distinct words, Σtf, Σdf — all recomputable in SQL) plus
+    * the parity flag, so any drift in the delta/merge/compact arithmetic
+    * hash-fails.
+    */
+  private def vocabIndexAppendParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"vocab_index_append_parity:$dir") {
+      val d = docs(s, dir)
+      val cut = d.count() * 3 / 4
+      val path = SessionCache.newTempDir("graft-count-table")
+      CountTable.build(d.filter(col("doc_id") < cut), "text", n = 1, path)
+      CountTable.append(d.filter(col("doc_id") >= cut), "text", n = 1, path)
+      CountTable.compact(s, path)
+      val maintained = CountTable.read(s, path)
+      val rebuilt = CountTable.counts(d, "text", n = 1)
+      val parity = maintained.except(rebuilt).isEmpty &&
+        rebuilt.except(maintained).isEmpty
+      val t = maintained.agg(count(lit(1)).as("n"), sum(col("tf")).as("tf"),
+        sum(col("df")).as("df")).head()
+      import s.implicits._
+      Seq((t.getLong(0), t.getLong(1), t.getLong(2), if (parity) 1L else 0L))
+        .toDF("n_ngrams", "total_tf", "total_df", "parity")
+    }
+
   private def jaccardIndexAppendParity(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCreate(s"jaccard_index_append_parity:$dir") {
       val d = docs(s, dir)
@@ -1553,6 +1582,13 @@ object SparkEntry {
     // n_batch is DuckDB-derivable; the parity is the only acceptable
     // outcome, so the row hash-checks against a constant oracle.
     "jaccard_index_append_parity" -> ((s, dir) => jaccardIndexAppendParity(s, dir)),
+
+    // E5/E7 (round-13): the word count table as MAINTAINED state —
+    // build/append/compact lifecycle with append+compact == rebuild
+    // proven by the parity flag and hash-checked invariant totals
+    // (CountTable: the vocabulary/statistics twin of the postings and
+    // ANN index lifecycles).
+    "vocab_index_append_parity" -> ((s, dir) => vocabIndexAppendParity(s, dir)),
 
     // E4/E7 (round-11 stretch): the WHOLE nightly loop as one declared
     // row — exact-sha → jaccard-vs-postings-index → LSH-vs-embedding-
@@ -2732,6 +2768,20 @@ object SparkEntry {
         |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM ng GROUP BY ngram HAVING COUNT(*) >= 2
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
+    // The engine row proves append+compact == rebuild on the maintained
+    // count table and emits the table's invariant totals; the oracle
+    // recomputes those totals from scratch and pins parity at 1.
+    "vocab_index_append_parity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents WHERE trim(text) <> ''
+        |)
+        |SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n_ngrams,
+        |  CAST(COUNT(*) AS BIGINT) AS total_tf,
+        |  CAST(COUNT(DISTINCT (doc_id, word)) AS BIGINT) AS total_df,
+        |  CAST(1 AS BIGINT) AS parity
+        |FROM tok""".stripMargin,
 
     // Quality CTEs replayed from quality_score (the hash row proving both
     // engines agree at 6dp — so the >= tier cuts decide identically),

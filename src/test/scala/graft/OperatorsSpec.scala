@@ -779,6 +779,36 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("n must be >= 1"))
   }
 
+  test("CountTable lifecycle: append merges exactly, compact == rebuild, topN serves from state") {
+    val path = graft.core.SessionCache.newTempDir("spec-count-table")
+    val first = docs.filter(col("doc_id") < 250)
+    val rest = docs.filter(col("doc_id") >= 250)
+    CountTable.build(first, "text", n = 1, path)
+    CountTable.append(rest, "text", n = 1, path)
+    val rebuilt = CountTable.counts(docs, "text", n = 1)
+    // merge-on-read over build+delta equals the from-scratch recount
+    val merged = CountTable.read(spark, path)
+    assert(merged.except(rebuilt).isEmpty && rebuilt.except(merged).isEmpty,
+      "merge-on-read drifted from the recount")
+    // compact: same content, fewer files (deltas pre-merged)
+    val filesBefore = new java.io.File(s"$path/counts")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    CountTable.compact(spark, path)
+    val filesAfter = new java.io.File(s"$path/counts")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore, s"compact did not merge files ($filesBefore -> $filesAfter)")
+    val compacted = CountTable.read(spark, path)
+    assert(compacted.except(rebuilt).isEmpty && rebuilt.except(compacted).isEmpty,
+      "compaction changed table content")
+    // topN over the maintained table == vocabulary over the corpus
+    val fromState = CountTable.topN(spark, path, 5)
+      .select(col("ngram"), col("tf"), col("df"))
+      .as[(String, Long, Long)].collect().toSeq
+    val fromCorpus = TextAnalysis.vocabulary(docs, "doc_id", "text", 5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(fromState == fromCorpus)
+  }
+
   test("bigramNovelty: integer signals match brute force; short docs get zeros") {
     val in = Seq(
       (1L, "a b c"),          // bigrams: "a b", "b c"
