@@ -62,6 +62,25 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming count-table maintenance: foreachBatch appends converge to the full recount") {
+    // the deployment shape: each arriving micro-batch appends its partial
+    // counts (linear in the batch); the maintained table must equal a
+    // from-scratch recount once the stream drains
+    val path = graft.core.SessionCache.newTempDir("spec-stream-count-table")
+    val sq = Tables.documentsStream(spark, Sf0001)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.CountTable.append(batch, "text", n = 1, path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "stream did not finish")
+    val maintained = graft.operators.CountTable.read(spark, path)
+    val recount = graft.operators.CountTable.counts(
+      Tables.documents(spark, Sf0001), "text", n = 1)
+    assert(maintained.except(recount).isEmpty && recount.except(maintained).isEmpty,
+      "streamed appends drifted from the recount")
+  }
+
   test("watermark-bounded dedup variant runs and dedups within the horizon") {
     val sinkName = "spec_stream_dedup_wm"
     val ev = Tables.eventsStream(spark, Sf0001)
