@@ -1407,6 +1407,37 @@ object SparkEntry {
       s.table(sinkName).orderBy("doc_id")
     }),
 
+    // E5/E7 (round-13): TOKENIZE — apply the corpus-derived vocabulary
+    // (dense ids by tf desc/word asc, 0 = OOV) to every document,
+    // emitting the id sequences training consumes. Vocab ids ranked via
+    // per-partition prefix sums (no unpartitioned window); order
+    // restored by per-row array sort. Completes the chain: count table →
+    // vocabulary → token ids → pack_sequences.
+    "token_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.vocabIds(CountTable.counts(d, "text", n = 1))
+      TextAnalysis.tokenizeToIds(
+          d.select(col("doc_id"), col("text")), "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
+    // E5×E7 composition (round-13): tokenize → PACK as one chain — the
+    // assembly tail of a corpus build operating on the id sequences
+    // themselves: per-doc token counts come from size(token_ids) (no
+    // re-tokenize — the filter→pack argument again), packed into
+    // 512-token training sequences in id order.
+    "pipeline_tokenize_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.vocabIds(CountTable.counts(d, "text", n = 1))
+      val ids = TextAnalysis.tokenizeToIds(
+        d.select(col("doc_id"), col("text")), "doc_id", "text", vocab)
+      Splits.packSequences(ids, "doc_id", size(col("token_ids")).cast("long"),
+          budgetTokens = 512L)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"), col("seq_id"))
+        .orderBy("doc_id")
+    }),
+
     // E5 (round-13): BIGRAM NOVELTY — per-doc integer-exact n-gram-LM
     // signals vs corpus bigram counts (familiarity = Σ corpus-frequency
     // of the doc's bigrams, rarest_cf = its most corpus-unique phrase).
@@ -2796,6 +2827,49 @@ object SparkEntry {
         |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM ng GROUP BY ngram HAVING COUNT(*) >= 2
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
+    // Vocab ranking replayed as a window (fine at oracle scale); the
+    // indexed-lambda struct unnest reproduces posexplode's positions;
+    // list(id ORDER BY i) restores document order; blank docs keep [].
+    "token_ids" ->
+      """WITH tokraw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents
+        |),
+        |cnt AS (
+        |  SELECT word, COUNT(*) AS tf
+        |  FROM (SELECT unnest(t) AS word FROM tokraw) GROUP BY word
+        |),
+        |v AS (SELECT word, ROW_NUMBER() OVER (ORDER BY tf DESC, word) AS id FROM cnt),
+        |pos AS (
+        |  SELECT doc_id, u.i, u.w AS word
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t, (x, i) -> struct_pack(w := x, i := i))) AS u
+        |        FROM tokraw)
+        |),
+        |m AS (SELECT p.doc_id, p.i, COALESCE(v.id, 0) AS id FROM pos p LEFT JOIN v USING (word)),
+        |ids AS (SELECT doc_id, list(id ORDER BY i) AS token_ids FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ids.token_ids, CAST([] AS BIGINT[])) AS token_ids
+        |FROM documents d LEFT JOIN ids USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // |token_ids| == the tokenizer's count, so the pack replays the
+    // pack_sequences window formulation over the same ntok.
+    "pipeline_tokenize_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ntok,
+        |    COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM d)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(pre // 512 AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // The engine row proves append+compact == rebuild on the maintained
     // count table and emits the table's invariant totals; the oracle

@@ -348,6 +348,51 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  // ------------------------------------------------ tokenizer apply
+  /** Rank a count table (`(ngram, tf, ...)` — [[ngramCounts]] output or
+    * [[CountTable.read]]) into a tokenizer VOCABULARY with dense integer
+    * ids: 1..|vocab| by (tf desc, word asc); id 0 is reserved for
+    * OOV/UNK. The global ranking uses per-partition prefix sums (range
+    * exchange + zipWithIndex — the `assignIdsOrdered` shape), NOT an
+    * unpartitioned row_number window: a real corpus's vocabulary is
+    * millions of rows and must never funnel through one task (the
+    * "zero unpartitioned Window" discipline PLANS.md pins).
+    */
+  def vocabIds(counts: DataFrame): DataFrame =
+    graft.store.DocStore.assignIdsOrdered(
+        counts.select(col("ngram"), col("tf")),
+        Seq(col("tf").desc, col("ngram").asc), 0L, idCol = "id")
+      .select(col("ngram").as("word"), col("id"))
+
+  /** TOKENIZE a corpus against a vocabulary frame `(word, id)` — the
+    * APPLY side of tokenizer training (the step between [[vocabulary]]
+    * / [[CountTable]] and [[Splits.packSequences]]): each document's
+    * token stream becomes its id sequence, order preserved, OOV → 0,
+    * token-less documents kept with an empty array.
+    *
+    * Scale contract: the vocab joins BROADCAST (a vocabulary is MBs even
+    * at millions of entries — set `broadcastVocab=false` to let the
+    * planner decide if yours is not); order is restored by sorting the
+    * collected (pos, id) structs per document — a per-row array sort,
+    * never a window.
+    */
+  def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
+    val v = if (broadcastVocab) broadcast(vocab) else vocab
+    val tok = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "word")))
+    val mapped = tok.join(v, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos").as("p"),
+          coalesce(col("id"), lit(0L)).as("id")))),
+        e => e.getField("id")).as("token_ids"))
+    docs.select(col(idCol))
+      .join(mapped, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<bigint>")).as("token_ids"))
+  }
+
   // ------------------------------------------------ PII scrubbing
   /** Email pattern — deliberately restricted to syntax whose semantics
     * are IDENTICAL in Java regex and RE2 (character classes, bounded

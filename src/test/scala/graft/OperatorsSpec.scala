@@ -809,6 +809,31 @@ class OperatorsSpec extends SparkSpec {
     assert(fromState == fromCorpus)
   }
 
+  test("vocabIds + tokenizeToIds: round-trippable ids, order preserved, OOV=0, blanks kept") {
+    val in = Seq(
+      (1L, "b a b c b a"),
+      (2L, "zzz a"),        // zzz is in-vocab here (corpus-derived)
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabIds(CountTable.counts(in, "text", n = 1))
+    // ranking: b(tf3)=1, a(tf3)? a appears 3 times (2 in doc1 + 1 in doc2): tie
+    // with b → word asc: a=1, b=2; c=3... derive expectations from the data:
+    val v = vocab.as[(String, Long)].collect().toMap
+    assert(v.keySet == Set("a", "b", "c", "zzz"))
+    assert(v.values.toSeq.sorted == Seq(1L, 2L, 3L, 4L), s"ids not dense: $v")
+    // tf: a=3, b=3, c=1, zzz=1 → tie-break word asc: a=1, b=2, c=3, zzz=4
+    assert(v == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "zzz" -> 4L))
+    val out = TextAnalysis.tokenizeToIds(in, "doc_id", "text", vocab)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Seq(2L, 1L, 2L, 3L, 2L, 1L))))
+    assert(out(1) == ((2L, Seq(4L, 1L))))
+    assert(out(2) == ((3L, Seq.empty[Long])))
+    // OOV maps to 0 under a foreign vocab
+    val foreign = Seq(("a", 7L)).toDF("word", "id")
+    val oov = TextAnalysis.tokenizeToIds(in, "doc_id", "text", foreign)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(oov(0) == ((1L, Seq(0L, 7L, 0L, 0L, 0L, 7L))))
+  }
+
   test("bigramNovelty: integer signals match brute force; short docs get zeros") {
     val in = Seq(
       (1L, "a b c"),          // bigrams: "a b", "b c"
