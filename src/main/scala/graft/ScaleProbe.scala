@@ -76,7 +76,10 @@ object ScaleProbe {
     // SPARK_GRAFT_ONLY_R13B=1 probes only the round-13 text-curation
     // additions (vocabulary / distinct sketch / bigram novelty / PII
     // scrub / stratified sample) over the amplified documents.
-    val onlyR13b = sys.env.contains("SPARK_GRAFT_ONLY_R13B")
+    // SPARK_GRAFT_ONLY_R13C=1 probes only the tokenizer-apply forms
+    // (broadcast-map default vs the distributed join fallback).
+    val onlyR13c = sys.env.contains("SPARK_GRAFT_ONLY_R13C")
+    val onlyR13b = onlyR13c || sys.env.contains("SPARK_GRAFT_ONLY_R13B")
     val onlyR13 = onlyR13b || sys.env.contains("SPARK_GRAFT_ONLY_R13")
     val onlyR12 = onlyR13 || sys.env.contains("SPARK_GRAFT_ONLY_R12")
     val onlyR11 = onlyR12 || sys.env.contains("SPARK_GRAFT_ONLY_R11")
@@ -508,7 +511,7 @@ object ScaleProbe {
     // scales with token mass — measured here; the scrub and the
     // stratified sample are single codegen passes and should track the
     // plain scan time.
-    locally {
+    if (!onlyR13c) locally {
       timed(s"vocabulary top-100 ($nDocs docs)") {
         TextAnalysis.vocabulary(docs, "doc_id", "text", 100).collect()
       }
@@ -549,6 +552,28 @@ object ScaleProbe {
       }
       timed("count-table top-100 from maintained state") {
         CountTable.topN(spark, ctPath, 100).collect()
+      }
+    }
+
+    // Round-13 tokenizer apply: the broadcast-map default must track the
+    // plain tokenize-scan cost (it adds one O(1) map lookup per token);
+    // the distributed join fallback pays a token-level regroup Exchange —
+    // this measures the gap that makes broadcast the default. Both
+    // aggregate total ids (a bare count() would let the optimizer skip
+    // the work).
+    locally {
+      val vocab = timed(s"vocab count+rank ($nDocs docs)") {
+        val v = TextAnalysis.vocabIds(CountTable.counts(docs, "text", n = 1)).cache()
+        println(s"[scale]   -> vocab entries: ${v.count()}")
+        v
+      }
+      timed(s"tokenize APPLY, broadcast-map ($nDocs docs)") {
+        TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
+          .agg(sum(size(col("token_ids")))).collect()
+      }
+      timed(s"tokenize APPLY, join+regroup fallback ($nDocs docs)") {
+        TextAnalysis.tokenizeToIdsJoin(docs, "doc_id", "text", vocab)
+          .agg(sum(size(col("token_ids")))).collect()
       }
     }
     spark.stop()

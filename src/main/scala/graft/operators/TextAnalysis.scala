@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * the builder brief): token counting, quality scoring, language ID, and
   * document fingerprinting. All pure Column expressions built from
   * `org.apache.spark.sql.functions` — fully codegen'd, no UDFs on the hot
-  * path, so they run at scan speed over 100 TB.
+  * path, so they run at scan speed over 100 TB. (One deliberate
+  * exception: [[tokenizeToIds]] uses a broadcast-hash-map UDF — an O(1)
+  * per-token lookup that replaces a corpus-sized token shuffle; the
+  * codegen break costs far less than the Exchange it removes.)
   *
   * Reference analogues: `full_text_length` (`/root/reference/vectolite.py:249`)
   * and the stats verb (`vectolite.py:538-555`); everything else generalizes
@@ -370,14 +373,44 @@ object TextAnalysis {
     * token stream becomes its id sequence, order preserved, OOV → 0,
     * token-less documents kept with an empty array.
     *
-    * Scale contract: the vocab joins BROADCAST (a vocabulary is MBs even
-    * at millions of entries — set `broadcastVocab=false` to let the
-    * planner decide if yours is not); order is restored by sorting the
-    * collected (pos, id) structs per document — a per-row array sort,
-    * never a window.
+    * Scale contract: a tokenizer vocabulary is a BOUNDED ARTIFACT (32k
+    * subwords to a few million words — MBs, not corpus-sized), exactly
+    * like a shipped sentencepiece model. So the apply side collects it
+    * ONCE, broadcasts the hash map to every executor, and maps each
+    * document's token array through it IN PLACE: one narrow projection
+    * over the corpus, ZERO shuffle, order trivially preserved. The
+    * driver-side collect is the vocabulary (bounded, guarded by
+    * `maxBroadcastEntries`), never corpus data. Compare
+    * [[tokenizeToIdsJoin]], which keeps everything distributed but pays
+    * a full token-level regroup — the right form only when the
+    * vocabulary itself is too large to hold in executor memory.
     */
   def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
-                    vocab: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
+                    vocab: DataFrame,
+                    maxBroadcastEntries: Int = 8000000): DataFrame = {
+    val entries = vocab
+      .select(col("word").cast("string"), col("id").cast("long"))
+      .limit(maxBroadcastEntries + 1).collect()
+    if (entries.length > maxBroadcastEntries)
+      return tokenizeToIdsJoin(docs, idCol, textCol, vocab)
+    val m = new java.util.HashMap[String, java.lang.Long](entries.length * 2)
+    entries.foreach(r => m.put(r.getString(0), r.getLong(1)))
+    val bc = docs.sparkSession.sparkContext.broadcast(m)
+    val lookup = udf((toks: Seq[String]) =>
+      if (toks == null) Seq.empty[Long]
+      else toks.map { t => val id = bc.value.get(t); if (id == null) 0L else id.longValue })
+    docs.select(col(idCol), lookup(tokens(col(textCol))).as("token_ids"))
+  }
+
+  /** Fully-distributed twin of [[tokenizeToIds]] for vocabularies too
+    * large to broadcast as a map: posexplode to token level, broadcast
+    * hash join against the vocab frame, regroup per document with order
+    * restored by a per-row array sort (never a window). Pays one
+    * token-level Exchange (the regroup) — corpus-sized, which is why
+    * the broadcast-map form is the default.
+    */
+  def tokenizeToIdsJoin(docs: DataFrame, idCol: String, textCol: String,
+                        vocab: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
     val v = if (broadcastVocab) broadcast(vocab) else vocab
     val tok = docs.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("__pos", "word")))

@@ -832,6 +832,16 @@ class OperatorsSpec extends SparkSpec {
     val oov = TextAnalysis.tokenizeToIds(in, "doc_id", "text", foreign)
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
     assert(oov(0) == ((1L, Seq(0L, 7L, 0L, 0L, 0L, 7L))))
+    // the distributed join form (for unbroadcastable vocabularies) agrees
+    // with the broadcast-map form exactly, including blanks and OOV
+    val joinForm = TextAnalysis.tokenizeToIdsJoin(in, "doc_id", "text", vocab)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(joinForm.toSeq == out.toSeq)
+    // a vocab over the broadcast cap silently routes to the join form
+    val capped = TextAnalysis.tokenizeToIds(in, "doc_id", "text", vocab,
+        maxBroadcastEntries = 2)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(capped.toSeq == out.toSeq)
   }
 
   test("bigramNovelty: integer signals match brute force; short docs get zeros") {

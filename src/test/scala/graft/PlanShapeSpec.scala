@@ -92,6 +92,24 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly the rates agg exchange, got ${shuffles.size}:\n$plan")
   }
 
+  test("tokenizeToIds: the apply side is ONE narrow projection — zero Exchange over the corpus") {
+    // The vocabulary is a bounded broadcast artifact; tokenize-apply must
+    // therefore cost exactly a scan + projection at 100 TB. The join form
+    // pays a token-level regroup (corpus-sized) — the default must not.
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vocab = operators.TextAnalysis.vocabIds(
+      operators.CountTable.counts(docs, "text", n = 1))
+    val plan = physical(
+      operators.TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"tokenize apply shuffled the corpus:\n$plan")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"tokenize apply planned a join:\n$plan")
+  }
+
   test("incremental dedup: survivor via min_by aggregation (no window) + anti join on the hash set") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val df = operators.Dedup.dedupIncremental(
