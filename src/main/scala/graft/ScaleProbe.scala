@@ -78,7 +78,10 @@ object ScaleProbe {
     // scrub / stratified sample) over the amplified documents.
     // SPARK_GRAFT_ONLY_R13C=1 probes only the tokenizer-apply forms
     // (broadcast-map default vs the distributed join fallback).
-    val onlyR13c = sys.env.contains("SPARK_GRAFT_ONLY_R13C")
+    // SPARK_GRAFT_ONLY_R13D=1 probes only the BM25 keyword-retrieval
+    // forms (direct scan vs persisted inverted-index lifecycle).
+    val onlyR13d = sys.env.contains("SPARK_GRAFT_ONLY_R13D")
+    val onlyR13c = onlyR13d || sys.env.contains("SPARK_GRAFT_ONLY_R13C")
     val onlyR13b = onlyR13c || sys.env.contains("SPARK_GRAFT_ONLY_R13B")
     val onlyR13 = onlyR13b || sys.env.contains("SPARK_GRAFT_ONLY_R13")
     val onlyR12 = onlyR13 || sys.env.contains("SPARK_GRAFT_ONLY_R12")
@@ -555,13 +558,42 @@ object ScaleProbe {
       }
     }
 
+    // Round-13 BM25: the inverted-index probe must be corpus-scan-free
+    // (reads only the query terms' hash partitions + scalar meta), vs the
+    // direct scan that pays the corpus pass; APPEND must be linear in the
+    // batch. Also times the streaming-face scorer as a batch backfill
+    // (pure codegen projection — should track plain scan speed).
+    locally {
+      val terms = Seq("vector", "stream", "hash")
+      timed(s"bm25 DIRECT scan top-10 ($nDocs docs)") {
+        Bm25.topK(docs, "doc_id", "text", terms, 10).collect()
+      }
+      val idxPath = graft.core.SessionCache.newTempDir("graft-scale-bm25")
+      timed(s"bm25 index BUILD ($nDocs docs)") {
+        IndexedBm25.build(docs.filter(col("doc_id") < nDocs * 99L / 100L),
+          "doc_id", "text", idxPath)
+      }
+      timed("bm25 index APPEND 1% batch") {
+        IndexedBm25.append(docs.filter(col("doc_id") >= nDocs * 99L / 100L),
+          "doc_id", "text", idxPath)
+      }
+      timed("bm25 index PROBE top-10") {
+        IndexedBm25.topK(spark, idxPath, terms, 10).collect()
+      }
+      val (ts, nn, tot) = IndexedBm25.frozenStats(spark, idxPath, terms)
+      timed(s"bm25 standing-query backfill ($nDocs docs)") {
+        docs.select(Bm25.scoreColumn(col("text"), ts, nn, tot).as("s"))
+          .filter(col("s") >= 1.1).count()
+      }
+    }
+
     // Round-13 tokenizer apply: the broadcast-map default must track the
     // plain tokenize-scan cost (it adds one O(1) map lookup per token);
     // the distributed join fallback pays a token-level regroup Exchange —
     // this measures the gap that makes broadcast the default. Both
     // aggregate total ids (a bare count() would let the optimizer skip
     // the work).
-    locally {
+    if (!onlyR13d) locally {
       val vocab = timed(s"vocab count+rank ($nDocs docs)") {
         val v = TextAnalysis.vocabIds(CountTable.counts(docs, "text", n = 1)).cache()
         println(s"[scale]   -> vocab entries: ${v.count()}")

@@ -98,9 +98,30 @@ object SparkEntry {
     * a subsequent timed run measures SERVING cost only — the bench calls
     * this in its warmup section, mirroring offline index builds.
     */
+  /** The BM25 query of the keyword rows — three mid-frequency fixture
+    * terms, so tf, df, and length normalization all vary across the hits.
+    */
+  private val bm25Terms = Seq("vector", "stream", "hash")
+
+  /** Persisted inverted index for the `bm25_index_topk` row, exercising
+    * the FULL lifecycle: build on the first ~60% of the corpus, APPEND the
+    * rest — so the probed result matching the direct-scan oracle proves
+    * append == rebuild for the keyword index too.
+    */
+  private def bm25Index(s: SparkSession, dir: String): String =
+    SessionCache.getOrCreate(s"bm25_index:$dir") {
+      val d = docs(s, dir)
+      val cut = d.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+      val p = SessionCache.newTempDir("graft-bm25-idx")
+      IndexedBm25.build(d.filter(col("doc_id") <= cut), "doc_id", "text", p)
+      IndexedBm25.append(d.filter(col("doc_id") > cut), "doc_id", "text", p)
+      p
+    }
+
   def warmArtifacts(s: SparkSession, dir: String): Unit = {
     lshIndex(s, dir)
     ivfIndex(s, dir)
+    bm25Index(s, dir)
     annAppendParity(s, dir)
     lshDedupIndex(s, dir)
     annBatchParity(s, dir)
@@ -1438,6 +1459,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E3/E5 (round-13): BM25 keyword top-k — the lexical half of hybrid
+    // search, direct-scan form. In-row tf per query term (no token
+    // shuffle); only matching docs reach the per-doc sum; k-bounded tail.
+    "bm25_topk" -> ((s, dir) =>
+      Bm25.topK(docs(s, dir), "doc_id", "text", bm25Terms, k = 10)),
+
+    // Same query served from the PERSISTED inverted index (built on 60%
+    // + appended 40% — see bm25Index): sharing bm25_topk's oracle proves
+    // probe == direct scan AND append == rebuild in one hash row.
+    "bm25_index_topk" -> ((s, dir) =>
+      IndexedBm25.topK(s, bm25Index(s, dir), bm25Terms, k = 10)),
+
+    // E3 (round-13): HYBRID retrieval — reciprocal-rank fusion of the
+    // BM25 top-20 and the cosine top-20 for the flagship query. Ranks are
+    // integers, so the fused scores are exact rational arithmetic; both
+    // inputs are k-bounded frames (the 20-row rank windows cost nothing).
+    "hybrid_rrf" -> ((s, dir) => {
+      val lex = Bm25.topK(docs(s, dir), "doc_id", "text", bm25Terms, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      val sem = Similarity.topK(embs(s, dir), "embedding", "vec_id",
+          queryVec(s, dir), 20)
+        .select(col("vec_id").as("doc_id"), col("score"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      Bm25.rrfFuse(lex, sem, k = 10)
+    }),
+
+    // E3×E6 (round-13): STREAMING BM25 ROUTING — each arriving document
+    // scored against the standing keyword profile with statistics FROZEN
+    // from the maintained inverted index (the alerting face of keyword
+    // search). Stateless codegen projection: no state store, no
+    // watermark, identical to the batch backfill (the oracle replays it
+    // batch-wise). Threshold filter on the UNROUNDED score.
+    "stream_bm25_route" -> ((s, dir) => {
+      val sinkName = "graft_stream_bm25_route"
+      val (ts, n, total) = IndexedBm25.frozenStats(s, bm25Index(s, dir), bm25Terms)
+      val sq = Streams.bm25RouteStream(
+          Tables.documentsStream(s, dir), "text", ts, n, total, threshold = 1.1)
+        .select(col("doc_id"), col("score"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_bm25_route: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // E5 (round-13): BIGRAM NOVELTY — per-doc integer-exact n-gram-LM
     // signals vs corpus bigram counts (familiarity = Σ corpus-frequency
     // of the doc's bigrams, rarest_cf = its most corpus-unique phrase).
@@ -1946,6 +2017,40 @@ object SparkEntry {
        |    GROUP BY e.vec_id, p.t, p.b)
        |  GROUP BY vec_id, t)""".stripMargin
   }
+
+  /** BM25 CTE chain ending in `bm(doc_id, score)` — replays [[Bm25.topK]]
+    * for [[bm25Terms]]: same tokenization, same arithmetic shape
+    * (`((idf·tf)·2.2)/denom`, `dl·n/total` length norm), so doubles agree
+    * bit-for-bit up to the `ln` libm ulp that ROUND(…,6) absorbs.
+    * WITHOUT a leading `WITH` so it can splice after other CTEs.
+    */
+  private val bm25Cte =
+    """tok AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |d AS (SELECT doc_id, len(t) AS dl, t FROM tok),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total FROM d),
+      |qt AS (SELECT unnest(['vector', 'stream', 'hash']) AS term),
+      |p AS (
+      |  SELECT d.doc_id, d.dl, qt.term, len(list_filter(d.t, x -> x = qt.term)) AS tf
+      |  FROM d CROSS JOIN qt),
+      |p2 AS (SELECT * FROM p WHERE tf > 0),
+      |f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p2 GROUP BY term),
+      |bm AS (
+      |  SELECT p2.doc_id,
+      |    SUM(ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+      |      * CAST(p2.tf AS DOUBLE) * 2.2
+      |      / (CAST(p2.tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(p2.dl AS DOUBLE) * st.n / st.total))) AS score
+      |  FROM p2 JOIN f USING (term) CROSS JOIN st
+      |  GROUP BY p2.doc_id)""".stripMargin
+
+  private val bm25TopkSql =
+    s"""WITH $bm25Cte
+       |SELECT doc_id, ROUND(score, 6) AS score
+       |FROM bm ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""".stripMargin
 
   /** Pairwise cosine over a `cand(a_id, b_id)` CTE — the [[scoreVsQ]]
     * fold applied to both sides of each candidate pair.
@@ -2827,6 +2932,47 @@ object SparkEntry {
         |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM ng GROUP BY ngram HAVING COUNT(*) >= 2
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
+    "bm25_topk" -> bm25TopkSql,
+
+    // The routing stream is a stateless replay of the batch score with
+    // index-frozen stats; the index covers the full corpus, so the
+    // corpus-derived df/n/total here are the SAME numbers the stream
+    // folded into its literals. Threshold on the unrounded score.
+    "stream_bm25_route" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, ROUND(score, 6) AS score
+         |FROM bm WHERE score >= 1.1 ORDER BY doc_id""".stripMargin,
+
+    // The indexed probe must equal the direct scan exactly — one oracle
+    // serves both, and the shared hash proves probe == scan == rebuild
+    // (the index is built 60% + appended 40%).
+    "bm25_index_topk" -> bm25TopkSql,
+
+    // RRF fusion: rank the BM25 top-20 (on the rounded score, doc_id
+    // tiebreak — the emitted ordering) and the cosine top-20 (raw score,
+    // vec_id tiebreak — Similarity.topK's ordering), then fuse with
+    // 1/(60+rank) in DOUBLE arithmetic. Integer ranks make the fused
+    // scores engine-exact.
+    "hybrid_rrf" ->
+      s"""$scoreVsQ,
+         |$bm25Cte,
+         |lex AS (
+         |  SELECT doc_id, ROUND(score, 6) AS score FROM bm
+         |  ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20),
+         |lexr AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM lex),
+         |semt AS (SELECT vec_id AS doc_id, score FROM sc
+         |  ORDER BY score DESC, vec_id LIMIT 20),
+         |semr AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM semt),
+         |fu AS (
+         |  SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + l.r AS DOUBLE), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + s2.r AS DOUBLE), 0) AS rrf
+         |  FROM lexr l FULL OUTER JOIN semr s2 ON l.doc_id = s2.doc_id)
+         |SELECT doc_id, ROUND(rrf, 9) AS rrf
+         |FROM fu ORDER BY ROUND(rrf, 9) DESC, doc_id LIMIT 10""".stripMargin,
 
     // Vocab ranking replayed as a window (fine at oracle scale); the
     // indexed-lambda struct unnest reproduces posexplode's positions;

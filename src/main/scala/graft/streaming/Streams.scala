@@ -259,6 +259,27 @@ object Streams {
       .withColumn("scrubbed", graft.operators.TextAnalysis.scrubPii(col(textCol)))
       .withColumn("n_pii", graft.operators.TextAnalysis.piiCount(col(textCol)))
 
+  /** Streaming BM25 ROUTING — score each arriving document against a
+    * STANDING keyword query ([[graft.operators.Bm25.scoreColumn]]) with
+    * statistics frozen from the maintained inverted index
+    * ([[graft.operators.IndexedBm25.frozenStats]]), keeping docs above
+    * `threshold`. The alerting/triage face of keyword search: the index
+    * answers "which corpus docs match this query", this answers "which
+    * arriving docs match this profile" — a pure stateless codegen
+    * projection (idf literals folded at plan time; no join, no state
+    * store, no watermark), so it composes with any source/sink and a
+    * batch backfill shares the one definition. Filtering is on the
+    * UNROUNDED score (house determinism rule); consumers round for
+    * display.
+    */
+  def bm25RouteStream(stream: DataFrame, textCol: String,
+                      termStats: Seq[(String, Long)], n: Long, total: Long,
+                      threshold: Double): DataFrame =
+    stream
+      .withColumn("score",
+        graft.operators.Bm25.scoreColumn(col(textCol), termStats, n, total))
+      .filter(col("score") >= threshold)
+
   /** Streaming exact dedup — the ingest face of
     * [[graft.operators.Dedup.dedupExact]]: hash each arriving document's
     * text and keep only the FIRST arrival per hash. State is one 64-hex

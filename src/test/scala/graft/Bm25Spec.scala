@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, IndexedBm25}
+
+/** BM25 + hybrid fusion: the scorer against a plain-Scala brute force, the
+  * persisted inverted index against the direct scan (build AND append
+  * lifecycles), partition pruning on the probe, and exact RRF arithmetic.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple"),
+    (4L, "dog dog dog dog"),
+    (5L, ""))
+
+  private def corpusDF = corpus.toDF("doc_id", "text")
+
+  /** Plain-Scala BM25 over the same corpus — an independent formulation
+    * (loops + Math.log) the Column pipeline must reproduce to 1e-9.
+    */
+  private def brute(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = corpus.size.toDouble
+    val total = toks.values.map(_.size).sum.toDouble
+    val avgdl = total / n
+    toks.flatMap { case (id, ts) =>
+      val score = terms.map { q =>
+        val tf = ts.count(_ == q).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = toks.values.count(_.contains(q)).toDouble
+          math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * ts.size / avgdl))
+        }
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }
+  }
+
+  test("topK matches a plain-Scala brute force, ranked desc with doc_id tiebreak") {
+    val terms = Seq("apple", "cherry")
+    val got = Bm25.topK(corpusDF, "doc_id", "text", terms, k = 10)
+      .as[(Long, Double)].collect()
+    val exp = brute(terms)
+    assert(got.map(_._1).toSet == exp.keySet) // only matching docs emitted
+    got.foreach { case (id, s) => assert(math.abs(s - exp(id)) < 1e-6, s"doc $id") }
+    val resorted = got.sortBy { case (id, s) => (-s, id) }.toSeq
+    assert(got.toSeq == resorted, "not ranked by (score desc, doc_id)")
+    // k bounds the output
+    assert(Bm25.topK(corpusDF, "doc_id", "text", terms, k = 1).count() == 1)
+  }
+
+  test("length normalization: same tf, shorter doc ranks first") {
+    // "banana" appears in d1 (tf=1, dl=3) and d2 (tf=1, dl=2): shorter wins
+    val ban = Bm25.topK(corpusDF, "doc_id", "text", Seq("banana"), 10)
+      .as[(Long, Double)].collect()
+    assert(ban.map(_._1).toSeq == Seq(2L, 1L), s"got ${ban.toSeq}")
+  }
+
+  test("indexed probe == direct scan, for a one-shot build AND after append") {
+    val terms = Seq("apple", "cherry")
+    val direct = Bm25.topK(corpusDF, "doc_id", "text", terms, 10)
+      .as[(Long, Double)].collect().toSeq
+
+    val p1 = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    IndexedBm25.build(corpusDF, "doc_id", "text", p1)
+    val probed = IndexedBm25.topK(spark, p1, terms, 10)
+    // the postings scan must prune to the query terms' hash partitions
+    val scanLine = probed.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("pt"), s"no partition filter on probe:\n$scanLine")
+    assert(probed.as[(Long, Double)].collect().toSeq == direct)
+
+    // lifecycle: build on a prefix, append the rest — probe == direct
+    val p2 = java.nio.file.Files.createTempDirectory("graft-bm25-idx2").toString
+    IndexedBm25.build(corpusDF.filter(col("doc_id") <= 2), "doc_id", "text", p2)
+    IndexedBm25.append(corpusDF.filter(col("doc_id") > 2), "doc_id", "text", p2)
+    assert(IndexedBm25.topK(spark, p2, terms, 10)
+      .as[(Long, Double)].collect().toSeq == direct)
+  }
+
+  test("rrfFuse: exact reciprocal-rank arithmetic, full-outer semantics, tiebreak") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Bm25.rrfFuse(lex, sem, k = 10).as[(Long, Double)].collect().toSeq
+    def r(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Seq(
+      20L -> r(1.0 / 62 + 1.0 / 61), // in both lists
+      10L -> r(1.0 / 61),
+      40L -> r(1.0 / 62),
+      30L -> r(1.0 / 63))
+    assert(got == exp, s"got ${got.toList}")
+    // equal-rrf docs order by doc_id
+    val tie = Bm25.rrfFuse(
+      Seq((7L, 1L)).toDF("doc_id", "rank"),
+      Seq((3L, 1L)).toDF("doc_id", "rank"), k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(tie == Seq(3L, 7L))
+  }
+
+  test("validation: empty terms, duplicate terms, bad k") {
+    intercept[IllegalArgumentException] {
+      Bm25.topK(corpusDF, "doc_id", "text", Seq.empty, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.topK(corpusDF, "doc_id", "text", Seq("a", "a"), 10)
+    }
+    intercept[Exception] {
+      Bm25.topK(corpusDF, "doc_id", "text", Seq("a"), 0)
+    }
+  }
+}

@@ -110,6 +110,30 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, s"tokenize apply planned a join:\n$plan")
   }
 
+  test("bm25 direct scan: df/stats broadcast, k-bounded TakeOrderedAndProject, no token-mass shuffle") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val plan = physical(operators.Bm25.topK(
+      docs, "doc_id", "text", Seq("vector", "stream"), 10))
+    // ranking must be the k-bounded operator, not a global sort
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"no k-bounded ranking in:\n$plan")
+    // df (|q| rows) and stats (1 row) reach the postings via broadcast
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"df join not broadcast:\n$plan")
+    // tf is computed in-row: no Exchange may sit BELOW the postings
+    // explode (that would be a token-mass shuffle); the per-doc score
+    // sum above it carries only matching docs
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, s"expected the postings explode in:\n$plan")
+    gens.foreach { g =>
+      assert(g.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"shuffle beneath the postings explode:\n$g")
+    }
+  }
+
   test("incremental dedup: survivor via min_by aggregation (no window) + anti join on the hash set") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val df = operators.Dedup.dedupIncremental(

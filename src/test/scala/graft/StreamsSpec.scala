@@ -62,6 +62,34 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming BM25 routing equals the batch projection and carries no state operators") {
+    val docs = Tables.documents(spark, Sf0001)
+    val idxPath = java.nio.file.Files.createTempDirectory("spec-bm25-route").toString
+    graft.operators.IndexedBm25.build(docs, "doc_id", "text", idxPath)
+    val terms = Seq("vector", "stream")
+    val (ts, n, total) =
+      graft.operators.IndexedBm25.frozenStats(spark, idxPath, terms)
+    assert(n == docs.count() && ts.forall(_._2 > 0))
+
+    val sinkName = "spec_stream_bm25_route"
+    val sq = Streams.bm25RouteStream(
+        Tables.documentsStream(spark, Sf0001), "text", ts, n, total, 0.5)
+      .select(col("doc_id"), col("score"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "stream did not finish")
+    assert(sq.recentProgress.forall(_.stateOperators.isEmpty),
+      "BM25 routing must not allocate state store")
+    val streamed = spark.table(sinkName)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = docs
+      .select(col("doc_id"),
+        graft.operators.Bm25.scoreColumn(col("text"), ts, n, total).as("score"))
+      .filter(col("score") >= 0.5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming count-table maintenance: foreachBatch appends converge to the full recount") {
     // the deployment shape: each arriving micro-batch appends its partial
     // counts (linear in the batch); the maintained table must equal a
