@@ -16,6 +16,8 @@ import graft.store.GraftStore
   * Usage: graft.Cli <store-path> <command> [args...]
   *   add <text> [metaKey=value ...]
   *   query <text> [topK]
+  *   search <text> [topK]     (BM25 keyword — extension verb)
+  *   hybrid <text> [topK]     (RRF fusion of query+search — extension verb)
   *   ingest-file <file> [maxChars] [overlap]
   *   stats | delete <id> | show <id> | list [limit] [offset]
   *   compact [targetFiles]
@@ -63,6 +65,22 @@ object Cli {
         println(f"${i + 1}. id=${r.getLong(0)} score=${r.getDouble(1)}%.4f text=$preview")
       }
 
+    case "search" => // keyword (BM25) twin of `query` — extension verb
+      val k = if (rest.length > 1) rest(1).toInt else 3
+      store.searchKeyword(rest(0), k).collect().zipWithIndex.foreach { case (r, i) =>
+        val preview = Option(r.getString(2)).map(t =>
+          if (t.length > 200) t.take(200) + "..." else t).getOrElse("")
+        println(f"${i + 1}. id=${r.getLong(0)} score=${r.getDouble(1)}%.4f text=$preview")
+      }
+
+    case "hybrid" => // RRF fusion of query + search — extension verb
+      val k = if (rest.length > 1) rest(1).toInt else 3
+      store.queryHybrid(rest(0), k).collect().zipWithIndex.foreach { case (r, i) =>
+        val preview = Option(r.getString(2)).map(t =>
+          if (t.length > 200) t.take(200) + "..." else t).getOrElse("")
+        println(f"${i + 1}. id=${r.getLong(0)} rrf=${r.getDouble(1)}%.6f text=$preview")
+      }
+
     case "ingest-file" =>
       val maxChars = if (rest.length > 1) rest(1).toInt else 2000 // defaults, vectolite.py:487-489
       val overlap = if (rest.length > 2) rest(2).toInt else 200
@@ -103,5 +121,5 @@ object Cli {
   }
 
   private val usage =
-    """usage: graft.Cli <store-path> <add|query|ingest-file|stats|delete|show|list|compact> [args...]"""
+    """usage: graft.Cli <store-path> <add|query|search|hybrid|ingest-file|stats|delete|show|list|compact> [args...]"""
 }

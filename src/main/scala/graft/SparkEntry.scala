@@ -103,6 +103,17 @@ object SparkEntry {
     */
   private val bm25Terms = Seq("vector", "stream", "hash")
 
+  /** The batch-probe workload: five queries over the fixture vocabulary
+    * with overlapping terms (so postings are shared across queries in the
+    * one-plan serve).
+    */
+  private val bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "stream"),
+    1L -> Seq("hash", "join"),
+    2L -> Seq("sort", "merge", "scan"),
+    3L -> Seq("filter", "row"),
+    4L -> Seq("query", "vector"))
+
   /** Persisted inverted index for the `bm25_index_topk` row, exercising
     * the FULL lifecycle: build on the first ~60% of the corpus, APPEND the
     * rest — so the probed result matching the direct-scan oracle proves
@@ -1485,6 +1496,17 @@ object SparkEntry {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
       Bm25.rrfFuse(lex, sem, k = 10)
+    }),
+
+    // E3 (round-13): BM25 BATCH probe at query volume — five keyword
+    // queries served from the persisted inverted index in ONE plan
+    // (collected touched-term set → pruned postings scan → broadcast
+    // query table → per-(query,doc) sum → PARTITIONED rank window).
+    "bm25_batch_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = bm25BatchQueries.toDF("q_id", "terms")
+      IndexedBm25.topKBatch(s, bm25Index(s, dir), queries, k = 5)
+        .orderBy("q_id", "rank")
     }),
 
     // E3×E6 (round-13): STREAMING BM25 ROUTING — each arriving document
@@ -2934,6 +2956,46 @@ object SparkEntry {
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
 
     "bm25_topk" -> bm25TopkSql,
+
+    // Batch probe replay: a VALUES query table, the same single contrib
+    // shape, per-(query,doc) sum, rank partitioned by query on the
+    // rounded score with doc_id tiebreak. df/n/total recomputed from the
+    // corpus the index covers.
+    "bm25_batch_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(t) AS dl, t FROM tok),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total FROM d),
+        |qts(q_id, term) AS (VALUES
+        |  (0, 'vector'), (0, 'stream'),
+        |  (1, 'hash'), (1, 'join'),
+        |  (2, 'sort'), (2, 'merge'), (2, 'scan'),
+        |  (3, 'filter'), (3, 'row'),
+        |  (4, 'query'), (4, 'vector')),
+        |tp AS (SELECT DISTINCT term FROM qts),
+        |p AS (
+        |  SELECT d.doc_id, d.dl, tp.term, len(list_filter(d.t, x -> x = tp.term)) AS tf
+        |  FROM d CROSS JOIN tp),
+        |p2 AS (SELECT * FROM p WHERE tf > 0),
+        |f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p2 GROUP BY term),
+        |sc2 AS (
+        |  SELECT qts.q_id, p2.doc_id,
+        |    SUM(ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+        |      * CAST(p2.tf AS DOUBLE) * 2.2
+        |      / (CAST(p2.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(p2.dl AS DOUBLE) * st.n / st.total))) AS score
+        |  FROM p2 JOIN qts USING (term) JOIN f USING (term) CROSS JOIN st
+        |  GROUP BY qts.q_id, p2.doc_id),
+        |rk AS (
+        |  SELECT q_id, doc_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY ROUND(score, 6) DESC, doc_id) AS BIGINT) AS "rank"
+        |  FROM sc2)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, ROUND(score, 6) AS score, "rank"
+        |FROM rk WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
 
     // The routing stream is a stateless replay of the batch score with
     // index-frozen stats; the index covers the full corpus, so the

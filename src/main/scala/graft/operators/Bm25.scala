@@ -99,19 +99,70 @@ object Bm25 {
   def scoreColumn(text: org.apache.spark.sql.Column,
                   termStats: Seq[(String, Long)], n: Long, total: Long,
                   k1: Double = DefaultK1, b: Double = DefaultB)
+      : org.apache.spark.sql.Column =
+    scoreTokens(TextAnalysis.tokens(text), termStats, n, total, k1, b)
+
+  /** [[scoreColumn]] over an ALREADY-TOKENIZED array column.
+    *
+    * Round-13 performance note: the first draft wrapped each term in
+    * `when(tf > 0, …)`. CaseWhen BRANCHES are excluded from codegen
+    * subexpression elimination (their evaluation must stay conditional),
+    * so every one of the 3 references to each term's tf filter re-ran the
+    * HOF — measured 2.6× the whole-pass cost at 2.5M docs. The guard is
+    * algebraically redundant (tf=0 ⇒ the term is exactly 0.0), and with
+    * it gone CSE collapses the duplicated filters: this form now measures
+    * scan-speed, within noise of the explicitly-staged [[withScore]]
+    * (94.1 vs 95.2 s at 2.5M docs, SCALE.md). Keep guards out of hot
+    * expression trees.
+    */
+  def scoreTokens(toks: org.apache.spark.sql.Column,
+                  termStats: Seq[(String, Long)], n: Long, total: Long,
+                  k1: Double = DefaultK1, b: Double = DefaultB)
       : org.apache.spark.sql.Column = {
     require(termStats.nonEmpty, "bm25: standing query terms must be non-empty")
-    val toks = TextAnalysis.tokens(text)
     val dlNorm = size(toks).cast("double") * lit(n.toDouble) / lit(total.toDouble)
     termStats.map { case (term, df) =>
       val idf = log(lit(1.0) +
         (lit(n.toDouble) - lit(df.toDouble) + lit(0.5)) / (lit(df.toDouble) + lit(0.5)))
       val tf = size(filter(toks, x => x === lit(term))).cast("double")
-      when(tf > lit(0.0),
-        idf * tf * lit(k1 + 1.0) /
-          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm)))
-        .otherwise(lit(0.0))
+      // no tf>0 guard needed: tf=0 makes the term exactly 0.0 (0/(0+C))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm))
     }.reduce(_ + _)
+  }
+
+  /** Standing-query scoring of a whole FRAME: three chained projections
+    * materialize the token array once, then the per-term tf vector once,
+    * then combine them in closed form (every tf an O(1) `element_at`,
+    * every further token reference an O(1) `size`). Semantically equal to
+    * `withColumn(score, scoreColumn(...))` and currently equal in speed
+    * too (95.2 vs 94.1 s at 2.5M docs — codegen CSE already collapses the
+    * guard-free single Column); this form makes the one-evaluation-per-
+    * row property STRUCTURAL instead of CSE-dependent, so it can't regress
+    * if a future caller re-introduces a conditional around a term (the
+    * round-13 2.6× trap — see [[scoreTokens]]). CollapseProject keeps the
+    * stages separate because the duplicated expressions are non-cheap.
+    */
+  def withScore(df: DataFrame, textCol: String,
+                termStats: Seq[(String, Long)], n: Long, total: Long,
+                scoreName: String = "score",
+                k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(termStats.nonEmpty, "bm25: standing query terms must be non-empty")
+    val tfArr = array(termStats.map { case (term, _) =>
+      size(filter(col("__toks"), x => x === lit(term))).cast("double") }: _*)
+    val dlNorm = size(col("__toks")).cast("double") *
+      lit(n.toDouble) / lit(total.toDouble)
+    val score = termStats.zipWithIndex.map { case ((_, dfT), i) =>
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - lit(dfT.toDouble) + lit(0.5)) / (lit(dfT.toDouble) + lit(0.5)))
+      val tf = element_at(col("__tf"), i + 1)
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm))
+    }.reduce(_ + _)
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__tf", tfArr)
+      .withColumn(scoreName, score)
+      .drop("__toks", "__tf")
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
@@ -223,6 +274,51 @@ object IndexedBm25 {
     Bm25Scorer.score(postings, stats, k, k1, b)
   }
 
+  /** BATCH probe at query volume — the keyword twin of the ANN indexes'
+    * `queryTopKBatch`: many keyword queries `(q_id, terms)` served from
+    * the persisted index in ONE plan. The workload's distinct terms are
+    * collected once (driver-side, bounded by the query vocabulary — the
+    * same touched-set discipline as the ANN batch probes) and pushed as
+    * partition + term filters; the query table broadcasts onto the pruned
+    * postings; per-(query, doc) scores aggregate postings-bounded rows;
+    * ranking is a PARTITIONED window (parallel across queries, row_number
+    * ≤ k — never an unpartitioned sort).
+    */
+  def topKBatch(spark: SparkSession, path: String, queries: DataFrame,
+                k: Int, k1: Double = Bm25.DefaultK1,
+                b: Double = Bm25.DefaultB): DataFrame = {
+    Validate.positiveTopK(k)
+    import spark.implicits._
+    val qt = queries.select(col("q_id").cast("long").as("q_id"),
+      explode(col("terms")).as("term"))
+    val terms = qt.select(col("term")).distinct().as[String].collect().toSeq
+    require(terms.nonEmpty, "bm25: batch query terms must be non-empty")
+    val pts = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(Partitions.toLong)))
+      .as[Long].collect().distinct.toSeq
+    val postings = spark.read.parquet(postingsDir(path))
+      .filter(col("pt").isin(pts: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = spark.read.parquet(metaDir(path))
+      .agg(sum(col("n")).cast("double").as("n"),
+        sum(col("total")).cast("double").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+    postings
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib", Bm25Scorer.contrib(k1, b))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("__contrib")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
   /** FROZEN statistics for a standing query, read from the maintained
     * index: per-term df (a count over the terms' pruned partitions) and
     * the meta (n, total). Driver-side scalars — |terms|+2 numbers — for
@@ -247,6 +343,19 @@ object IndexedBm25 {
 
 /** Internal seam so [[IndexedBm25]] shares [[Bm25]]'s private scorer. */
 private[operators] object Bm25Scorer {
+
+  /** The per-posting BM25 contribution over columns `tf, df, dl, n,
+    * total` — ONE definition of the arithmetic (and its evaluation
+    * order: `((idf·tf)·(k1+1))/denom`, `dl·n/total` length norm) shared
+    * by every serving form, so the oracle twins replay a single shape.
+    */
+  def contrib(k1: Double, b: Double): org.apache.spark.sql.Column =
+    log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") * col("n") / col("total")))
+
   def score(postings: DataFrame, stats: DataFrame, k: Int,
             k1: Double, b: Double): DataFrame = {
     val df = postings.groupBy(col("term"))
@@ -254,12 +363,7 @@ private[operators] object Bm25Scorer {
     postings
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
-      .withColumn("__contrib",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf").cast("double") * lit(k1 + 1.0) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) +
-              lit(b) * col("dl").cast("double") * col("n") / col("total"))))
+      .withColumn("__contrib", contrib(k1, b))
       .groupBy(col("doc_id")).agg(sum(col("__contrib")).as("score"))
       .orderBy(round(col("score"), 6).desc, col("doc_id"))
       .limit(k)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, Validate}
-import graft.operators.{Chunker, Embedder, Ingest, Similarity}
+import graft.operators.{Bm25, Chunker, Embedder, Ingest, Similarity}
 
 /** Programmatic façade with the reference's verb-for-verb API
   * (`/root/reference/vectolite.py` class `Vectolite` + its CLI): a
@@ -79,6 +79,47 @@ final class GraftStore(spark: SparkSession, path: String, embedder: Embedder) {
     Validate.positiveTopK(topK)
     Similarity.topK(table(), "embedding", "id", embedder.embedOne(text), topK)
       .select(col("id"), col("score"), col("text"), col("metadata"))
+  }
+
+  /** BM25 keyword top-k over the stored documents — the LEXICAL query
+    * verb. The reference serves only vector similarity
+    * (`vectolite.py:471-512`); a complete retrieval surface pairs it with
+    * keyword search and their fusion ([[queryHybrid]]). Whitespace-
+    * tokenized query, duplicate terms collapsed; rows `(id, score, text,
+    * metadata)` mirror [[query]]'s shape.
+    */
+  def searchKeyword(queryText: String, topK: Int = 3): DataFrame = {
+    Validate.nonEmptyText(queryText, "Query text")
+    Validate.positiveTopK(topK)
+    val terms = queryText.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    Bm25.topK(table(), "id", "text", terms, topK)
+      .select(col("doc_id").as("id"), col("score"))
+      .join(table().select(col("id"), col("text"), col("metadata")), Seq("id"))
+      .orderBy(desc("score"), col("id"))
+      .select(col("id"), col("score"), col("text"), col("metadata"))
+  }
+
+  /** HYBRID retrieval: reciprocal-rank fusion of the vector and keyword
+    * top-20 lists for the same query text ([[Bm25.rrfFuse]]); rows
+    * `(id, rrf, text, metadata)`.
+    */
+  def queryHybrid(text: String, topK: Int = 3): DataFrame = {
+    Validate.nonEmptyText(text, "Query text")
+    Validate.positiveTopK(topK)
+    val m = math.max(20, topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val sem = query(text, m)
+      .select(col("id").as("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+    val terms = text.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val lex = Bm25.topK(table(), "id", "text", terms, m)
+      .withColumn("rank", row_number().over(w))
+    Bm25.rrfFuse(lex, sem, topK)
+      .select(col("doc_id").as("id"), col("rrf"))
+      .join(table().select(col("id"), col("text"), col("metadata")), Seq("id"))
+      .orderBy(desc("rrf"), col("id"))
+      .select(col("id"), col("rrf"), col("text"), col("metadata"))
   }
 
   def countDocuments(): Long = table().count()

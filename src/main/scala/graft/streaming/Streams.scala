@@ -275,9 +275,12 @@ object Streams {
   def bm25RouteStream(stream: DataFrame, textCol: String,
                       termStats: Seq[(String, Long)], n: Long, total: Long,
                       threshold: Double): DataFrame =
-    stream
-      .withColumn("score",
-        graft.operators.Bm25.scoreColumn(col(textCol), termStats, n, total))
+    // withScore's staged projections (tokens once, tf vector once, then
+    // the closed form) — still stateless, still pure projection per
+    // micro-batch; the staging pins the evaluation count structurally
+    // (see Bm25.withScore / the round-13 CaseWhen-CSE note)
+    graft.operators.Bm25
+      .withScore(stream, textCol, termStats, n, total)
       .filter(col("score") >= threshold)
 
   /** Streaming exact dedup — the ingest face of

@@ -87,6 +87,24 @@ class Bm25Spec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == direct)
   }
 
+  test("topKBatch: many queries in one plan, each equal to its per-query probe") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-batch").toString
+    IndexedBm25.build(corpusDF, "doc_id", "text", path)
+    val queries = Seq(
+      (0L, Seq("apple", "cherry")),
+      (1L, Seq("banana")),
+      (2L, Seq("dog", "apple"))).toDF("q_id", "terms")
+    val batch = IndexedBm25.topKBatch(spark, path, queries, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for ((qid, terms) <- Seq(0L -> Seq("apple", "cherry"),
+                             1L -> Seq("banana"), 2L -> Seq("dog", "apple"))) {
+      val direct = Bm25.topK(corpusDF, "doc_id", "text", terms, 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == direct, s"q$qid: ${batch(qid)} vs $direct")
+    }
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, full-outer semantics, tiebreak") {
     val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
     val sem = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")

@@ -107,6 +107,28 @@ class IngestStoreSpec extends SparkSpec {
     intercept[EngineError](store.query("ok", topK = 0))
   }
 
+  test("GraftStore: keyword search + hybrid fusion verbs") {
+    val store = new GraftStore(spark,
+      tmpDir().resolve("docs.parquet").toString, HashingEmbedder(16))
+    store.insert("ducks like ponds and bread crumbs")
+    store.insert("spark engines shuffle partitions and join tables")
+    store.insert("ponds freeze in winter")
+
+    // keyword: term-bearing docs only, most matches first, query shape
+    val kw = store.searchKeyword("ponds bread", topK = 3).collect()
+    assert(kw.map(_.getLong(0)).toSeq == Seq(1L, 3L), kw.toSeq) // doc 2 has neither term
+    assert(kw.head.getDouble(1) > kw.last.getDouble(1)) // two terms beat one
+    assert(kw.head.getAs[String]("text").contains("ducks"))
+
+    // hybrid: fuses both rankings; a doc scoring in both lists leads
+    val hy = store.queryHybrid("ponds bread", topK = 3).collect()
+    assert(hy.nonEmpty && hy.map(_.getLong(0)).contains(1L))
+    assert(hy.map(_.getDouble(1)).toSeq == hy.map(_.getDouble(1)).sorted.reverse.toSeq)
+
+    intercept[EngineError](store.searchKeyword("  ", 3))
+    intercept[EngineError](store.queryHybrid("ok", 0))
+  }
+
   test("compact: collapses append files, preserves data, keeps sort column pruneable") {
     val dir = tmpDir().resolve("store.parquet").toString
     val store = new GraftStore(spark, dir, HashingEmbedder(8))
