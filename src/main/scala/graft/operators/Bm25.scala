@@ -289,8 +289,10 @@ object IndexedBm25 {
                 b: Double = Bm25.DefaultB): DataFrame = {
     Validate.positiveTopK(k)
     import spark.implicits._
+    // in-row distinct: a duplicated term inside one query's array would
+    // otherwise join its postings twice and double-count the contribution
     val qt = queries.select(col("q_id").cast("long").as("q_id"),
-      explode(col("terms")).as("term"))
+      explode(array_distinct(col("terms"))).as("term"))
     val terms = qt.select(col("term")).distinct().as[String].collect().toSeq
     require(terms.nonEmpty, "bm25: batch query terms must be non-empty")
     val pts = terms.toDF("term")
@@ -324,9 +326,10 @@ object IndexedBm25 {
     * the meta (n, total). Driver-side scalars — |terms|+2 numbers — for
     * [[Bm25.scoreColumn]]'s literal-folded streaming scorer.
     */
-  def frozenStats(spark: SparkSession, path: String, terms: Seq[String])
+  def frozenStats(spark: SparkSession, path: String, termsRaw: Seq[String])
       : (Seq[(String, Long)], Long, Long) = {
-    require(terms.nonEmpty, "bm25: standing query terms must be non-empty")
+    require(termsRaw.nonEmpty, "bm25: standing query terms must be non-empty")
+    val terms = termsRaw.distinct // a dup would be scored twice downstream
     import spark.implicits._
     val pts = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(Partitions.toLong)))

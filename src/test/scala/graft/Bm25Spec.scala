@@ -103,6 +103,12 @@ class Bm25Spec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq
       assert(batch(qid) == direct, s"q$qid: ${batch(qid)} vs $direct")
     }
+    // a term duplicated INSIDE a query's array must not double-count
+    val dup = IndexedBm25.topKBatch(spark, path,
+        Seq((9L, Seq("banana", "banana"))).toDF("q_id", "terms"), k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+      .sortBy(_._4).map(r => (r._2, r._3)).toSeq
+    assert(dup == batch(1L), s"dup-term query double-counted: $dup")
   }
 
   test("rrfFuse: exact reciprocal-rank arithmetic, full-outer semantics, tiebreak") {
