@@ -129,10 +129,44 @@ object SparkEntry {
       p
     }
 
+  /** Index for the `bm25_delete_parity` row — the FULL lifecycle on its
+    * own artifact (a delete on the shared [[bm25Index]] would corrupt the
+    * other keyword rows): build 60%, append 40%, then DELETE doc_id<50
+    * via tombstones. The probe matching the direct-scan oracle over the
+    * SURVIVING docs proves delete == rebuild-without for the keyword
+    * index.
+    */
+  private def bm25DeleteIndex(s: SparkSession, dir: String): String =
+    SessionCache.getOrCreate(s"bm25_delete_index:$dir") {
+      val d = docs(s, dir)
+      val cut = d.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+      val p = SessionCache.newTempDir("graft-bm25-del-idx")
+      IndexedBm25.build(d.filter(col("doc_id") <= cut), "doc_id", "text", p)
+      IndexedBm25.append(d.filter(col("doc_id") > cut), "doc_id", "text", p)
+      IndexedBm25.delete(s, p, 0L until 50L)
+      p
+    }
+
+  /** Tombstoned LSH index for the `ann_delete_parity` row: the flagship
+    * serving config built over the full corpus, then vec_id<50 DELETED
+    * via the `_tombstones` sidecar; probes go through
+    * [[AnnIndex.readIndex]]'s merge-on-read anti-join.
+    */
+  private def annDeleteIndex(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"ann_delete_index:$dir") {
+      val p = SessionCache.newTempDir("graft-lsh-del-idx")
+      AnnIndex.writeIndex(
+        AnnIndex.buildIndex(embs(s, dir), "vec_id", "embedding", annCfg), p)
+      AnnIndex.deleteFromIndex(s, p, 0L until 50L)
+      AnnIndex.readIndex(s, p)
+    }
+
   def warmArtifacts(s: SparkSession, dir: String): Unit = {
     lshIndex(s, dir)
     ivfIndex(s, dir)
     bm25Index(s, dir)
+    bm25DeleteIndex(s, dir)
+    annDeleteIndex(s, dir)
     annAppendParity(s, dir)
     lshDedupIndex(s, dir)
     annBatchParity(s, dir)
@@ -1482,6 +1516,13 @@ object SparkEntry {
     "bm25_index_topk" -> ((s, dir) =>
       IndexedBm25.topK(s, bm25Index(s, dir), bm25Terms, k = 10)),
 
+    // DELETE honored by the maintained index: tombstones + one negative
+    // meta delta, probes anti-join merge-on-read (df recomputed from the
+    // surviving postings). The oracle scores only the surviving docs, so
+    // the hash match proves delete == rebuild-without.
+    "bm25_delete_parity" -> ((s, dir) =>
+      IndexedBm25.topK(s, bm25DeleteIndex(s, dir), bm25Terms, k = 10)),
+
     // E3 (round-13): HYBRID retrieval — reciprocal-rank fusion of the
     // BM25 top-20 and the cosine top-20 for the flagship query. Ranks are
     // integers, so the fused scores are exact rational arithmetic; both
@@ -1609,6 +1650,17 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => {
       val q = queryVec(s, dir)
       AnnIndex.queryTopK(lshIndex(s, dir), q, 10, annCfg)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("id"))
+    }),
+
+    // E2 (round-13): DELETE honored by the persisted ANN index — probe of
+    // the tombstoned index (merge-on-read anti-join, pruning preserved)
+    // must equal the LSH pipeline re-derived over ONLY the survivors;
+    // the oracle excludes vec_id<50 from the candidate set.
+    "ann_delete_parity" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      AnnIndex.queryTopK(annDeleteIndex(s, dir), q, 10, annCfg)
         .select(col("id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), col("id"))
     }),
@@ -2046,12 +2098,12 @@ object SparkEntry {
     * bit-for-bit up to the `ln` libm ulp that ROUND(…,6) absorbs.
     * WITHOUT a leading `WITH` so it can splice after other CTEs.
     */
-  private val bm25Cte =
-    """tok AS (
+  private def bm25CteFor(where: String) =
+    s"""tok AS (
       |  SELECT doc_id,
       |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-      |  FROM documents),
+      |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      |  FROM documents$where),
       |d AS (SELECT doc_id, len(t) AS dl, t FROM tok),
       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total FROM d),
       |qt AS (SELECT unnest(['vector', 'stream', 'hash']) AS term),
@@ -2068,6 +2120,8 @@ object SparkEntry {
       |         + 1.2 * (0.25 + 0.75 * CAST(p2.dl AS DOUBLE) * st.n / st.total))) AS score
       |  FROM p2 JOIN f USING (term) CROSS JOIN st
       |  GROUP BY p2.doc_id)""".stripMargin
+
+  private val bm25Cte = bm25CteFor("")
 
   private val bm25TopkSql =
     s"""WITH $bm25Cte
@@ -2384,6 +2438,31 @@ object SparkEntry {
          |cand AS (
          |  SELECT DISTINCT s.vec_id AS id
          |  FROM sigs s JOIN qb ON s.t = qb.t AND s.bucket = qb.bucket),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT c.id,
+         |    SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE)) AS dot,
+         |    SQRT(SUM(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE))) AS na,
+         |    SQRT(SUM(CAST(q.qe[r.i] AS DOUBLE) * CAST(q.qe[r.i] AS DOUBLE))) AS nb
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+         |  CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+         |  GROUP BY c.id),
+         |ranked AS (
+         |  SELECT id, CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS score
+         |  FROM sc ORDER BY score DESC, id LIMIT 10)
+         |SELECT id, ROUND(score, 6) AS score FROM ranked
+         |ORDER BY score DESC, id""".stripMargin,
+
+    // ann_topk's derivation with the tombstoned ids excluded from the
+    // candidate set — everything else (planes, buckets, exact rerank,
+    // tie-break) identical.
+    "ann_delete_parity" ->
+      s"""WITH ${lshSigsCte(nTables = 16, nBits = 6)},
+         |qb AS (SELECT t, bucket FROM sigs WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT s.vec_id AS id
+         |  FROM sigs s JOIN qb ON s.t = qb.t AND s.bucket = qb.bucket
+         |  WHERE s.vec_id >= 50),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |sc AS (
          |  SELECT c.id,
@@ -3010,6 +3089,14 @@ object SparkEntry {
     // serves both, and the shared hash proves probe == scan == rebuild
     // (the index is built 60% + appended 40%).
     "bm25_index_topk" -> bm25TopkSql,
+
+    // The delete-parity probe must equal the direct scan over ONLY the
+    // surviving docs: same CTE, corpus filtered to doc_id >= 50 — the
+    // exact set the engine tombstoned.
+    "bm25_delete_parity" ->
+      s"""WITH ${bm25CteFor(" WHERE doc_id >= 50")}
+         |SELECT doc_id, ROUND(score, 6) AS score
+         |FROM bm ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
 
     // RRF fusion: rank the BM25 top-20 (on the rounded score, doc_id
     // tiebreak — the emitted ordering) and the cosine top-20 (raw score,

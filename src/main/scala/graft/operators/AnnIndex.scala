@@ -169,8 +169,45 @@ object AnnIndex {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     graft.store.DocStore.swapDirContents(spark, path) { tmp =>
-      writeIndex(spark.read.parquet(path), tmp)
+      // reading through readIndex also FOLDS tombstones: the rewrite drops
+      // deleted rows and the swap drops the _tombstones sidecar itself
+      writeIndex(readIndex(spark, path), tmp)
     }
+
+  private def tombstonesDir(path: String) = s"$path/_tombstones"
+
+  /** DELETE ids from the persisted index without touching its files —
+    * the store's O4 verb honored by the maintained artifact: ids land in
+    * an `_tombstones` sidecar (underscore-prefixed so Spark's partition
+    * discovery of the index layout ignores it) and every probe through
+    * [[readIndex]] anti-joins them, merge-on-read. Cost: one tiny write,
+    * independent of index size. [[compactIndex]] folds tombstones into a
+    * physical rewrite. Unknown ids are no-ops; double deletes are
+    * idempotent (the anti-join is a set subtraction).
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "ann delete: empty id list")
+    import spark.implicits._
+    ids.distinct.toDF("id")
+      .write.mode("append").parquet(tombstonesDir(path))
+  }
+
+  /** Merge-on-read view of a persisted index: the raw partitioned read
+    * (so probe predicates still prune (table, bucket) dirs — the filter
+    * pushes below the anti-join) minus the tombstoned ids (broadcast —
+    * bounded by deletions since the last compact). Use this instead of a
+    * raw `spark.read.parquet(path)` wherever deletions may exist.
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val t = new org.apache.hadoop.fs.Path(tombstonesDir(path))
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) base
+    else base.join(
+      broadcast(spark.read.parquet(tombstonesDir(path)).select(col("id"))),
+      Seq("id"), "left_anti")
+  }
 
   /** Approximate top-k: probe the query's bucket in every table, score
     * every candidate with the exact codegen cosine, dedup across tables,

@@ -201,13 +201,23 @@ object Bm25 {
   *    pattern applied to a keyword index).
   *  - `meta/` — delta rows of `(n, total)` partial doc/token counts,
   *    summed on read (the CountTable merge-on-read discipline): append
-  *    writes only the batch's own 1-row delta, never rewrites state.
+  *    writes only the batch's own 1-row delta, deletes a negative one —
+  *    state is never rewritten outside [[compact]].
+  *  - `doclens/` — `(doc_id, dl)` sidecar, so [[delete]] can price a
+  *    deletion without touching the corpus or the postings.
+  *  - `tombstones/` — deleted ids; probes anti-join them (merge-on-read),
+  *    [[compact]] folds them into a physical rewrite under the atomic
+  *    swap.
   *
   * APPEND is linear in the batch: new postings land as new files in the
   * partitions their terms hash to (old files untouched), and `df`/stats
   * stay exact because a document arrives in exactly one batch — probing
   * an appended index is value-identical to probing a from-scratch rebuild
   * over old ∪ new, the parity the `bm25_index_topk` oracle row pins.
+  * DELETE is tombstone-cheap and probe-exact: df comes from surviving
+  * posting rows, (n, total) from the negative meta delta — probing after
+  * delete (or after delete+compact) is value-identical to probing a
+  * rebuild over the surviving docs, the `bm25_delete_parity` oracle row.
   */
 object IndexedBm25 {
 
@@ -233,45 +243,135 @@ object IndexedBm25 {
     docs.select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("__dl"))
       .agg(count(lit(1)).cast("long").as("n"), sum(col("__dl")).as("total"))
 
+  private def doclensDir(path: String) = s"$path/doclens"
+  private def tombstonesDir(path: String) = s"$path/tombstones"
+
+  private def doclensOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesDir(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Merge-on-read view of deletions: anti-join a frame against the
+    * tombstone set (broadcast — bounded by deletions since the last
+    * [[compact]]). No tombstone dir → the frame passes through untouched.
+    */
+  private def applyTombstones(spark: SparkSession, path: String,
+                              frame: DataFrame): DataFrame =
+    if (!hasTombstones(spark, path)) frame
+    else frame.join(
+      broadcast(spark.read.parquet(tombstonesDir(path)).select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+
+  /** Query-term postings: partition-pruned scan (`pt IN (...)` over dir
+    * literals, computed by the same `xxhash64` the writer used, via a
+    * one-row-per-term local frame), then the tombstone anti-join ABOVE
+    * the pruned scan. df computed downstream from these rows is therefore
+    * automatically delete-aware.
+    */
+  private def prunedPostings(spark: SparkSession, path: String,
+                             terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val pts = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(Partitions.toLong)))
+      .as[Long].collect().distinct.toSeq
+    applyTombstones(spark, path,
+      spark.read.parquet(postingsDir(path))
+        .filter(col("pt").isin(pts: _*) && col("term").isin(terms: _*))
+        .select(col("doc_id"), col("dl"), col("term"), col("tf")))
+  }
+
+  /** Merged `(n, total)` as doubles: the meta deltas sum — build row +
+    * per-append rows + NEGATIVE per-delete rows.
+    */
+  private def mergedStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(metaDir(path))
+      .agg(sum(col("n")).cast("double").as("n"),
+        sum(col("total")).cast("double").as("total"))
+
   def build(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     postingsOf(docs, idCol, textCol)
       .repartition(col("pt"))
       .write.mode("overwrite").partitionBy("pt").parquet(postingsDir(path))
     statsOf(docs, textCol).write.mode("overwrite").parquet(metaDir(path))
+    doclensOf(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(doclensDir(path))
   }
 
   /** APPEND a batch: new postings files into the term-hash partitions +
-    * one new meta delta row. Linear in the batch; prior files untouched.
+    * one new meta delta row + the batch's doclen rows. Linear in the
+    * batch; prior files untouched.
     */
   def append(batch: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     postingsOf(batch, idCol, textCol)
       .repartition(col("pt"))
       .write.mode("append").partitionBy("pt").parquet(postingsDir(path))
     statsOf(batch, textCol).write.mode("append").parquet(metaDir(path))
+    doclensOf(batch, idCol, textCol)
+      .write.mode("append").parquet(doclensDir(path))
   }
 
+  /** DELETE documents from the index WITHOUT touching postings files —
+    * the O4 verb honored by the maintained artifact: the ids land in a
+    * tombstone sidecar (probes anti-join it, merge-on-read) and the meta
+    * gets one NEGATIVE delta row (−n, −Σdl for the ids that exist, read
+    * from the doclens sidecar — never from the corpus). df needs no
+    * bookkeeping at all: probes compute it from the surviving posting
+    * rows. Cost: one doclens filter + two tiny writes, independent of
+    * index size. [[compact]] later folds tombstones into a physical
+    * rewrite. Ids deleted twice are counted once (already-tombstoned ids
+    * are excluded from the new delta); unknown ids are no-ops.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "bm25 delete: empty id list")
+    import spark.implicits._
+    val existing = applyTombstones(spark, path,
+        spark.read.parquet(doclensDir(path)))
+      .filter(col("doc_id").isin(ids: _*))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("total"))
+      .head
+    if (existing.getLong(0) > 0L) {
+      Seq((-existing.getLong(0), -existing.getLong(1))).toDF("n", "total")
+        .write.mode("append").parquet(metaDir(path))
+      ids.distinct.toDF("doc_id")
+        .write.mode("append").parquet(tombstonesDir(path))
+    }
+  }
+
+  /** COMPACT: physically drop tombstoned docs from postings and doclens,
+    * collapse the meta deltas to one row, clear the tombstones — all
+    * under the store's single-writer atomic swap. Content afterwards ==
+    * a from-scratch [[build]] over the surviving documents (the
+    * `bm25_delete_parity` oracle row pins probe-equality).
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.store.DocStore.swapDirContents(spark, path) { tmp =>
+      applyTombstones(spark, path, spark.read.parquet(postingsDir(path)))
+        .repartition(col("pt"))
+        .write.partitionBy("pt").parquet(postingsDir(tmp))
+      mergedStats(spark, path)
+        .select(col("n").cast("long").as("n"),
+          col("total").cast("long").as("total"))
+        .write.parquet(metaDir(tmp))
+      applyTombstones(spark, path, spark.read.parquet(doclensDir(path)))
+        .write.parquet(doclensDir(tmp))
+    }
+
   /** Probe the persisted index: reads ONLY the query terms' hash
-    * partitions (partition pruning — `pt IN (...)` over dir literals,
-    * computed by the same `xxhash64` the writer used, via a one-row-per-
-    * term local frame) and the scalar meta deltas. No corpus scan; same
-    * scorer as the direct form, so results match it exactly.
+    * partitions plus the scalar meta deltas (both delete-aware — see
+    * [[prunedPostings]]/[[mergedStats]]). No corpus scan; same scorer as
+    * the direct form, so results match it exactly.
     */
   def topK(spark: SparkSession, path: String, terms: Seq[String], k: Int,
            k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): DataFrame = {
     Validate.positiveTopK(k)
     require(terms.nonEmpty, "bm25: query terms must be non-empty")
-    import spark.implicits._
-    val pts = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(Partitions.toLong)))
-      .as[Long].collect().distinct.toSeq
-    val postings = spark.read.parquet(postingsDir(path))
-      .filter(col("pt").isin(pts: _*) && col("term").isin(terms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val stats = spark.read.parquet(metaDir(path))
-      .agg(sum(col("n")).cast("double").as("n"),
-        sum(col("total")).cast("double").as("total"))
     // private access via the companion: same scorer as the direct scan
-    Bm25Scorer.score(postings, stats, k, k1, b)
+    Bm25Scorer.score(prunedPostings(spark, path, terms.distinct),
+      mergedStats(spark, path), k, k1, b)
   }
 
   /** BATCH probe at query volume — the keyword twin of the ANN indexes'
@@ -295,17 +395,10 @@ object IndexedBm25 {
       explode(array_distinct(col("terms"))).as("term"))
     val terms = qt.select(col("term")).distinct().as[String].collect().toSeq
     require(terms.nonEmpty, "bm25: batch query terms must be non-empty")
-    val pts = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(Partitions.toLong)))
-      .as[Long].collect().distinct.toSeq
-    val postings = spark.read.parquet(postingsDir(path))
-      .filter(col("pt").isin(pts: _*) && col("term").isin(terms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val postings = prunedPostings(spark, path, terms)
     val df = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val stats = spark.read.parquet(metaDir(path))
-      .agg(sum(col("n")).cast("double").as("n"),
-        sum(col("total")).cast("double").as("total"))
+    val stats = mergedStats(spark, path)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(round(col("score"), 6).desc, col("doc_id"))
@@ -331,15 +424,11 @@ object IndexedBm25 {
     require(termsRaw.nonEmpty, "bm25: standing query terms must be non-empty")
     val terms = termsRaw.distinct // a dup would be scored twice downstream
     import spark.implicits._
-    val pts = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(Partitions.toLong)))
-      .as[Long].collect().distinct.toSeq
-    val dfMap = spark.read.parquet(postingsDir(path))
-      .filter(col("pt").isin(pts: _*) && col("term").isin(terms: _*))
+    val dfMap = prunedPostings(spark, path, terms)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
-    val meta = spark.read.parquet(metaDir(path))
-      .agg(sum(col("n")).cast("long"), sum(col("total")).cast("long")).head
+    val meta = mergedStats(spark, path)
+      .select(col("n").cast("long"), col("total").cast("long")).head
     (terms.map(t => t -> dfMap.getOrElse(t, 0L)), meta.getLong(0), meta.getLong(1))
   }
 }

@@ -60,14 +60,30 @@ object CountTable {
     counts(batch, textCol, n)
       .write.mode("append").parquet(countsDir(path))
 
-  /** Merge-on-read view of the table: exact totals across builds and any
-    * number of appends. After [[compact]] the groupBy degenerates to a
-    * pass over already-merged rows.
+  /** DELETE a batch's contribution: append the NEGATED partial counts —
+    * the exact inverse of [[append]] (integer counts form a group, not
+    * just a monoid, so deletion is subtraction-by-summation). The caller
+    * passes the deleted documents themselves, mirroring the append side;
+    * merge-on-read sums cancel exactly, [[read]] drops ngrams that reach
+    * zero, and [[compact]] folds the cancellation physically. Deleting a
+    * batch that was never ingested corrupts the table — same caller
+    * contract as double-append.
+    */
+  def delete(batch: DataFrame, textCol: String, n: Int, path: String): Unit =
+    counts(batch, textCol, n)
+      .select(col("ngram"), (-col("tf")).as("tf"), (-col("df")).as("df"))
+      .write.mode("append").parquet(countsDir(path))
+
+  /** Merge-on-read view of the table: exact totals across builds, any
+    * number of appends, and any number of deletes (zeroed ngrams drop —
+    * a live ngram always has tf > 0). After [[compact]] the groupBy
+    * degenerates to a pass over already-merged rows.
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(countsDir(path))
       .groupBy(col("ngram"))
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+      .filter(col("tf") > 0)
 
   /** Top-N of the persisted table — [[TextAnalysis.vocabulary]] served
     * from maintained state instead of a corpus rescan (k-bounded

@@ -138,8 +138,37 @@ object IvfIndex {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     graft.store.DocStore.swapDirContents(spark, path) { tmp =>
-      writeIndex(spark.read.parquet(path), tmp)
+      // reading through readIndex also folds tombstones (the IVF twin of
+      // AnnIndex.compactIndex's delete handling)
+      writeIndex(readIndex(spark, path), tmp)
     }
+
+  private def tombstonesDir(path: String) = s"$path/_tombstones"
+
+  /** DELETE ids from the persisted IVF index — identical contract to
+    * [[AnnIndex.deleteFromIndex]]: `_tombstones` sidecar, probes through
+    * [[readIndex]] anti-join it, [[compactIndex]] folds it physically.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "ivf delete: empty id list")
+    import spark.implicits._
+    ids.distinct.toDF("id")
+      .write.mode("append").parquet(tombstonesDir(path))
+  }
+
+  /** Merge-on-read view of a persisted IVF index — cluster pruning still
+    * reaches the scan (the probe filter pushes below the anti-join).
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val t = new org.apache.hadoop.fs.Path(tombstonesDir(path))
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) base
+    else base.join(
+      broadcast(spark.read.parquet(tombstonesDir(path)).select(col("id"))),
+      Seq("id"), "left_anti")
+  }
 
   /** Mean cosine between each (non-zero) vector and its assigned centroid
     * — the assignment-quality scalar [[driftCheck]] compares. One narrow

@@ -111,6 +111,34 @@ class Bm25Spec extends SparkSpec {
     assert(dup == batch(1L), s"dup-term query double-counted: $dup")
   }
 
+  test("delete: tombstoned probe == rebuild-without; compact folds physically; idempotent") {
+    val terms = Seq("apple", "banana", "cherry")
+    val survivors = corpusDF.filter(col("doc_id") =!= 1L && col("doc_id") =!= 4L)
+    val expect = Bm25.topK(survivors, "doc_id", "text", terms, 10)
+      .as[(Long, Double)].collect().toSeq
+
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+    IndexedBm25.build(corpusDF, "doc_id", "text", path)
+    IndexedBm25.delete(spark, path, Seq(1L, 4L, 999L)) // unknown id = no-op
+    val afterDelete = IndexedBm25.topK(spark, path, terms, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(afterDelete == expect, s"$afterDelete vs $expect")
+    // frozen stats exclude the deleted docs too
+    val (_, n, total) = IndexedBm25.frozenStats(spark, path, terms)
+    assert(n == 3L && total == survivors
+      .select(sum(operators.TextAnalysis.tokenCount(col("text")))).head.getLong(0))
+
+    // double-delete: no stats drift
+    IndexedBm25.delete(spark, path, Seq(1L))
+    assert(IndexedBm25.frozenStats(spark, path, terms)._2 == 3L)
+
+    // compact: tombstones fold physically, probe unchanged, no tombstone dir
+    IndexedBm25.compact(spark, path)
+    assert(IndexedBm25.topK(spark, path, terms, 10)
+      .as[(Long, Double)].collect().toSeq == expect)
+    assert(spark.read.parquet(s"$path/doclens").count() == 3L)
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, full-outer semantics, tiebreak") {
     val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
     val sem = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")

@@ -49,6 +49,29 @@ class IndexAppendSpec extends SparkSpec {
     assert(probeRows(AnnIndex.queryTopK(spark.read.parquet(path), qVec, 10, cfg)) == viaRebuild)
   }
 
+  test("LSH deleteFromIndex: tombstoned probe == rebuild-without; compact folds; pruning survives") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-delete").toString
+    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), path)
+    AnnIndex.deleteFromIndex(spark, path, (0L until 50L) :+ 99999L) // unknown id no-op
+    val expect = probeRows(AnnIndex.queryTopK(
+      AnnIndex.buildIndex(embs.filter(col("vec_id") >= 50), "vec_id", "embedding", cfg),
+      qVec, 10, cfg))
+    val probe = AnnIndex.queryTopK(AnnIndex.readIndex(spark, path), qVec, 10, cfg)
+    assert(probeRows(probe) == expect)
+    assert(probeRows(probe).forall(_._1 >= 50L))
+    // the bucket predicates still prune the partitioned scan through the anti-join
+    val scanLine = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("table") && scanLine.contains("bucket"),
+      s"pruning lost below the tombstone anti-join:\n$scanLine")
+    // compact folds tombstones physically; probe unchanged; sidecar gone
+    AnnIndex.compactIndex(spark, path)
+    assert(probeRows(AnnIndex.queryTopK(AnnIndex.readIndex(spark, path), qVec, 10, cfg)) == expect)
+    assert(spark.read.parquet(path).count() == (embs.count() - 50) * cfg.nTables)
+    val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    assert(!t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t))
+  }
+
   test("IVF appendToIndex: frozen-model append probes equal to frozen-model rebuild") {
     val old = embs.filter(col("vec_id") < 150)
     val batch = embs.filter(col("vec_id") >= 150)
@@ -76,6 +99,23 @@ class IndexAppendSpec extends SparkSpec {
     assert(parquetFiles() < before, s"IVF compaction did not reduce files ($before)")
     assert(spark.read.parquet(path).count() == embs.count())
     assert(probeRows(IvfIndex.queryTopK(spark.read.parquet(path), model, qVec, 10, nProbe)) == viaRebuild)
+  }
+
+  test("IVF deleteFromIndex: tombstoned probe == frozen-model rebuild-without; compact folds") {
+    val model = IvfIndex.fit(embs, "embedding", k = 8)
+    val nProbe = IvfIndex.defaultNProbe(8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-delete").toString
+    IvfIndex.writeIndex(IvfIndex.buildIndex(embs, "vec_id", "embedding", model), path)
+    IvfIndex.deleteFromIndex(spark, path, 0L until 50L)
+    val expect = probeRows(IvfIndex.queryTopK(
+      IvfIndex.buildIndex(embs.filter(col("vec_id") >= 50), "vec_id", "embedding", model),
+      model, qVec, 10, nProbe))
+    assert(probeRows(IvfIndex.queryTopK(
+      IvfIndex.readIndex(spark, path), model, qVec, 10, nProbe)) == expect)
+    IvfIndex.compactIndex(spark, path)
+    assert(spark.read.parquet(path).count() == embs.count() - 50)
+    assert(probeRows(IvfIndex.queryTopK(
+      IvfIndex.readIndex(spark, path), model, qVec, 10, nProbe)) == expect)
   }
 
   test("driftCheck: same-distribution batch passes; shifted batch recommends a re-fit") {

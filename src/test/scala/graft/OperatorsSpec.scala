@@ -807,6 +807,20 @@ class OperatorsSpec extends SparkSpec {
     val fromCorpus = TextAnalysis.vocabulary(docs, "doc_id", "text", 5)
       .as[(String, Long, Long)].collect().toSeq
     assert(fromState == fromCorpus)
+
+    // DELETE is the exact inverse of append: negated deltas cancel, and
+    // the view equals a recount over the surviving docs; fully-zeroed
+    // ngrams drop; compact folds the cancellation physically
+    CountTable.delete(rest, "text", n = 1, path)
+    val withoutRest = CountTable.counts(first, "text", n = 1)
+    val afterDelete = CountTable.read(spark, path)
+    assert(afterDelete.except(withoutRest).isEmpty &&
+      withoutRest.except(afterDelete).isEmpty,
+      "delete did not invert append")
+    CountTable.compact(spark, path)
+    val foldedRows = CountTable.read(spark, path)
+    assert(foldedRows.except(withoutRest).isEmpty &&
+      withoutRest.except(foldedRows).isEmpty)
   }
 
   test("vocabIds + tokenizeToIds: round-trippable ids, order preserved, OOV=0, blanks kept") {
