@@ -1550,6 +1550,31 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // E3/E5 (round-13): exact PHRASE search — the positional verb
+    // bag-of-words scoring can't express: in-row token-sequence match
+    // (codegen slice-compare per candidate position, nothing leaves the
+    // row), emitting occurrence count + first position per matching doc.
+    "phrase_search" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.phrasePositions(col("text"),
+            Seq("vector", "stream")).as("__p"))
+        .select(col("doc_id"), size(col("__p")).cast("long").as("n_hits"),
+          coalesce(array_min(col("__p")), lit(0)).cast("long").as("first_pos"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id")),
+
+    // E3 composition (round-13): the RESULT PAGE — BM25 top-10 joined
+    // back to text with a ±15-char snippet around the leftmost query-term
+    // hit. One k-bounded join + one codegen projection on top of the
+    // ranked list.
+    "search_snippet" -> ((s, dir) => {
+      val top = Bm25.topK(docs(s, dir), "doc_id", "text", bm25Terms, k = 10)
+      top.join(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("score"),
+          TextAnalysis.snippet(col("text"), bm25Terms, width = 15).as("snippet"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
     // E3×E6 (round-13): STREAMING BM25 ROUTING — each arriving document
     // scored against the standing keyword profile with statistics FROZEN
     // from the maintained inverted index (the alerting face of keyword
@@ -3075,6 +3100,40 @@ object SparkEntry {
         |  FROM sc2)
         |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, ROUND(score, 6) AS score, "rank"
         |FROM rk WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Token positions replayed with 1-based inclusive list slices; the
+    // candidate range(1, len) covers every bigram start.
+    "phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_filter(range(1, len(t)), i -> t[i:i+1] = ['vector', 'stream']) AS p
+        |  FROM t)
+        |SELECT doc_id, CAST(len(p) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(list_min(p), 0) AS BIGINT) AS first_pos
+        |FROM m WHERE len(p) > 0 ORDER BY doc_id""".stripMargin,
+
+    // The ranked list is bm25_topk's; the snippet replays Spark's
+    // locate/least/substr with strpos/LEAST/substr (both 1-based, both
+    // LEAST-ignore-NULLs, 0-miss mapped to NULL via NULLIF). maxTermLen
+    // of (vector, stream, hash) = 6 → window 2·15+6.
+    "search_snippet" ->
+      s"""WITH $bm25Cte,
+         |top AS (
+         |  SELECT doc_id, ROUND(score, 6) AS score FROM bm
+         |  ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10),
+         |sn AS (
+         |  SELECT t.doc_id, t.score, d.text,
+         |    LEAST(NULLIF(strpos(d.text, 'vector'), 0),
+         |          NULLIF(strpos(d.text, 'stream'), 0),
+         |          NULLIF(strpos(d.text, 'hash'), 0)) AS p
+         |  FROM top t JOIN documents d USING (doc_id))
+         |SELECT doc_id, score,
+         |  CASE WHEN p IS NULL THEN ''
+         |       ELSE substr(text, GREATEST(p - 15, 1), 2 * 15 + 6) END AS snippet
+         |FROM sn ORDER BY score DESC, doc_id""".stripMargin,
 
     // The routing stream is a stateless replay of the batch score with
     // index-frozen stats; the index covers the full corpus, so the

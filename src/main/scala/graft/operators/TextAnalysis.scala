@@ -426,6 +426,49 @@ object TextAnalysis {
         coalesce(col("token_ids"), array().cast("array<bigint>")).as("token_ids"))
   }
 
+  // ------------------------------------------------ phrase & snippet
+  /** Match POSITIONS (1-based token index) of an exact token-sequence
+    * phrase in `text` — in-row positional search (the EXACT-PHRASE verb
+    * BM25's bag-of-words scoring can't express): position i matches iff
+    * `tokens[i..i+m-1] == phrase`. Pure codegen HOFs — an index sequence,
+    * a slice comparison per candidate position — O(|tokens|·m) per row
+    * with nothing leaving the row, so phrase search rides any scan.
+    */
+  def phrasePositions(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val m = phrase.size
+    val toks = tokens(text)
+    when(size(toks) >= m,
+      filter(sequence(lit(1), size(toks) - lit(m - 1)),
+        i => slice(toks, i, lit(m)) === typedLit(phrase)))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** `phrase ⊆ text` as a boolean — `phrasePositions` non-empty. */
+  def containsPhrase(text: Column, phrase: Seq[String]): Column =
+    size(phrasePositions(text, phrase)) > 0
+
+  /** Search-result SNIPPET: a character window of ±`width` around the
+    * FIRST occurrence of any query term (leftmost match across terms
+    * wins; term order breaks position ties implicitly since `least`
+    * takes the minimum position). Substring match semantics (like a
+    * highlighter, `locate`-based — "hash" matches inside "hashing");
+    * docs matching no term get the empty string. One codegen projection.
+    */
+  def snippet(text: Column, terms: Seq[String], width: Int): Column = {
+    require(terms.nonEmpty, "snippet terms must be non-empty")
+    require(width >= 0, s"width must be >= 0, got $width")
+    val positions = terms.map(t =>
+      when(locate(t, text) > 0, locate(t, text)).otherwise(lit(null)))
+    val first =
+      if (positions.size == 1) positions.head
+      else least(positions: _*)
+    val maxTermLen = terms.map(_.length).max
+    when(first.isNotNull,
+      text.substr(greatest(first - width, lit(1)), lit(2 * width + maxTermLen)))
+      .otherwise(lit(""))
+  }
+
   // ------------------------------------------------ PII scrubbing
   /** Email pattern — deliberately restricted to syntax whose semantics
     * are IDENTICAL in Java regex and RE2 (character classes, bounded

@@ -858,6 +858,40 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.toSeq == out.toSeq)
   }
 
+  test("phrasePositions/containsPhrase: exact token-sequence match, overlaps, edges") {
+    val in = Seq(
+      (1L, "a b c a b"),     // "a b" at 1 and 4
+      (2L, "ab c"),          // no token-boundary match for "a b"
+      (3L, "a"),             // shorter than the phrase
+      (4L, ""),              // empty
+      (5L, "a a a")).toDF("doc_id", "text") // overlapping "a a" at 1 and 2
+    val out = in.select(col("doc_id"),
+        TextAnalysis.phrasePositions(col("text"), Seq("a", "b")).as("p"),
+        TextAnalysis.containsPhrase(col("text"), Seq("a", "b")).as("hit"))
+      .as[(Long, Seq[Int], Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Seq(1, 4), true), (2L, Seq.empty, false), (3L, Seq.empty, false),
+      (4L, Seq.empty, false), (5L, Seq.empty, false)))
+    val overlap = in.filter(col("doc_id") === 5)
+      .select(TextAnalysis.phrasePositions(col("text"), Seq("a", "a")))
+      .as[Seq[Int]].head
+    assert(overlap == Seq(1, 2))
+  }
+
+  test("snippet: leftmost term wins, window clamps at start, miss gives empty") {
+    val in = Seq(
+      (1L, "xxxx target yyyy"),
+      (2L, "target at start"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val out = in.select(col("doc_id"),
+        TextAnalysis.snippet(col("text"), Seq("target", "start"), width = 3).as("s"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // width 3, maxTermLen 6 → 12 chars from max(1, pos-3)
+    assert(out(0) == ((1L, "xx target yy")))
+    assert(out(1) == ((2L, "target at st"))) // clamped at 1; leftmost of the two terms
+    assert(out(2) == ((3L, "")))
+  }
+
   test("bigramNovelty: integer signals match brute force; short docs get zeros") {
     val in = Seq(
       (1L, "a b c"),          // bigrams: "a b", "b c"
