@@ -532,6 +532,32 @@ object SparkEntry {
         .toDF("n_ngrams", "total_tf", "total_df", "parity")
     }
 
+  /** Count-table DELETE as a hash row (round-13): build on the full
+    * corpus, then [[CountTable.delete]] the last quarter (negated deltas)
+    * and compact. The maintained view must equal a from-scratch recount
+    * over the SURVIVORS — parity computed engine-side, and the emitted
+    * invariant totals recomputed independently by the oracle over the
+    * surviving docs, so the row is real-valued, not a constant.
+    */
+  private def vocabDeleteParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"vocab_delete_parity:$dir") {
+      val d = docs(s, dir)
+      val cut = d.count() * 3 / 4
+      val path = SessionCache.newTempDir("graft-count-table-del")
+      CountTable.build(d, "text", n = 1, path)
+      CountTable.delete(d.filter(col("doc_id") >= cut), "text", n = 1, path)
+      CountTable.compact(s, path)
+      val maintained = CountTable.read(s, path)
+      val survivors = CountTable.counts(d.filter(col("doc_id") < cut), "text", n = 1)
+      val parity = maintained.except(survivors).isEmpty &&
+        survivors.except(maintained).isEmpty
+      val t = maintained.agg(count(lit(1)).as("n"), sum(col("tf")).as("tf"),
+        sum(col("df")).as("df")).head()
+      import s.implicits._
+      Seq((t.getLong(0), t.getLong(1), t.getLong(2), if (parity) 1L else 0L))
+        .toDF("n_ngrams", "total_tf", "total_df", "parity")
+    }
+
   private def jaccardIndexAppendParity(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCreate(s"jaccard_index_append_parity:$dir") {
       val d = docs(s, dir)
@@ -1808,6 +1834,11 @@ object SparkEntry {
     // (CountTable: the vocabulary/statistics twin of the postings and
     // ANN index lifecycles).
     "vocab_index_append_parity" -> ((s, dir) => vocabIndexAppendParity(s, dir)),
+
+    // E5/E7 (round-13): count-table DELETE — negated deltas invert the
+    // append exactly; parity vs a survivor recount + invariant totals the
+    // oracle recomputes independently.
+    "vocab_delete_parity" -> ((s, dir) => vocabDeleteParity(s, dir)),
 
     // E4/E7 (round-11 stretch): the WHOLE nightly loop as one declared
     // row — exact-sha → jaccard-vs-postings-index → LSH-vs-embedding-
@@ -3232,6 +3263,21 @@ object SparkEntry {
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
         |  FROM documents WHERE trim(text) <> ''
+        |)
+        |SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n_ngrams,
+        |  CAST(COUNT(*) AS BIGINT) AS total_tf,
+        |  CAST(COUNT(DISTINCT (doc_id, word)) AS BIGINT) AS total_df,
+        |  CAST(1 AS BIGINT) AS parity
+        |FROM tok""".stripMargin,
+
+    // The delete row's totals recomputed over ONLY the surviving 3/4 —
+    // the engine's maintained table (after negated-delta delete +
+    // compact) must land on exactly these numbers.
+    "vocab_delete_parity" ->
+      """WITH cut AS (SELECT COUNT(*) * 3 // 4 AS c FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents, cut WHERE trim(text) <> '' AND doc_id < cut.c
         |)
         |SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n_ngrams,
         |  CAST(COUNT(*) AS BIGINT) AS total_tf,
