@@ -98,6 +98,16 @@ object SparkEntry {
     * a subsequent timed run measures SERVING cost only — the bench calls
     * this in its warmup section, mirroring offline index builds.
     */
+  /** The planted-PII augmentation shared by the batch and streaming scrub
+    * rows (one email + one NANP phone derived from doc_id) — ONE Column so
+    * the two rows can't drift from each other; both must stay in sync
+    * with the SQL twin in `piiScrubOracle`.
+    */
+  private val piiAugmented: Column =
+    concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-"),
+      (lit(1000L) + col("doc_id") % 9000L).cast("string"), lit(" now"))
+
   /** The BM25 query of the keyword rows — three mid-frequency fixture
     * terms, so tf, df, and length normalization all vary across the hits.
     */
@@ -1443,11 +1453,7 @@ object SparkEntry {
     // the scrubbed STRING hash-checks the full replacement behavior.
     // Patterns restricted to Java-regex/RE2-identical syntax.
     "pii_scrub" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-            lit("@mail.example.com or 555-"),
-            (lit(1000L) + col("doc_id") % 9000L).cast("string"), lit(" now"))
-            .as("__aug"))
+      docs(s, dir).select(col("doc_id"), piiAugmented.as("__aug"))
         .select(col("doc_id"),
           TextAnalysis.scrubPii(col("__aug")).as("scrubbed"),
           TextAnalysis.piiCount(col("__aug")).as("n_pii"))
@@ -1484,11 +1490,8 @@ object SparkEntry {
     // batch pii_scrub oracle replays it exactly (same planted PII).
     "stream_pii_scrub" -> ((s, dir) => {
       val sinkName = "graft_stream_pii_scrub"
-      val aug = Tables.documentsStream(s, dir).select(col("doc_id"),
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.com or 555-"),
-          (lit(1000L) + col("doc_id") % 9000L).cast("string"), lit(" now"))
-          .as("__aug"))
+      val aug = Tables.documentsStream(s, dir)
+        .select(col("doc_id"), piiAugmented.as("__aug"))
       val sq = Streams.piiScrubStream(aug, "__aug")
         .select(col("doc_id"), col("scrubbed"), col("n_pii"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")

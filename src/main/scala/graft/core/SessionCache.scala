@@ -28,6 +28,8 @@ object SessionCache {
     }
   }
 
+  private val locks = new ConcurrentHashMap[String, Object]()
+
   /** Get-or-build an artifact under `key` (include the sfDir in the key —
     * artifacts are per-dataset).
     *
@@ -36,20 +38,26 @@ object SessionCache {
     * `computeIfAbsent` on one ConcurrentHashMap throws
     * IllegalStateException("Recursive update") whenever the two keys
     * land in the same bin (a hash-collision landmine that EntrySpec
-    * finally stepped on). So: racy check-then-build with `putIfAbsent`
-    * — a concurrent first request for the SAME key may build twice and
-    * the first write wins, which is correct for these artifacts (pure
-    * builds into fresh temp dirs); every consumer of the key sees ONE
-    * canonical value. Single-threaded Verify/Bench/spec drivers never
-    * even hit the race.
+    * finally stepped on). The first round-13 fix was a racy
+    * check-then-`putIfAbsent`, but several builders carry GLOBAL side
+    * effects (named streaming queries, catalog DROP/CREATE) where a
+    * double-build is not benign — so builds serialize on a PER-KEY
+    * monitor instead: exactly-once per key, while nested builds for
+    * DIFFERENT keys take different monitors and never touch one map bin
+    * mid-update (builder dependencies form a DAG, so no lock cycles).
     */
   def getOrCreate[T <: AnyRef](key: String)(build: => T): T = {
     val hit = cache.get(key)
-    if (hit != null) hit.asInstanceOf[T]
-    else {
-      val built = build
-      val prev = cache.putIfAbsent(key, built)
-      (if (prev != null) prev else built).asInstanceOf[T]
+    if (hit != null) return hit.asInstanceOf[T]
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = cache.get(key)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val built = build
+        cache.put(key, built)
+        built
+      }
     }
   }
 

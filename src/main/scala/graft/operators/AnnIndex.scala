@@ -182,8 +182,14 @@ object AnnIndex {
     * discovery of the index layout ignores it) and every probe through
     * [[readIndex]] anti-joins them, merge-on-read. Cost: one tiny write,
     * independent of index size. [[compactIndex]] folds tombstones into a
-    * physical rewrite. Unknown ids are no-ops; double deletes are
-    * idempotent (the anti-join is a set subtraction).
+    * physical rewrite. Double deletes are idempotent (the anti-join is a
+    * set subtraction). Caveat: EVERY passed id is tombstoned without an
+    * existence check (unlike [[IndexedBm25.delete]], pricing needs no
+    * sidecar here and checking would cost an index scan), and a
+    * tombstone suppresses its id even in rows appended AFTER the delete
+    * — so ids, including never-ingested ones passed by mistake, must not
+    * be (re)used by appends within a compact cycle (the store's monotone
+    * assignment never reuses ids).
     */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: Seq[Long]): Unit = {

@@ -323,20 +323,30 @@ object IndexedBm25 {
     * rows. Cost: one doclens filter + two tiny writes, independent of
     * index size. [[compact]] later folds tombstones into a physical
     * rewrite. Ids deleted twice are counted once (already-tombstoned ids
-    * are excluded from the new delta); unknown ids are no-ops.
+    * are excluded from the new delta); unknown ids are literal no-ops
+    * (never written to the tombstone set). Caveat: a tombstone
+    * suppresses its id's rows regardless of when they were appended —
+    * re-appending a DELETED id before [[compact]] clears the tombstones
+    * silently filters the new rows. Ids must not be reused within a
+    * compact cycle (the store's monotone id assignment never reuses
+    * them).
     */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "bm25 delete: empty id list")
     import spark.implicits._
-    val existing = applyTombstones(spark, path,
+    // only ids the index actually holds are tombstoned (collect bounded
+    // by |ids|) — so "unknown ids are no-ops" holds literally, and a
+    // later append REUSING a never-ingested id is not silently filtered
+    val matched = applyTombstones(spark, path,
         spark.read.parquet(doclensDir(path)))
       .filter(col("doc_id").isin(ids: _*))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("total"))
-      .head
-    if (existing.getLong(0) > 0L) {
-      Seq((-existing.getLong(0), -existing.getLong(1))).toDF("n", "total")
+      .select(col("doc_id"), col("dl"))
+      .collect()
+    if (matched.nonEmpty) {
+      Seq((-matched.length.toLong, -matched.map(_.getLong(1)).sum))
+        .toDF("n", "total")
         .write.mode("append").parquet(metaDir(path))
-      ids.distinct.toDF("doc_id")
+      matched.map(_.getLong(0)).toSeq.toDF("doc_id")
         .write.mode("append").parquet(tombstonesDir(path))
     }
   }

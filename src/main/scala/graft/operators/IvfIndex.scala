@@ -145,9 +145,10 @@ object IvfIndex {
 
   private def tombstonesDir(path: String) = s"$path/_tombstones"
 
-  /** DELETE ids from the persisted IVF index — identical contract to
-    * [[AnnIndex.deleteFromIndex]]: `_tombstones` sidecar, probes through
-    * [[readIndex]] anti-join it, [[compactIndex]] folds it physically.
+  /** DELETE ids from the persisted IVF index — identical contract (and
+    * id-reuse caveat) to [[AnnIndex.deleteFromIndex]]: `_tombstones`
+    * sidecar, probes through [[readIndex]] anti-join it,
+    * [[compactIndex]] folds it physically.
     */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: Seq[Long]): Unit = {

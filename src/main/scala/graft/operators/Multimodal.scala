@@ -269,7 +269,10 @@ object Multimodal {
           g.drawImage(img, 0, 0, targetW, targetH, null)
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, format, bos)
+        if (!javax.imageio.ImageIO.write(out, format, bos))
+          throw new graft.core.EngineError(
+            s"resize: no registered image writer for format '$format' " +
+            "(ImageIO.write returned false) — refusing to emit an empty asset")
         bos.toByteArray
       case None =>
         // non-image payload: the deterministic stride sampler (the

@@ -361,11 +361,19 @@ object TextAnalysis {
     * millions of rows and must never funnel through one task (the
     * "zero unpartitioned Window" discipline PLANS.md pins).
     */
-  def vocabIds(counts: DataFrame): DataFrame =
+  def vocabIds(counts: DataFrame): DataFrame = {
+    // accept both count-frame shapes the doc promises: CountTable's "tf"
+    // and ngramCounts' "cnt"
+    val tfCol =
+      if (counts.columns.contains("tf")) col("tf")
+      else if (counts.columns.contains("cnt")) col("cnt")
+      else throw new IllegalArgumentException(
+        s"vocabIds: expected a 'tf' or 'cnt' column, got ${counts.columns.mkString(", ")}")
     graft.store.DocStore.assignIdsOrdered(
-        counts.select(col("ngram"), col("tf")),
+        counts.select(col("ngram"), tfCol.as("tf")),
         Seq(col("tf").desc, col("ngram").asc), 0L, idCol = "id")
       .select(col("ngram").as("word"), col("id"))
+  }
 
   /** TOKENIZE a corpus against a vocabulary frame `(word, id)` — the
     * APPLY side of tokenizer training (the step between [[vocabulary]]
@@ -463,8 +471,10 @@ object TextAnalysis {
   def snippet(text: Column, terms: Seq[String], width: Int): Column = {
     require(terms.nonEmpty, "snippet terms must be non-empty")
     require(width >= 0, s"width must be >= 0, got $width")
-    val positions = terms.map(t =>
-      when(locate(t, text) > 0, locate(t, text)).otherwise(lit(null)))
+    // nullif, not when(locate>0, locate): the CaseWhen branch form would
+    // re-run the O(|text|) locate scan per reference (branches are
+    // outside codegen CSE — the Bm25.scoreTokens round-13 lesson)
+    val positions = terms.map(t => nullif(locate(t, text), lit(0)))
     val first =
       if (positions.size == 1) positions.head
       else least(positions: _*)

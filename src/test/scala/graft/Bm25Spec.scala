@@ -123,6 +123,9 @@ class Bm25Spec extends SparkSpec {
     val afterDelete = IndexedBm25.topK(spark, path, terms, 10)
       .as[(Long, Double)].collect().toSeq
     assert(afterDelete == expect, s"$afterDelete vs $expect")
+    // the unknown id must NOT be tombstoned (a later append may use it)
+    assert(spark.read.parquet(s"$path/tombstones")
+      .as[Long].collect().toSet == Set(1L, 4L))
     // frozen stats exclude the deleted docs too
     val (_, n, total) = IndexedBm25.frozenStats(spark, path, terms)
     assert(n == 3L && total == survivors
