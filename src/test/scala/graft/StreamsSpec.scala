@@ -109,6 +109,32 @@ class StreamsSpec extends SparkSpec {
       "streamed appends drifted from the recount")
   }
 
+  test("streaming index-delete maintenance: foreachBatch deletes converge to batch deletes") {
+    // the retention-pipeline shape: a stream of takedown/expiry ids drives
+    // IndexedBm25.delete per micro-batch; once drained, probing the index
+    // must equal a direct scan over the surviving docs
+    val docs = Tables.documents(spark, Sf0001)
+    val idxPath = java.nio.file.Files.createTempDirectory("spec-stream-del").toString
+    graft.operators.IndexedBm25.build(docs, "doc_id", "text", idxPath)
+    val terms = Seq("vector", "stream")
+    // delete-id stream: every doc_id < 100, via the documents file stream
+    val sq = Tables.documentsStream(spark, Sf0001)
+      .filter(col("doc_id") < 100).select(col("doc_id"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) graft.operators.IndexedBm25.delete(spark, idxPath, ids)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "stream did not finish")
+    val probed = graft.operators.IndexedBm25.topK(spark, idxPath, terms, 10)
+      .as[(Long, Double)].collect().toSeq
+    val direct = graft.operators.Bm25.topK(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text", terms, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed == direct, s"$probed vs $direct")
+  }
+
   test("watermark-bounded dedup variant runs and dedups within the horizon") {
     val sinkName = "spec_stream_dedup_wm"
     val ev = Tables.eventsStream(spark, Sf0001)
