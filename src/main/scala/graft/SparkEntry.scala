@@ -1579,6 +1579,13 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // E5 (round-13): token-length HISTOGRAM — the distribution every
+    // corpus build charts (truncation pressure, short-doc mass, packing
+    // efficiency). Partial agg collapses each partition to |buckets|
+    // rows before the exchange.
+    "length_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(docs(s, dir), "text", bucketWidth = 20L)),
+
     // E3/E5 (round-13): exact PHRASE search — the positional verb
     // bag-of-words scoring can't express: in-row token-sequence match
     // (codegen slice-compare per candidate position, nothing leaves the
@@ -3134,6 +3141,17 @@ object SparkEntry {
         |  FROM sc2)
         |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, ROUND(score, 6) AS score, "rank"
         |FROM rk WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Integer floor-div bucketing — exact on both engines.
+    "length_histogram" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents)
+        |SELECT CAST(n // 20 AS BIGINT) AS bucket,
+        |  CAST((n // 20) * 20 AS BIGINT) AS lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
 
     // Token positions replayed with 1-based inclusive list slices; the
     // candidate range(1, len) covers every bigram start.

@@ -434,6 +434,26 @@ object TextAnalysis {
         coalesce(col("token_ids"), array().cast("array<bigint>")).as("token_ids"))
   }
 
+  // ------------------------------------------------ corpus monitoring
+  /** Token-length HISTOGRAM of a corpus — the distribution every build
+    * monitors (truncation pressure, degenerate-short mass, packing
+    * efficiency): docs bucketed by `floor(n_tokens / bucketWidth)`, each
+    * bucket carrying its doc count and token mass. One scan + a
+    * buckets-sized aggregate — the partial agg collapses each partition
+    * to |buckets| rows before the exchange, so the shuffle is bounded by
+    * the histogram's own size at any corpus scale.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    docs.select(tokenCount(col(textCol)).cast("long").as("__n"))
+      .groupBy((col("__n") / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .withColumn("lo", col("bucket") * bucketWidth)
+      .select(col("bucket"), col("lo"), col("n_docs"), col("n_tokens"))
+      .orderBy("bucket")
+  }
+
   // ------------------------------------------------ phrase & snippet
   /** Match POSITIONS (1-based token index) of an exact token-sequence
     * phrase in `text` — in-row positional search (the EXACT-PHRASE verb

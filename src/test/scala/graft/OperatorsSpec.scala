@@ -858,6 +858,18 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.toSeq == out.toSeq)
   }
 
+  test("lengthHistogram: floor bucketing, empty docs in bucket 0, token mass per bucket") {
+    val in = Seq((1L, "a b c"), (2L, ""), (3L, "a b c d e"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lengthHistogram(in, "text", bucketWidth = 4L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // n_tokens: 3, 0, 5, 1 → bucket 0 (n<4): docs 1,2,4 (mass 4); bucket 1: doc 3 (mass 5)
+    assert(got == Seq((0L, 0L, 3L, 4L), (1L, 4L, 1L, 5L)), got.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lengthHistogram(in, "text", 0L)
+    }
+  }
+
   test("phrasePositions/containsPhrase: exact token-sequence match, overlaps, edges") {
     val in = Seq(
       (1L, "a b c a b"),     // "a b" at 1 and 4
