@@ -299,7 +299,25 @@ object Bench {
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
     println(line)
+    System.out.flush()
     spark.stop()
+    // Round-14 (BENCH_r11/r12/r13 all recorded "parsed": null): the
+    // driver keeps only a ~512-byte stdout TAIL, and the full line above
+    // is ~4 KB — the tail window lands mid-JSON every round. Emit a
+    // COMPACT summary as the LAST stdout line, sized to always fit the
+    // tail window whole: totals + error count + the slowest 8 per-query
+    // timings (the rows a cross-round comparison reads first), with the
+    // full 115-row map in BENCH_LOCAL.json (path in "detail"). Printed
+    // after spark.stop() so no shutdown logging can follow it.
+    val slow8 = ok.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow8,""" +
+      s""""n_queries":${ok.size},"n_err":${errs.size},"iters":$Iters,""" +
+      s""""load_inflated":$loadInflated,"detail":"BENCH_LOCAL.json",""" +
+      s""""sf":"${jsonEscape(sfDir)}"}""")
+    System.out.flush()
     // A bench with errored queries is a FAILED bench run (round-11: seven
     // analysis-errored event queries shipped under rc=0 and the round was
     // recorded green with no parsed timings). The JSON artifact above still

@@ -78,9 +78,13 @@ object ScaleProbe {
     // scrub / stratified sample) over the amplified documents.
     // SPARK_GRAFT_ONLY_R13C=1 probes only the tokenizer-apply forms
     // (broadcast-map default vs the distributed join fallback).
+    // SPARK_GRAFT_ONLY_R14=1 probes only the round-14 keyword-family
+    // completion (positional index lifecycle, batch probe, hybrid
+    // fusion, index-served phrase vs full scan, tombstone-only delete).
     // SPARK_GRAFT_ONLY_R13D=1 probes only the BM25 keyword-retrieval
     // forms (direct scan vs persisted inverted-index lifecycle).
-    val onlyR13d = sys.env.contains("SPARK_GRAFT_ONLY_R13D")
+    val onlyR14 = sys.env.contains("SPARK_GRAFT_ONLY_R14")
+    val onlyR13d = onlyR14 || sys.env.contains("SPARK_GRAFT_ONLY_R13D")
     val onlyR13c = onlyR13d || sys.env.contains("SPARK_GRAFT_ONLY_R13C")
     val onlyR13b = onlyR13c || sys.env.contains("SPARK_GRAFT_ONLY_R13B")
     val onlyR13 = onlyR13b || sys.env.contains("SPARK_GRAFT_ONLY_R13")
@@ -558,12 +562,81 @@ object ScaleProbe {
       }
     }
 
+    // Round-14 keyword-family completion: the positional index's whole
+    // serving surface at scale — build/append (now paying the positions
+    // collect), keyword probe (positions must be FREE via column
+    // pruning), batch probe at query volume (SimJoin.rankTopK shape),
+    // hybrid RRF fusion, tombstone-only delete + merge-on-read probe,
+    // and the headline: index-served PHRASE search vs the full-scan form
+    // (the r13 "scan-serve at 100 TB" gap).
+    locally {
+      val terms = Seq("vector", "stream", "hash")
+      val idxPath = graft.core.SessionCache.newTempDir("graft-scale-bm25-r14")
+      timed(s"bm25 POSITIONAL BUILD (99% of $nDocs docs)") {
+        IndexedBm25.build(docs.filter(col("doc_id") < nDocs * 99L / 100L),
+          "doc_id", "text", idxPath)
+      }
+      timed("bm25 positional APPEND 1% batch") {
+        IndexedBm25.append(docs.filter(col("doc_id") >= nDocs * 99L / 100L),
+          "doc_id", "text", idxPath)
+      }
+      timed("bm25 keyword PROBE top-10 (positions col pruned)") {
+        IndexedBm25.topK(spark, idxPath, terms, 10).collect()
+      }
+      locally {
+        import spark.implicits._
+        val vocabTerms = Seq("vector", "stream", "hash", "join", "sort",
+          "merge", "scan", "filter", "row", "query")
+        val queries = (0 until 100).map { i =>
+          (i.toLong, Seq(vocabTerms(i % 10), vocabTerms((i / 2 + 3) % 10)).distinct)
+        }.toDF("q_id", "terms")
+        timed("bm25 BATCH probe 100q top-5") {
+          IndexedBm25.topKBatch(spark, idxPath, queries, 5).count()
+        }
+      }
+      timed("hybrid RRF (bm25 top-20 + cosine top-20 -> top-10)") {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val lex = Bm25.topK(docs, "doc_id", "text", terms, 20)
+          .withColumn("rank", row_number().over(w))
+        val sem = Similarity.topK(emb, "embedding", "vec_id", q, 20)
+          .select(col("vec_id").as("doc_id"), col("score"))
+          .withColumn("rank", row_number().over(w))
+        Bm25.rrfFuse(lex, sem, 10).collect()
+      }
+      timed(s"phrase FULL SCAN ($nDocs docs)") {
+        docs.select(col("doc_id"),
+            TextAnalysis.phrasePositions(col("text"),
+              Seq("vector", "stream")).as("p"))
+          .select(col("doc_id"), size(col("p")).as("n"))
+          .filter(col("n") > 0).count()
+      }
+      timed("phrase INDEX probe") {
+        IndexedBm25.phraseSearch(spark, idxPath,
+          Seq("vector", "stream")).count()
+      }
+      timed("phrase INDEX probe (2nd, warm file index)") {
+        IndexedBm25.phraseSearch(spark, idxPath,
+          Seq("vector", "stream")).count()
+      }
+      timed("bm25 DELETE 1000 ids (tombstone-only write)") {
+        IndexedBm25.delete(spark, idxPath, 0L until 1000L)
+      }
+      timed("bm25 probe after delete (merge-on-read stats)") {
+        IndexedBm25.topK(spark, idxPath, terms, 10).collect()
+      }
+      timed("phrase INDEX probe after delete") {
+        IndexedBm25.phraseSearch(spark, idxPath,
+          Seq("vector", "stream")).count()
+      }
+    }
+
     // Round-13 BM25: the inverted-index probe must be corpus-scan-free
     // (reads only the query terms' hash partitions + scalar meta), vs the
     // direct scan that pays the corpus pass; APPEND must be linear in the
     // batch. Also times the streaming-face scorer as a batch backfill
     // (pure codegen projection — should track plain scan speed).
-    locally {
+    if (!onlyR14) locally {
       val terms = Seq("vector", "stream", "hash")
       timed(s"bm25 DIRECT scan top-10 ($nDocs docs)") {
         Bm25.topK(docs, "doc_id", "text", terms, 10).collect()

@@ -62,10 +62,17 @@ object Bm25 {
                            k1: Double, b: Double): DataFrame =
     Bm25Scorer.score(postings, stats, k, k1, b)
 
-  private def checkedTerms(terms: Seq[String]): Seq[String] = {
+  /** ONE duplicate-term contract for every serving form (round-14,
+    * ADVICE r13): duplicated query terms are silently deduplicated —
+    * scoring a term twice would double-count its contribution, and the
+    * batch probe ([[IndexedBm25.topKBatch]]) already dedups in-row via
+    * `array_distinct`, so the scan, the indexed probe, and the batch
+    * probe all answer a dup-carrying query identically (drop-in
+    * replacements for each other). Empty stays an error.
+    */
+  private[operators] def checkedTerms(terms: Seq[String]): Seq[String] = {
     require(terms.nonEmpty, "bm25: query terms must be non-empty")
-    require(terms.distinct == terms, s"bm25: duplicate query terms in $terms")
-    terms
+    terms.distinct
   }
 
   /** Direct-scan BM25 top-k. Corpus stats (N, Σ|d|) are an inline
@@ -201,13 +208,17 @@ object Bm25 {
   *    pattern applied to a keyword index).
   *  - `meta/` — delta rows of `(n, total)` partial doc/token counts,
   *    summed on read (the CountTable merge-on-read discipline): append
-  *    writes only the batch's own 1-row delta, deletes a negative one —
-  *    state is never rewritten outside [[compact]].
-  *  - `doclens/` — `(doc_id, dl)` sidecar, so [[delete]] can price a
-  *    deletion without touching the corpus or the postings.
-  *  - `tombstones/` — deleted ids; probes anti-join them (merge-on-read),
-  *    [[compact]] folds them into a physical rewrite under the atomic
-  *    swap.
+  *    writes only the batch's own 1-row delta — state is never rewritten
+  *    outside [[compact]]. Deletes write NOTHING here (round-14): the
+  *    deletion correction derives at read time from doclens ⋉ tombstones
+  *    ([[mergedStats]]), so stats and row suppression share one source
+  *    of truth and cannot diverge on a crash or a concurrent delete.
+  *  - `doclens/` — `(doc_id, dl)` sidecar: prices deletions at read
+  *    time without touching the corpus or the postings.
+  *  - `tombstones/` — deleted ids, the SOLE record a delete writes;
+  *    probes anti-join them (merge-on-read), stats subtract through
+  *    them, [[compact]] folds them into a physical rewrite under the
+  *    atomic swap.
   *
   * APPEND is linear in the batch: new postings land as new files in the
   * partitions their terms hash to (old files untouched), and `df`/stats
@@ -215,9 +226,10 @@ object Bm25 {
   * an appended index is value-identical to probing a from-scratch rebuild
   * over old ∪ new, the parity the `bm25_index_topk` oracle row pins.
   * DELETE is tombstone-cheap and probe-exact: df comes from surviving
-  * posting rows, (n, total) from the negative meta delta — probing after
-  * delete (or after delete+compact) is value-identical to probing a
-  * rebuild over the surviving docs, the `bm25_delete_parity` oracle row.
+  * posting rows, (n, total) from the read-time doclens⋉tombstones
+  * correction — probing after delete (or after delete+compact) is
+  * value-identical to probing a rebuild over the surviving docs, the
+  * `bm25_delete_parity` oracle row.
   */
 object IndexedBm25 {
 
@@ -226,17 +238,25 @@ object IndexedBm25 {
   private def postingsDir(path: String) = s"$path/postings"
   private def metaDir(path: String) = s"$path/meta"
 
-  /** Full postings of a frame: one token-level aggregation — the honest
-    * one-time cost of building an inverted index (the probe side never
-    * pays it again).
+  /** Full POSITIONAL postings of a frame: one token-level aggregation —
+    * the honest one-time cost of building an inverted index (the probe
+    * side never pays it again). Round-14: each posting row also carries
+    * the term's sorted 1-based `positions` (the same convention as
+    * [[TextAnalysis.phrasePositions]]), making the index a POSITIONAL
+    * one — exact-phrase queries serve from the pruned partitions instead
+    * of re-scanning the corpus ([[phraseSearch]]). `tf` stays a separate
+    * column (not `size(positions)`) so BM25 probes never decode the
+    * position arrays: parquet column pruning keeps the keyword path's
+    * read set exactly what it was before positions existed.
     */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__t"))
       .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
-        explode(col("__t")).as("term"))
+        posexplode(col("__t")).as(Seq("__pos", "term")))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__pos") + lit(1))).as("positions"))
       .withColumn("pt", pmod(xxhash64(col("term")), lit(Partitions.toLong)))
 
   private def statsOf(docs: DataFrame, textCol: String): DataFrame =
@@ -273,7 +293,18 @@ object IndexedBm25 {
     * automatically delete-aware.
     */
   private def prunedPostings(spark: SparkSession, path: String,
-                             terms: Seq[String]): DataFrame = {
+                             terms: Seq[String]): DataFrame =
+    prunedPostingsCols(spark, path, terms,
+      Seq("doc_id", "dl", "term", "tf"))
+
+  /** Shared pruned-scan core: `pt IN (...)` partition literals + a term
+    * filter, then the tombstone anti-join, projecting only `selectCols`
+    * (the BM25 path never reads `positions`; the phrase path never reads
+    * `tf` — parquet column pruning keeps each probe's IO minimal).
+    */
+  private def prunedPostingsCols(spark: SparkSession, path: String,
+                                 terms: Seq[String],
+                                 selectCols: Seq[String]): DataFrame = {
     import spark.implicits._
     val pts = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(Partitions.toLong)))
@@ -281,16 +312,39 @@ object IndexedBm25 {
     applyTombstones(spark, path,
       spark.read.parquet(postingsDir(path))
         .filter(col("pt").isin(pts: _*) && col("term").isin(terms: _*))
-        .select(col("doc_id"), col("dl"), col("term"), col("tf")))
+        .select(selectCols.map(col): _*))
   }
 
-  /** Merged `(n, total)` as doubles: the meta deltas sum — build row +
-    * per-append rows + NEGATIVE per-delete rows.
+  /** Merged `(n, total)` as doubles: the POSITIVE meta deltas (build row
+    * + per-append rows) minus the tombstoned docs' own (count, Σdl),
+    * DERIVED at read time from doclens semi-joined with the tombstone
+    * set. Round-14 change (ADVICE r13): [[delete]] used to write a
+    * negative meta delta alongside the tombstone file — a crash between
+    * the two writes, or two concurrent deletes with overlapping ids,
+    * left (n, total) subtracted without the docs suppressed (or
+    * double-subtracted), and [[compact]] baked the corruption in. With
+    * the correction derived here, the tombstone file is the SOLE source
+    * of truth: stats and row suppression can never disagree, and a
+    * doubly-tombstoned id subtracts once (the semi-join dedups the
+    * right side by construction).
     */
-  private def mergedStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(metaDir(path))
+  private def mergedStats(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(metaDir(path))
       .agg(sum(col("n")).cast("double").as("n"),
         sum(col("total")).cast("double").as("total"))
+    if (!hasTombstones(spark, path)) base
+    else {
+      val dead = spark.read.parquet(doclensDir(path))
+        .join(broadcast(spark.read.parquet(tombstonesDir(path))
+            .select(col("doc_id"))),
+          Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).cast("double").as("dn"),
+          coalesce(sum(col("dl")), lit(0L)).cast("double").as("dtotal"))
+      base.crossJoin(dead)
+        .select((col("n") - col("dn")).as("n"),
+          (col("total") - col("dtotal")).as("total"))
+    }
+  }
 
   def build(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     postingsOf(docs, idCol, textCol)
@@ -316,20 +370,24 @@ object IndexedBm25 {
 
   /** DELETE documents from the index WITHOUT touching postings files —
     * the O4 verb honored by the maintained artifact: the ids land in a
-    * tombstone sidecar (probes anti-join it, merge-on-read) and the meta
-    * gets one NEGATIVE delta row (−n, −Σdl for the ids that exist, read
-    * from the doclens sidecar — never from the corpus). df needs no
+    * tombstone sidecar, and that sidecar is the SOLE source of truth —
+    * probes anti-join it (merge-on-read) and [[mergedStats]] derives the
+    * (−n, −Σdl) correction from doclens at read time, so delete is ONE
+    * append-only write. A crash before the write is a clean no-op; there
+    * is no second write to crash between (the r13 negative-meta-delta
+    * form could leave stats subtracted without the docs suppressed), and
+    * two concurrent deletes with overlapping ids at worst duplicate
+    * tombstone rows — the stats semi-join and the probes' anti-join both
+    * dedup by construction, so the index stays exact. df needs no
     * bookkeeping at all: probes compute it from the surviving posting
-    * rows. Cost: one doclens filter + two tiny writes, independent of
+    * rows. Cost: one doclens filter + one tiny write, independent of
     * index size. [[compact]] later folds tombstones into a physical
-    * rewrite. Ids deleted twice are counted once (already-tombstoned ids
-    * are excluded from the new delta); unknown ids are literal no-ops
-    * (never written to the tombstone set). Caveat: a tombstone
-    * suppresses its id's rows regardless of when they were appended —
-    * re-appending a DELETED id before [[compact]] clears the tombstones
-    * silently filters the new rows. Ids must not be reused within a
-    * compact cycle (the store's monotone id assignment never reuses
-    * them).
+    * rewrite. Unknown ids are literal no-ops (never written to the
+    * tombstone set). Caveat: a tombstone suppresses its id's rows
+    * regardless of when they were appended — re-appending a DELETED id
+    * before [[compact]] clears the tombstones silently filters the new
+    * rows. Ids must not be reused within a compact cycle (the store's
+    * monotone id assignment never reuses them).
     */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "bm25 delete: empty id list")
@@ -340,12 +398,9 @@ object IndexedBm25 {
     val matched = applyTombstones(spark, path,
         spark.read.parquet(doclensDir(path)))
       .filter(col("doc_id").isin(ids: _*))
-      .select(col("doc_id"), col("dl"))
+      .select(col("doc_id"))
       .collect()
     if (matched.nonEmpty) {
-      Seq((-matched.length.toLong, -matched.map(_.getLong(1)).sum))
-        .toDF("n", "total")
-        .write.mode("append").parquet(metaDir(path))
       matched.map(_.getLong(0)).toSeq.toDF("doc_id")
         .write.mode("append").parquet(tombstonesDir(path))
     }
@@ -378,9 +433,8 @@ object IndexedBm25 {
   def topK(spark: SparkSession, path: String, terms: Seq[String], k: Int,
            k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): DataFrame = {
     Validate.positiveTopK(k)
-    require(terms.nonEmpty, "bm25: query terms must be non-empty")
-    // private access via the companion: same scorer as the direct scan
-    Bm25Scorer.score(prunedPostings(spark, path, terms.distinct),
+    // same scorer AND same dup-dedup contract as the direct scan
+    Bm25Scorer.score(prunedPostings(spark, path, Bm25.checkedTerms(terms)),
       mergedStats(spark, path), k, k1, b)
   }
 
@@ -391,8 +445,17 @@ object IndexedBm25 {
     * same touched-set discipline as the ANN batch probes) and pushed as
     * partition + term filters; the query table broadcasts onto the pruned
     * postings; per-(query, doc) scores aggregate postings-bounded rows;
-    * ranking is a PARTITIONED window (parallel across queries, row_number
-    * ≤ k — never an unpartitioned sort).
+    * ranking routes through [[SimJoin.rankTopK]]'s two-level k-bounded
+    * reduction — the SAME shape as `AnnIndex.queryTopKBatch` /
+    * `IvfIndex.queryTopKBatch`, never a per-q_id rank window. (Round-13
+    * used `row_number().over(partitionBy(q_id))`; one hot term —
+    * stopword-scale posting list — funnels that query's whole matching
+    * set through a single window task. The k-bounded aggregator reduces
+    * each partition to ≤k rows per query BEFORE the exchange, so the
+    * shuffle moves O(|queries|·k·partitions) rows regardless of posting
+    * skew.) Ranking cuts on the ROUNDED score with a doc_id tiebreak —
+    * rounded BEFORE ranking so the emitted order is exactly the oracle's
+    * `ROUND(score,6) DESC, doc_id` ordering.
     */
   def topKBatch(spark: SparkSession, path: String, queries: DataFrame,
                 k: Int, k1: Double = Bm25.DefaultK1,
@@ -409,19 +472,61 @@ object IndexedBm25 {
     val df = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val stats = mergedStats(spark, path)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(round(col("score"), 6).desc, col("doc_id"))
-    postings
+    val scored = postings
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__contrib", Bm25Scorer.contrib(k1, b))
       .groupBy(col("q_id"), col("doc_id")).agg(sum(col("__contrib")).as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("doc_id"),
-        round(col("score"), 6).as("score"), col("rank"))
+      .select(col("q_id"), col("doc_id").as("c_id"),
+        round(col("score"), 6).as("score"))
+      .as[SimJoin.Scored]
+    SimJoin.rankTopK(scored, k)
+      .select(col("q_id"), col("c_id").as("doc_id"), col("score"), col("rank"))
+  }
+
+  /** EXACT-PHRASE search served from the POSITIONAL index — the verb the
+    * round-13 `(term, doc_id, tf)` postings could not answer (a standing
+    * phrase query re-scanned the corpus: the sf0.1 `phrase_search` row
+    * was the 3rd-slowest bench entry at 2.8 s, and at 100 TB scan-serve
+    * is not a serving path at all). Plan: pruned scan of ONLY the phrase
+    * terms' hash partitions (reading just `(doc_id, term, positions)` —
+    * `tf`/`dl` pruned away), per-doc term→positions map via one
+    * match-bounded aggregation, then the adjacency check as a codegen
+    * HOF over the map: a 1-based start position `p` of `phrase(0)`
+    * matches iff `p+j ∈ positions(phrase(j))` for every later j — the
+    * positional-intersection form of the classic phrase-query algorithm
+    * over sorted posting lists. Output `(doc_id, n_hits, first_pos)`
+    * with the same 1-based convention as
+    * [[TextAnalysis.phrasePositions]], so the full-scan form's oracle
+    * pins probe == scan. Duplicate phrase terms ("the the") fall out of
+    * the same formula — both j's index the one positions array at
+    * different offsets. Delete-aware: the pruned scan anti-joins
+    * tombstones, so a tombstoned doc can never match.
+    */
+  def phraseSearch(spark: SparkSession, path: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val terms = phrase.distinct
+    val m = phrase.size
+    val byDoc = prunedPostingsCols(spark, path, terms,
+        Seq("doc_id", "term", "positions"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+          collect_list(struct(col("term"), col("positions")))).as("__m"),
+        count(lit(1)).as("__nterms"))
+      // a doc missing ANY phrase term cannot match — and filtering here
+      // keeps every element_at below non-null
+      .filter(col("__nterms") === terms.size)
+    val starts = filter(element_at(col("__m"), lit(phrase.head)),
+      pos => (1 until m)
+        .map(j => array_contains(
+          element_at(col("__m"), lit(phrase(j))), pos + lit(j)))
+        .foldLeft(lit(true))(_ && _))
+    byDoc.select(col("doc_id"), starts.as("__p"))
+      .select(col("doc_id"), size(col("__p")).cast("long").as("n_hits"),
+        coalesce(array_min(col("__p")), lit(0)).cast("long").as("first_pos"))
+      .filter(col("n_hits") > 0)
   }
 
   /** FROZEN statistics for a standing query, read from the maintained

@@ -191,6 +191,35 @@ object Dedup {
   private def postingsDir(path: String) = path + "/postings"
   private def freqsDir(path: String) = path + "/freqs"
 
+  /** Verify-scale guard for the UNCAPPED-oracle precondition (round-14;
+    * ADVICE r12 #2 documented it, VERDICT r13 #8 asked for the engine
+    * assertion): the declared jaccard rows' SQL oracles model FULL
+    * shingle sets, which equal the engine's capped path only while no
+    * shingle's document frequency exceeds `maxDocFreq`. This asserts
+    * that precondition over `df` and throws [[graft.core.EngineError]]
+    * naming the hottest shingle if the cap would bind — so a future
+    * fixture generation where it binds fails LOUDLY in the engine, not
+    * as a mystery hash mismatch in the driver's compare. Cost: one
+    * shingle aggregation + a 1-row collect. Call at verify/bench sfs
+    * only — at deployment scale the cap binding is intended behavior,
+    * not an error.
+    */
+  def assertCapUnbound(df: DataFrame, textCol: String, n: Int,
+                       maxDocFreq: Long, context: String): Unit = {
+    val top = df.select(explode(shingles(col(textCol), n)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("shingle")).limit(1).collect()
+    top.headOption.foreach { r =>
+      if (r.getLong(1) > maxDocFreq)
+        throw new graft.core.EngineError(
+          s"$context: hot-shingle cap would bind — shingle " +
+          s"'${r.getString(0)}' appears in ${r.getLong(1)} docs > " +
+          s"maxDocFreq=$maxDocFreq, so the uncapped SQL oracle no longer " +
+          "matches the engine's capped path; regenerate the fixture or " +
+          "replicate the cap in the oracle")
+    }
+  }
+
   /** BUILD a persisted shingle-postings index at `path` — the jaccard twin
     * of [[AnnIndex.writeIndex]], completing the index-maintenance story
     * for the text-dedup path (round-11). Layout: `path/postings` holds the

@@ -396,11 +396,17 @@ object TextAnalysis {
   def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
                     vocab: DataFrame,
                     maxBroadcastEntries: Int = 8000000): DataFrame = {
+    // Size check BEFORE the collect (round-14, ADVICE r13): collecting
+    // maxBroadcastEntries+1 Rows just to discover the vocab is over the
+    // cap is itself hundreds of MB of driver heap at the default cap —
+    // the OOM would fire before the join fallback ever engaged. The
+    // count costs one cheap job (it scans only row counts, no data to
+    // the driver) and gates the collect to under-cap vocabs only.
+    if (vocab.limit(maxBroadcastEntries + 1).count() > maxBroadcastEntries)
+      return tokenizeToIdsJoin(docs, idCol, textCol, vocab)
     val entries = vocab
       .select(col("word").cast("string"), col("id").cast("long"))
-      .limit(maxBroadcastEntries + 1).collect()
-    if (entries.length > maxBroadcastEntries)
-      return tokenizeToIdsJoin(docs, idCol, textCol, vocab)
+      .collect()
     val m = new java.util.HashMap[String, java.lang.Long](entries.length * 2)
     entries.foreach(r => m.put(r.getString(0), r.getLong(1)))
     val bc = docs.sparkSession.sparkContext.broadcast(m)

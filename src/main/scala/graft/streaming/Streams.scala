@@ -269,8 +269,14 @@ object Streams {
     * projection (idf literals folded at plan time; no join, no state
     * store, no watermark), so it composes with any source/sink and a
     * batch backfill shares the one definition. Filtering is on the
-    * UNROUNDED score (house determinism rule); consumers round for
-    * display.
+    * ROUNDED score (round-14, ADVICE r13): the engine sums term
+    * contributions in fixed query-term order while a replaying engine
+    * may sum join rows in arbitrary order, so a document landing within
+    * float-summation noise of the threshold could flip membership
+    * between the two (and across Spark partial-agg orders). Rounding to
+    * 6 decimals BEFORE the cut makes membership deterministic for any
+    * score keeping >1e-6 margin from the threshold — the same 6-decimal
+    * determinism contract every ranked serving form already uses.
     */
   def bm25RouteStream(stream: DataFrame, textCol: String,
                       termStats: Seq[(String, Long)], n: Long, total: Long,
@@ -281,7 +287,7 @@ object Streams {
     // (see Bm25.withScore / the round-13 CaseWhen-CSE note)
     graft.operators.Bm25
       .withScore(stream, textCol, termStats, n, total)
-      .filter(col("score") >= threshold)
+      .filter(round(col("score"), 6) >= threshold)
 
   /** Streaming exact dedup — the ingest face of
     * [[graft.operators.Dedup.dedupExact]]: hash each arriving document's

@@ -87,6 +87,52 @@ class Bm25Spec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == direct)
   }
 
+  test("phraseSearch: positional-index probe == full-scan phrasePositions; pruned, delete-aware") {
+    // full-scan reference over the same corpus
+    def scanPhrase(df: org.apache.spark.sql.DataFrame, phrase: Seq[String]) =
+      df.select(col("doc_id"),
+          operators.TextAnalysis.phrasePositions(col("text"), phrase).as("p"))
+        .select(col("doc_id"), size(col("p")).cast("long").as("n_hits"),
+          coalesce(array_min(col("p")), lit(0)).cast("long").as("first_pos"))
+        .filter(col("n_hits") > 0)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-phrase").toString
+    // build + append lifecycle: positions must survive the append too
+    IndexedBm25.build(corpusDF.filter(col("doc_id") <= 2), "doc_id", "text", path)
+    IndexedBm25.append(corpusDF.filter(col("doc_id") > 2), "doc_id", "text", path)
+
+    for (phrase <- Seq(
+        Seq("apple", "banana"),        // matches doc 1 at pos 1
+        Seq("banana", "apple"),        // matches doc 1 at pos 2
+        Seq("dog", "dog"),             // duplicate-term phrase: doc 4, hits at 1..3
+        Seq("banana"),                 // single-term phrase = term occurrences
+        Seq("cherry", "apple"))) {     // no match anywhere
+      val got = IndexedBm25.phraseSearch(spark, path, phrase)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == scanPhrase(corpusDF, phrase), s"phrase $phrase: $got")
+    }
+    // the dup-term case concretely: "dog dog" in "dog dog dog dog"
+    assert(IndexedBm25.phraseSearch(spark, path, Seq("dog", "dog"))
+      .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 3L, 1L)))
+
+    // the probe prunes to the phrase terms' hash partitions
+    val plan = IndexedBm25.phraseSearch(spark, path, Seq("apple", "banana"))
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("pt"), s"no partition filter on phrase probe:\n$scanLine")
+
+    // delete-aware: tombstoned doc can never match
+    IndexedBm25.delete(spark, path, Seq(1L))
+    assert(IndexedBm25.phraseSearch(spark, path, Seq("apple", "banana"))
+      .as[(Long, Long, Long)].collect().isEmpty)
+    // and after compact the physical rewrite preserves positions
+    IndexedBm25.compact(spark, path)
+    assert(IndexedBm25.phraseSearch(spark, path, Seq("dog", "dog"))
+      .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 3L, 1L)))
+  }
+
   test("topKBatch: many queries in one plan, each equal to its per-query probe") {
     val path = java.nio.file.Files.createTempDirectory("graft-bm25-batch").toString
     IndexedBm25.build(corpusDF, "doc_id", "text", path)
@@ -161,15 +207,25 @@ class Bm25Spec extends SparkSpec {
     assert(tie == Seq(3L, 7L))
   }
 
-  test("validation: empty terms, duplicate terms, bad k") {
+  test("validation: empty terms, bad k; dup terms dedup identically in every form") {
     intercept[IllegalArgumentException] {
       Bm25.topK(corpusDF, "doc_id", "text", Seq.empty, 10)
-    }
-    intercept[IllegalArgumentException] {
-      Bm25.topK(corpusDF, "doc_id", "text", Seq("a", "a"), 10)
     }
     intercept[Exception] {
       Bm25.topK(corpusDF, "doc_id", "text", Seq("a"), 0)
     }
+    // ONE dup-term contract (round-14): every serving form silently
+    // dedups, so scan and indexed probe are drop-in replacements.
+    val clean = Bm25.topK(corpusDF, "doc_id", "text", Seq("apple", "banana"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val dup = Bm25.topK(corpusDF, "doc_id", "text",
+        Seq("apple", "banana", "apple"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(dup == clean, s"scan dup-dedup: $dup vs $clean")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-dup").toString
+    IndexedBm25.build(corpusDF, "doc_id", "text", path)
+    val idxDup = IndexedBm25.topK(spark, path, Seq("apple", "banana", "apple"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(idxDup == clean, s"indexed dup-dedup: $idxDup vs $clean")
   }
 }

@@ -101,6 +101,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 0.333333)))
   }
 
+  test("assertCapUnbound: injected hot shingle throws loudly; cool corpus passes") {
+    // 'hot spot' appears in 4 docs — a cap of 3 must bind and name it
+    val df = Seq(
+      (1L, "hot spot a"), (2L, "hot spot b"), (3L, "hot spot c"),
+      (4L, "hot spot d"), (5L, "cool doc e")).toDF("id", "text")
+    val e = intercept[graft.core.EngineError] {
+      Dedup.assertCapUnbound(df, "text", n = 2, maxDocFreq = 3L, "spec")
+    }
+    assert(e.getMessage.contains("hot spot") && e.getMessage.contains("4"),
+      s"guard must name the hottest shingle: ${e.getMessage}")
+    // at cap 4 nothing binds — no throw
+    Dedup.assertCapUnbound(df, "text", n = 2, maxDocFreq = 4L, "spec")
+    // and an empty frame is a no-op, not a crash
+    Dedup.assertCapUnbound(df.filter(col("id") < 0), "text", 2, 1L, "spec")
+  }
+
   test("simhashPairs: banding stays COMPLETE for maxHamming > 3") {
     // Construct ids whose simhash distance is moderate; verify banding
     // output equals the brute-force popcount filter at the same radius.

@@ -228,4 +228,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size == 1,
       s"expected exactly 1 exchange (partial→final agg), got ${shuffles.size}")
   }
+
+  test("bm25 batch probe ranks via the k-bounded partial agg, never a per-q_id window") {
+    // Round-14 (VERDICT r13 #2): row_number().over(partitionBy(q_id))
+    // funnels a hot-term query's whole matching set through one window
+    // task. The batch probe must rank through SimJoin.rankTopK — the
+    // same shape the ANN/IVF batch probes pin: a Partial-mode
+    // ObjectHashAggregate (the k-bounded TopKAgg) and ZERO WindowExec.
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-plan").toString
+    operators.IndexedBm25.build(docs, "doc_id", "text", path)
+    val queries = spark.createDataFrame(
+      Seq(Row(0L, Seq("vector", "stream")), Row(1L, Seq("hash"))).asJava,
+      T.StructType(Seq(
+        T.StructField("q_id", T.LongType),
+        T.StructField("terms", T.ArrayType(T.StringType)))))
+    val plan = physical(
+      operators.IndexedBm25.topKBatch(spark, path, queries, k = 5))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"per-q_id rank window in bm25 batch plan:\n$plan")
+    assert(plan.collect {
+      case a: ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }.nonEmpty, s"no partial ObjectHashAggregate in bm25 batch plan:\n$plan")
+    assert(plan.toString.toLowerCase.contains("partial_topkagg"),
+      s"partial_topkagg marker missing from bm25 batch plan:\n$plan")
+  }
 }
