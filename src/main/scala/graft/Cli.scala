@@ -18,6 +18,7 @@ import graft.store.GraftStore
   *   query <text> [topK]
   *   search <text> [topK]     (BM25 keyword — extension verb)
   *   hybrid <text> [topK]     (RRF fusion of query+search — extension verb)
+  *   phrase <text> [topK]     (exact contiguous phrase — extension verb)
   *   ingest-file <file> [maxChars] [overlap]
   *   stats | delete <id> | show <id> | list [limit] [offset]
   *   compact [targetFiles]
@@ -81,6 +82,14 @@ object Cli {
         println(f"${i + 1}. id=${r.getLong(0)} rrf=${r.getDouble(1)}%.6f text=$preview")
       }
 
+    case "phrase" => // exact contiguous-token phrase — extension verb
+      val k = if (rest.length > 1) rest(1).toInt else 3
+      store.searchPhrase(rest(0), k).collect().zipWithIndex.foreach { case (r, i) =>
+        val preview = Option(r.getAs[String]("text")).map(t =>
+          if (t.length > 200) t.take(200) + "..." else t).getOrElse("")
+        println(s"${i + 1}. id=${r.getLong(0)} hits=${r.getLong(1)} first_pos=${r.getLong(2)} text=$preview")
+      }
+
     case "ingest-file" =>
       val maxChars = if (rest.length > 1) rest(1).toInt else 2000 // defaults, vectolite.py:487-489
       val overlap = if (rest.length > 2) rest(2).toInt else 200
@@ -121,5 +130,5 @@ object Cli {
   }
 
   private val usage =
-    """usage: graft.Cli <store-path> <add|query|search|hybrid|ingest-file|stats|delete|show|list|compact> [args...]"""
+    """usage: graft.Cli <store-path> <add|query|search|hybrid|phrase|ingest-file|stats|delete|show|list|compact> [args...]"""
 }

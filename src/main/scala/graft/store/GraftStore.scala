@@ -122,6 +122,31 @@ final class GraftStore(spark: SparkSession, path: String, embedder: Embedder) {
       .select(col("id"), col("rrf"), col("text"), col("metadata"))
   }
 
+  /** EXACT-PHRASE search over the stored documents (round-14) — the
+    * positional retrieval verb bag-of-words scoring can't express:
+    * whitespace-tokenized `phraseText` matched as a contiguous token
+    * sequence ([[graft.operators.TextAnalysis.phrasePositions]], in-row
+    * codegen — phrase search rides the store scan). Rows `(id, n_hits,
+    * first_pos, text, metadata)` ranked by occurrence count then id.
+    * A standing/high-volume phrase workload serves from
+    * [[graft.operators.IndexedBm25.phraseSearch]]'s positional index
+    * instead of re-scanning; the store verb is the ad-hoc form.
+    */
+  def searchPhrase(phraseText: String, topK: Int = 3): DataFrame = {
+    Validate.nonEmptyText(phraseText, "Query text")
+    Validate.positiveTopK(topK)
+    val phrase = phraseText.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    table().select(col("id"),
+        graft.operators.TextAnalysis.phrasePositions(col("text"), phrase).as("__p"),
+        col("text"), col("metadata"))
+      .select(col("id"), size(col("__p")).cast("long").as("n_hits"),
+        coalesce(array_min(col("__p")), lit(0)).cast("long").as("first_pos"),
+        col("text"), col("metadata"))
+      .filter(col("n_hits") > 0)
+      .orderBy(desc("n_hits"), col("id"))
+      .limit(topK)
+  }
+
   def countDocuments(): Long = table().count()
 
   /** Delete by id; true iff a row existed (`rowcount > 0`,

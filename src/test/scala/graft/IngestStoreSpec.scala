@@ -127,6 +127,15 @@ class IngestStoreSpec extends SparkSpec {
 
     intercept[EngineError](store.searchKeyword("  ", 3))
     intercept[EngineError](store.queryHybrid("ok", 0))
+
+    // phrase: contiguous sequence only — "ponds and" hits doc 1, not the
+    // doc that has both words non-adjacent ("ponds freeze...")
+    val ph = store.searchPhrase("ponds and", topK = 3).collect()
+    assert(ph.map(_.getLong(0)).toSeq == Seq(1L), ph.toSeq)
+    assert(ph.head.getLong(1) == 1L && ph.head.getLong(2) == 3L) // 1-based pos of "ponds"
+    assert(store.searchPhrase("bread ponds", 3).isEmpty) // wrong order ≠ match
+    intercept[EngineError](store.searchPhrase("  ", 3))
+    intercept[EngineError](store.searchPhrase("ok", 0))
   }
 
   test("compact: collapses append files, preserves data, keeps sort column pruneable") {
