@@ -108,6 +108,21 @@ object SparkEntry {
       lit("@mail.example.com or 555-"),
       (lit(1000L) + col("doc_id") % 9000L).cast("string"), lit(" now"))
 
+  /** The planted multi-LINE augmentation of the line-curation rows
+    * (round-14): fixture texts carry no newlines, so the line rules are
+    * exercised on a deterministic 4-line layout — a short boilerplate
+    * header (fails minWords AND matches the marker regex), the real text
+    * with terminal punctuation (content), a footer shared by EVERY doc
+    * (interdoc-hot), and a doc-unique 2-word tail (fails minWords). ONE
+    * Column shared by both line rows; in sync with the SQL `aug` CTEs.
+    */
+  private val lineAugmented: Column =
+    concat_ws("\n",
+      lit("Subscribe to our newsletter"),
+      concat(col("text"), lit(".")),
+      lit("copyright footer all pages share"),
+      concat(lit("unique "), col("doc_id").cast("string")))
+
   /** The BM25 query of the keyword rows — three mid-frequency fixture
     * terms, so tf, df, and length normalization all vary across the hits.
     */
@@ -1475,6 +1490,36 @@ object SparkEntry {
           TextAnalysis.scrubPii(col("__aug")).as("scrubbed"),
           TextAnalysis.piiCount(col("__aug")).as("n_pii"))
         .orderBy("doc_id")),
+
+    // E5 (round-14): C4-STYLE LINE CLEANING — per-document line rules
+    // (min words, boilerplate-marker regex) over the planted 4-line
+    // layout (see lineAugmented): the short subscribe header and the
+    // 2-word unique tail drop, content and the footer survive. Pure
+    // codegen HOFs, one split per row, nothing leaves the row — the
+    // line-level face of the quality filter. The cleaned STRING
+    // hash-checks the whole rule set.
+    "line_clean" -> ((s, dir) =>
+      TextAnalysis.lineClean(
+          docs(s, dir).select(col("doc_id"), lineAugmented.as("text")),
+          "text", minWords = 5, boilerplateRe = "(?i)subscribe|cookie")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
+        .orderBy("doc_id")),
+
+    // E4/E5 (round-14): INTERDOC BOILERPLATE-LINE REMOVAL — lines shared
+    // by more than maxDocFreq documents (the planted header + footer:
+    // df = |corpus| at every sf) are chrome, not content; they drop from
+    // every doc while content lines (df ≤ 2 in the fixtures) survive.
+    // The hot-line table aggregates per-doc-distinct lines (the vocab df
+    // discipline — one line-vocabulary-sized exchange), then broadcasts
+    // as a set for an in-row filter: the corpus never shuffles.
+    "line_boilerplate" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
+      val hot = TextAnalysis.hotLines(aug, "text", maxDocFreq = 100L)
+      TextAnalysis.removeHotLines(aug, "text", hot)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("cleaned")).as("clean_sha"))
+        .orderBy("doc_id")
+    }),
 
     // E7 (round-13): CURRICULUM sampling — quality-tiered deterministic
     // down-sampling (keep all high-quality mass, thin mid, heavily thin
@@ -3139,6 +3184,67 @@ object SparkEntry {
     // semantics as the engine row; phone count runs after email
     // redaction on both sides so the two totals decompose identically.
     "pii_scrub" -> piiScrubOracle,
+
+    // Line rules replayed with list HOFs over the same planted 4-line
+    // layout; the cleaned string hash-checks the whole rule set (word
+    // floor + marker regex). trim/empty-drop mirrors TextAnalysis.linesOf.
+    "line_clean" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    'Subscribe to our newsletter' || chr(10) || text || '.' || chr(10) ||
+        |    'copyright footer all pages share' || chr(10) ||
+        |    'unique ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)),
+        |      s -> s <> '') AS ls
+        |  FROM aug),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, s ->
+        |      len(list_filter(string_split_regex(s, '\s+'), w -> w <> '')) >= 5
+        |      AND NOT regexp_matches(s, '(?i)subscribe|cookie')) AS kept
+        |  FROM l)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS cleaned
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Interdoc hot-line removal replayed as per-doc-DISTINCT line df →
+    // hot set (> 100 docs) → indexed anti-join → order-restoring
+    // regroup; md5 of the re-joined survivors hash-checks the removal.
+    "line_boilerplate" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    'Subscribe to our newsletter' || chr(10) || text || '.' || chr(10) ||
+        |    'copyright footer all pages share' || chr(10) ||
+        |    'unique ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)),
+        |      s -> s <> '') AS ls
+        |  FROM aug),
+        |df AS (
+        |  SELECT line, COUNT(*) AS n_docs FROM (
+        |    SELECT DISTINCT doc_id, line FROM (
+        |      SELECT doc_id, unnest(ls) AS line FROM l))
+        |  GROUP BY line),
+        |hot AS (SELECT line FROM df WHERE n_docs > 100),
+        |pos AS (
+        |  SELECT doc_id, u.i, u.s AS line
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(ls, (x, i) -> struct_pack(s := x, i := i))) AS u
+        |        FROM l)),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.line
+        |  FROM pos p LEFT JOIN hot h ON p.line = h.line WHERE h.line IS NULL),
+        |agg AS (SELECT doc_id, list(line ORDER BY i) AS kls FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  CAST(len(l.ls) - COALESCE(len(a.kls), 0) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(a.kls, chr(10)), '')) AS clean_sha
+        |FROM l LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // The streaming face is a stateless projection of the same pass —
     // one oracle serves both (same planted PII, same augmentation).

@@ -460,6 +460,108 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  // ------------------------------------------------ line-level curation
+  /** Non-empty trimmed lines of a text column (`""` rows dropped) — the
+    * unit of C4/RefinedWeb-style curation rules, which operate on LINES
+    * where document rules operate on whole texts.
+    */
+  def linesOf(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  /** First occurrence of each element of a BOUND array column, order
+    * preserved — within-doc repeated-line dedup. `arr` must be an
+    * attribute (staged via `withColumn`), not a computed subtree: HOF
+    * lambdas re-evaluate captured subtrees per element (the round-8
+    * lambda-quadratic lesson). `array_position` makes this O(n²) in the
+    * array length — fine for per-document line counts, not for corpora.
+    */
+  def firstOccurrences(arr: Column): Column =
+    transform(
+      filter(transform(arr, (x, i) => struct(x.as("x"), i.as("i"))),
+        s => array_position(arr, s.getField("x")) === s.getField("i") + 1),
+      s => s.getField("x"))
+
+  /** RULE-BASED LINE CLEANING (C4-style, public rules: Raffel et al. 2020
+    * §2.2): per document, keep only lines with ≥ `minWords` words, not
+    * matching the `boilerplateRe` marker pattern, and (optionally) ending
+    * in terminal punctuation; optionally drop within-doc repeated lines
+    * (first occurrence wins). Pure codegen HOFs over a staged line array
+    * — one split per row, nothing leaves the row — so the cleaning pass
+    * rides any scan at 100 TB exactly like the PII scrub. Output: input
+    * columns + `n_lines`, `n_kept`, `cleaned` (kept lines re-joined with
+    * '\n').
+    *
+    * The document-level quality filter ([[filterReasons]]) decides
+    * whether a DOC survives; this decides which LINES of a surviving doc
+    * do — the two compose (clean lines first, then doc-level metrics
+    * over the cleaned text).
+    */
+  def lineClean(df: DataFrame, textCol: String,
+                minWords: Int = 5,
+                boilerplateRe: String = "(?i)subscribe|cookie|all rights reserved",
+                requireTerminalPunct: Boolean = false,
+                dedupLines: Boolean = false): DataFrame = {
+    require(minWords >= 0, s"minWords must be >= 0, got $minWords")
+    val keepRule: Column => Column = { l =>
+      val words = size(filter(split(l, "\\s+"), w => w =!= ""))
+      val base = words >= minWords && !l.rlike(boilerplateRe)
+      if (requireTerminalPunct) base && l.rlike("[.!?]$") else base
+    }
+    val staged = df.withColumn("__lines", linesOf(col(textCol)))
+      .withColumn("__kept0", filter(col("__lines"), keepRule))
+    val withKept =
+      if (dedupLines) staged.withColumn("__kept", firstOccurrences(col("__kept0")))
+      else staged.withColumn("__kept", col("__kept0"))
+    withKept
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("cleaned", array_join(col("__kept"), "\n"))
+      .drop("__lines", "__kept0", "__kept")
+  }
+
+  /** Lines appearing in more than `maxDocFreq` DOCUMENTS — the interdoc
+    * boilerplate table (navigation chrome, legal footers: RefinedWeb /
+    * CCNet-style "line repeated across many pages" removal). Per-doc
+    * distinctness in-row (`array_distinct` before the explode), so the
+    * aggregate counts document frequency and the only exchange is
+    * line-vocabulary-sized — the [[vocabIds]] df discipline.
+    */
+  def hotLines(df: DataFrame, textCol: String, maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
+    df.select(explode(array_distinct(linesOf(col(textCol)))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocFreq)
+  }
+
+  /** Remove the [[hotLines]] set from every document IN ROW: the hot set
+    * is a bounded artifact (lines shared by >cap documents — chrome and
+    * footers, not content), so it collects once under `maxBroadcastLines`
+    * and broadcasts as a hash set; each doc's line array filters through
+    * it in one narrow projection — ZERO shuffle over the corpus, the
+    * [[tokenizeToIds]] broadcast discipline. Throws [[graft.core.EngineError]]
+    * if the hot set exceeds the cap (a corpus whose boilerplate table is
+    * unbounded needs the join form — and a look at its fixture).
+    * Output: input columns + `n_removed`, `cleaned`.
+    */
+  def removeHotLines(df: DataFrame, textCol: String, hot: DataFrame,
+                     maxBroadcastLines: Int = 1000000): DataFrame = {
+    if (hot.limit(maxBroadcastLines + 1).count() > maxBroadcastLines)
+      throw new graft.core.EngineError(
+        s"hot-line set exceeds $maxBroadcastLines entries — not a bounded " +
+        "boilerplate table; inspect the corpus or raise the cap")
+    val hotSet = hot.select(col("line").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val bc = df.sparkSession.sparkContext.broadcast(hotSet)
+    val keep = udf((ls: Seq[String]) =>
+      if (ls == null) Seq.empty[String] else ls.filterNot(bc.value.contains))
+    df.withColumn("__lines", linesOf(col(textCol)))
+      .withColumn("__kept", keep(col("__lines")))
+      .withColumn("n_removed",
+        (size(col("__lines")) - size(col("__kept"))).cast("long"))
+      .withColumn("cleaned", array_join(col("__kept"), "\n"))
+      .drop("__lines", "__kept")
+  }
+
   // ------------------------------------------------ phrase & snippet
   /** Match POSITIONS (1-based token index) of an exact token-sequence
     * phrase in `text` — in-row positional search (the EXACT-PHRASE verb

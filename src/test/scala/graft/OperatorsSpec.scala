@@ -886,6 +886,64 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("lineClean: word floor, marker regex, terminal-punct flag, within-doc line dedup") {
+    val in = Seq(
+      (1L, "one two three four five six.\nSubscribe now\ntiny line\nanother good line right here"),
+      (2L, "repeat me over and over again\nrepeat me over and over again\nclosing words of this doc."),
+      (3L, "")).toDF("doc_id", "text")
+
+    val base = TextAnalysis.lineClean(in, "text", minWords = 4,
+        boilerplateRe = "(?i)subscribe")
+      .select("doc_id", "n_lines", "n_kept", "cleaned")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // doc 1: 4 lines; "Subscribe now" (regex) and "tiny line" (<4 words) drop
+    assert(base(0) == (1L, 4L, 2L,
+      "one two three four five six.\nanother good line right here"))
+    // doc 2: repeated line kept twice WITHOUT dedup
+    assert(base(1)._3 == 3L)
+    // empty text: zero lines, empty cleaned
+    assert(base(2) == (3L, 0L, 0L, ""))
+
+    // dedupLines: the repeated line collapses to its first occurrence
+    val dd = TextAnalysis.lineClean(in, "text", minWords = 4,
+        boilerplateRe = "(?i)subscribe", dedupLines = true)
+      .filter(col("doc_id") === 2L)
+      .select("n_kept", "cleaned").as[(Long, String)].head()
+    assert(dd == (2L,
+      "repeat me over and over again\nclosing words of this doc."))
+
+    // requireTerminalPunct: only sentence-final lines survive
+    val tp = TextAnalysis.lineClean(in, "text", minWords = 4,
+        boilerplateRe = "(?i)subscribe", requireTerminalPunct = true)
+      .filter(col("doc_id") === 1L)
+      .select("cleaned").as[String].head()
+    assert(tp == "one two three four five six.")
+  }
+
+  test("hotLines/removeHotLines: interdoc df via per-doc distinct, in-row removal, cap guard") {
+    // the footer appears once per doc (doubled in doc 1 — per-doc
+    // distinctness must count it ONCE per doc) across 3 docs; cap 2
+    val in = Seq(
+      (1L, "alpha content\nshared footer\nshared footer"),
+      (2L, "beta content\nshared footer"),
+      (3L, "gamma content\nshared footer")).toDF("doc_id", "text")
+    val hot = TextAnalysis.hotLines(in, "text", maxDocFreq = 2L)
+    assert(hot.as[(String, Long)].collect().toSeq == Seq(("shared footer", 3L)))
+
+    val cleaned = TextAnalysis.removeHotLines(in, "text", hot)
+      .select("doc_id", "n_removed", "cleaned")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(cleaned == Seq(
+      (1L, 2L, "alpha content"), // BOTH copies of a hot line are removed
+      (2L, 1L, "beta content"),
+      (3L, 1L, "gamma content")), cleaned.toString)
+
+    // cap guard: a hot set past the broadcast cap is an engine error
+    intercept[graft.core.EngineError] {
+      TextAnalysis.removeHotLines(in, "text", hot, maxBroadcastLines = 0)
+    }
+  }
+
   test("phrasePositions/containsPhrase: exact token-sequence match, overlaps, edges") {
     val in = Seq(
       (1L, "a b c a b"),     // "a b" at 1 and 4
