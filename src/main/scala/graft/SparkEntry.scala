@@ -1505,6 +1505,25 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
         .orderBy("doc_id")),
 
+    // E5×E6 (round-14): STREAMING line cleaning — the ingest-time face
+    // of line_clean as a REAL AvailableNow stream: stateless codegen
+    // projection (no state store, no watermark), so the batch oracle
+    // replays it exactly — the stream_pii_scrub pattern.
+    "stream_line_clean" -> ((s, dir) => {
+      val sinkName = "graft_stream_line_clean"
+      val aug = Tables.documentsStream(s, dir)
+        .select(col("doc_id"), lineAugmented.as("text"))
+      val sq = Streams.lineCleanStream(aug, "text",
+          minWords = 5, boilerplateRe = "(?i)subscribe|cookie")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_line_clean: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("doc_id")
+    }),
+
     // E4/E5 (round-14): INTERDOC BOILERPLATE-LINE REMOVAL — lines shared
     // by more than maxDocFreq documents (the planted header + footer:
     // df = |corpus| at every sf) are chrome, not content; they drop from
@@ -2279,6 +2298,36 @@ object SparkEntry {
     s"""WITH $bm25Cte
        |SELECT doc_id, ROUND(score, 6) AS score
        |FROM bm ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""".stripMargin
+
+  /** ONE line-cleaning oracle (list-HOF replay of the C4-style rules over
+    * the planted 4-line layout — trim/empty-drop mirrors
+    * `TextAnalysis.linesOf`; the cleaned string hash-checks the whole
+    * rule set) shared by the batch `line_clean` row and the streaming
+    * `stream_line_clean` row: the pass is a stateless projection, so the
+    * batch replay IS the stream's semantics.
+    */
+  private val lineCleanSql =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    'Subscribe to our newsletter' || chr(10) || text || '.' || chr(10) ||
+      |    'copyright footer all pages share' || chr(10) ||
+      |    'unique ' || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)),
+      |      s -> s <> '') AS ls
+      |  FROM aug),
+      |k AS (
+      |  SELECT doc_id, ls,
+      |    list_filter(ls, s ->
+      |      len(list_filter(string_split_regex(s, '\s+'), w -> w <> '')) >= 5
+      |      AND NOT regexp_matches(s, '(?i)subscribe|cookie')) AS kept
+      |  FROM l)
+      |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  array_to_string(kept, chr(10)) AS cleaned
+      |FROM k ORDER BY doc_id""".stripMargin
 
   /** ONE phrase oracle (token positions replayed with 1-based inclusive
     * list slices; the candidate range(1, len) covers every bigram start)
@@ -3186,30 +3235,10 @@ object SparkEntry {
     "pii_scrub" -> piiScrubOracle,
 
     // Line rules replayed with list HOFs over the same planted 4-line
-    // layout; the cleaned string hash-checks the whole rule set (word
-    // floor + marker regex). trim/empty-drop mirrors TextAnalysis.linesOf.
-    "line_clean" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |    'Subscribe to our newsletter' || chr(10) || text || '.' || chr(10) ||
-        |    'copyright footer all pages share' || chr(10) ||
-        |    'unique ' || CAST(doc_id AS VARCHAR) AS t
-        |  FROM documents),
-        |l AS (
-        |  SELECT doc_id,
-        |    list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)),
-        |      s -> s <> '') AS ls
-        |  FROM aug),
-        |k AS (
-        |  SELECT doc_id, ls,
-        |    list_filter(ls, s ->
-        |      len(list_filter(string_split_regex(s, '\s+'), w -> w <> '')) >= 5
-        |      AND NOT regexp_matches(s, '(?i)subscribe|cookie')) AS kept
-        |  FROM l)
-        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
-        |  CAST(len(kept) AS BIGINT) AS n_kept,
-        |  array_to_string(kept, chr(10)) AS cleaned
-        |FROM k ORDER BY doc_id""".stripMargin,
+    // layout; shared with the streaming row (stateless projection — the
+    // batch replay IS the stream's semantics).
+    "line_clean" -> lineCleanSql,
+    "stream_line_clean" -> lineCleanSql,
 
     // Interdoc hot-line removal replayed as per-doc-DISTINCT line df →
     // hot set (> 100 docs) → indexed anti-join → order-restoring

@@ -259,6 +259,26 @@ object Streams {
       .withColumn("scrubbed", graft.operators.TextAnalysis.scrubPii(col(textCol)))
       .withColumn("n_pii", graft.operators.TextAnalysis.piiCount(col(textCol)))
 
+  /** Streaming LINE CLEANING (round-14) — the ingest-time face of
+    * [[graft.operators.TextAnalysis.lineClean]]: each arriving document's
+    * lines pass the C4-style rules (word floor, boilerplate-marker regex,
+    * optional terminal-punct / within-doc dedup) as a pure stateless
+    * codegen projection — same deployment contract as [[piiScrubStream]]
+    * (append mode, no state store, batch backfill shares the one
+    * definition). The INTERDOC hot-line removal stays a batch/maintained
+    * concern (its frequency table is corpus-derived state); at ingest
+    * time a previously-frozen hot set can be applied by composing
+    * `removeHotLines` upstream exactly like the BM25 frozen-stats route.
+    */
+  def lineCleanStream(stream: DataFrame, textCol: String,
+                      minWords: Int = 5,
+                      boilerplateRe: String =
+                        "(?i)subscribe|cookie|all rights reserved",
+                      requireTerminalPunct: Boolean = false,
+                      dedupLines: Boolean = false): DataFrame =
+    graft.operators.TextAnalysis.lineClean(stream, textCol, minWords,
+      boilerplateRe, requireTerminalPunct, dedupLines)
+
   /** Streaming BM25 ROUTING — score each arriving document against a
     * STANDING keyword query ([[graft.operators.Bm25.scoreColumn]]) with
     * statistics frozen from the maintained inverted index

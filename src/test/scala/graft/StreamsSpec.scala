@@ -62,6 +62,30 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming line cleaning equals the batch pass and carries no state operators") {
+    val sinkName = "spec_stream_line_clean"
+    val aug = concat_ws("\n", lit("Subscribe now"), col("text"),
+      lit("tiny"), lit("a good long closing line here"))
+    val sq = Streams.lineCleanStream(
+        Tables.documentsStream(spark, Sf0001)
+          .select(col("doc_id"), aug.as("text")),
+        "text", minWords = 4, boilerplateRe = "(?i)subscribe")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "stream did not finish")
+    assert(sq.recentProgress.forall(_.stateOperators.isEmpty),
+      "line cleaning must not allocate state store")
+    val streamed = spark.table(sinkName)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.TextAnalysis.lineClean(
+        Tables.documents(spark, Sf0001).select(col("doc_id"), aug.as("text")),
+        "text", minWords = 4, boilerplateRe = "(?i)subscribe")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming BM25 routing equals the batch projection and carries no state operators") {
     val docs = Tables.documents(spark, Sf0001)
     val idxPath = java.nio.file.Files.createTempDirectory("spec-bm25-route").toString
