@@ -83,7 +83,10 @@ object ScaleProbe {
     // fusion, index-served phrase vs full scan, tombstone-only delete).
     // SPARK_GRAFT_ONLY_R13D=1 probes only the BM25 keyword-retrieval
     // forms (direct scan vs persisted inverted-index lifecycle).
-    val onlyR14 = sys.env.contains("SPARK_GRAFT_ONLY_R14")
+    // R14B = only the round-14 line-curation rows (the keyword-family
+    // R14 rows have recorded numbers).
+    val onlyR14b = sys.env.contains("SPARK_GRAFT_ONLY_R14B")
+    val onlyR14 = onlyR14b || sys.env.contains("SPARK_GRAFT_ONLY_R14")
     val onlyR13d = onlyR14 || sys.env.contains("SPARK_GRAFT_ONLY_R13D")
     val onlyR13c = onlyR13d || sys.env.contains("SPARK_GRAFT_ONLY_R13C")
     val onlyR13b = onlyR13c || sys.env.contains("SPARK_GRAFT_ONLY_R13B")
@@ -569,7 +572,7 @@ object ScaleProbe {
     // hybrid RRF fusion, tombstone-only delete + merge-on-read probe,
     // and the headline: index-served PHRASE search vs the full-scan form
     // (the r13 "scan-serve at 100 TB" gap).
-    locally {
+    if (!onlyR14b) locally {
       val terms = Seq("vector", "stream", "hash")
       val idxPath = graft.core.SessionCache.newTempDir("graft-scale-bm25-r14")
       timed(s"bm25 POSITIONAL BUILD (99% of $nDocs docs)") {
@@ -628,6 +631,35 @@ object ScaleProbe {
       timed("phrase INDEX probe after delete") {
         IndexedBm25.phraseSearch(spark, idxPath,
           Seq("vector", "stream")).count()
+      }
+    }
+
+    // Round-14 line curation at scale: lineClean is a per-row HOF pass
+    // (must track scan speed, like the PII scrub); hotLines is a
+    // line-vocabulary-sized aggregate; removeHotLines is a broadcast-set
+    // in-row filter (corpus never shuffles). Aggregates over the computed
+    // columns force real evaluation (the round-8 pruned-probe lesson).
+    locally {
+      val aug = docs.select(col("doc_id"),
+        concat_ws("\n",
+          lit("Subscribe to our newsletter"),
+          concat(col("text"), lit(".")),
+          lit("copyright footer all pages share"),
+          concat(lit("unique "), col("doc_id").cast("string"))).as("text"))
+      timed(s"lineClean rules pass ($nDocs docs)") {
+        TextAnalysis.lineClean(aug, "text", minWords = 5,
+            boilerplateRe = "(?i)subscribe|cookie")
+          .agg(sum(length(col("cleaned"))), sum(col("n_kept"))).collect()
+      }
+      val hot = timed(s"hotLines df table ($nDocs docs)") {
+        val h = TextAnalysis.hotLines(aug, "text", maxDocFreq = 1000L)
+          .localCheckpoint()
+        println(s"[scale]   -> hot lines: ${h.count()}")
+        h
+      }
+      timed(s"removeHotLines in-row filter ($nDocs docs)") {
+        TextAnalysis.removeHotLines(aug, "text", hot)
+          .agg(sum(length(col("cleaned"))), sum(col("n_removed"))).collect()
       }
     }
 
