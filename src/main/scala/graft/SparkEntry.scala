@@ -1702,6 +1702,16 @@ object SparkEntry {
       IndexedBm25.phraseSearch(s, bm25Index(s, dir), Seq("vector", "stream"))
         .orderBy("doc_id")),
 
+    // E3 (round-14): PROXIMITY search from the positional index — both
+    // terms within a 10-token window (either order), min_span = tightest
+    // covering span. Sits between bag-of-words BM25 and exact phrase;
+    // same pruned-partition serving as the phrase probe, smallest-range
+    // two-pointer over the stored sorted positions.
+    "proximity_search" -> ((s, dir) =>
+      IndexedBm25.proximitySearch(s, bm25Index(s, dir),
+          Seq("vector", "stream"), window = 10)
+        .orderBy("doc_id")),
+
     // E3 composition (round-13): the RESULT PAGE — BM25 top-10 joined
     // back to text with a ±15-char snippet around the leftmost query-term
     // hit. One k-bounded join + one codegen projection on top of the
@@ -3355,6 +3365,27 @@ object SparkEntry {
     // edition; the index is built 60% + appended 40%, so the shared hash
     // also re-proves append == rebuild for the positions column).
     "phrase_index_topk" -> phraseSearchSql,
+
+    // Two-term proximity has a closed form the SQL replays directly:
+    // min over occurrence pairs of |pa − pb| + 1 (the engine's k-way
+    // smallest-range reduces to exactly this at k=2). 1-based vs 0-based
+    // positions cancel in the difference.
+    "proximity_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |pos AS (
+        |  SELECT doc_id, u.i, u.w AS word
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t, (x, i) -> struct_pack(w := x, i := i))) AS u
+        |        FROM t)),
+        |a AS (SELECT doc_id, i FROM pos WHERE word = 'vector'),
+        |b AS (SELECT doc_id, i FROM pos WHERE word = 'stream'),
+        |sp AS (
+        |  SELECT a.doc_id, MIN(ABS(a.i - b.i) + 1) AS min_span
+        |  FROM a JOIN b USING (doc_id) GROUP BY a.doc_id)
+        |SELECT doc_id, CAST(min_span AS BIGINT) AS min_span
+        |FROM sp WHERE min_span <= 10 ORDER BY doc_id""".stripMargin,
 
     // The ranked list is bm25_topk's; the snippet replays Spark's
     // locate/least/substr with strpos/LEAST/substr (both 1-based, both

@@ -529,6 +529,40 @@ object IndexedBm25 {
       .filter(col("n_hits") > 0)
   }
 
+  /** PROXIMITY search served from the positional index: documents
+    * containing ALL `terms` with some co-occurrence spanning at most
+    * `window` tokens — the "terms near each other" verb between
+    * bag-of-words BM25 (no position constraint) and [[phraseSearch]]
+    * (adjacency). Same pruned-scan + per-doc term→positions aggregation
+    * as the phrase probe; the minimal covering span per doc is the
+    * classic smallest-range-over-k-sorted-lists two-pointer (Manber &
+    * Baeza-Yates-style positional intersection), one UDF pass over
+    * arrays the index already stores sorted. Output `(doc_id,
+    * min_span)` for docs with `min_span <= window`; `min_span` is the
+    * token length of the tightest window containing one occurrence of
+    * every term (2 = adjacent pair, in either order).
+    */
+  def proximitySearch(spark: SparkSession, path: String,
+                      terms: Seq[String], window: Int): DataFrame = {
+    val distinct = terms.distinct
+    require(distinct.size >= 2, "proximity requires >= 2 distinct terms")
+    require(window >= distinct.size,
+      s"window $window cannot hold ${distinct.size} distinct terms")
+    val byDoc = prunedPostingsCols(spark, path, distinct,
+        Seq("doc_id", "term", "positions"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+          collect_list(struct(col("term"), col("positions")))).as("__m"),
+        count(lit(1)).as("__nterms"))
+      .filter(col("__nterms") === distinct.size)
+    val termList = distinct
+    val spanUdf = udf { (m: Map[String, Seq[Int]]) =>
+      Bm25Positional.minimalSpan(termList.map(t => m(t).toArray))
+    }
+    byDoc.select(col("doc_id"), spanUdf(col("__m")).cast("long").as("min_span"))
+      .filter(col("min_span") <= window)
+  }
+
   /** FROZEN statistics for a standing query, read from the maintained
     * index: per-term df (a count over the terms' pruned partitions) and
     * the meta (n, total). Driver-side scalars — |terms|+2 numbers — for
@@ -545,6 +579,43 @@ object IndexedBm25 {
     val meta = mergedStats(spark, path)
       .select(col("n").cast("long"), col("total").cast("long")).head
     (terms.map(t => t -> dfMap.getOrElse(t, 0L)), meta.getLong(0), meta.getLong(1))
+  }
+}
+
+/** Positional-intersection primitives shared by [[IndexedBm25]]'s
+  * proximity serving and its specs.
+  */
+private[graft] object Bm25Positional {
+
+  /** Smallest token span containing one element from EACH sorted list —
+    * the k-way two-pointer: repeatedly note the current heads' range,
+    * then advance the list whose head is minimal (only that move can
+    * shrink the range). O(total positions × k) with k = |lists|, no
+    * allocation beyond the pointer array. Lists must be non-empty and
+    * ascending (the index stores positions sorted).
+    */
+  def minimalSpan(lists: Seq[Array[Int]]): Int = {
+    require(lists.nonEmpty && lists.forall(_.nonEmpty),
+      "minimalSpan requires non-empty position lists")
+    val k = lists.size
+    val idx = new Array[Int](k)
+    var best = Int.MaxValue
+    var done = false
+    while (!done) {
+      var lo = Int.MaxValue; var hi = Int.MinValue; var loList = -1
+      var i = 0
+      while (i < k) {
+        val v = lists(i)(idx(i))
+        if (v < lo) { lo = v; loList = i }
+        if (v > hi) hi = v
+        i += 1
+      }
+      val span = hi - lo + 1
+      if (span < best) best = span
+      idx(loList) += 1
+      if (idx(loList) >= lists(loList).length) done = true
+    }
+    best
   }
 }
 

@@ -133,6 +133,37 @@ class Bm25Spec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 3L, 1L)))
   }
 
+  test("proximitySearch: min covering span == brute force; window cut; validation") {
+    import graft.operators.Bm25Positional.minimalSpan
+    // unit: smallest-range two-pointer against hand-checked cases
+    assert(minimalSpan(Seq(Array(1), Array(2))) == 2)          // adjacent
+    assert(minimalSpan(Seq(Array(2), Array(1))) == 2)          // order-free
+    assert(minimalSpan(Seq(Array(1, 10), Array(12))) == 3)     // later pair wins
+    assert(minimalSpan(Seq(Array(1, 5, 9), Array(3), Array(4))) == 3) // 3,4,5
+    assert(minimalSpan(Seq(Array(7), Array(7))) == 1)          // degenerate
+
+    val prox = Seq(
+      (1L, "vector x x stream"),          // span 4
+      (2L, "stream y vector"),            // span 3 (reverse order)
+      (3L, "vector a b c d e f g h i j stream"), // span 12 > window
+      (4L, "vector only here"),           // missing a term
+      (5L, "z vector stream z vector"))   // span 2
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-prox").toString
+    IndexedBm25.build(prox, "doc_id", "text", path)
+    val got = IndexedBm25.proximitySearch(spark, path,
+        Seq("vector", "stream"), window = 10)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L), (2L, 3L), (5L, 2L)), got.toString)
+
+    intercept[IllegalArgumentException] {
+      IndexedBm25.proximitySearch(spark, path, Seq("vector"), 10)
+    }
+    intercept[IllegalArgumentException] {
+      IndexedBm25.proximitySearch(spark, path, Seq("vector", "stream"), 1)
+    }
+  }
+
   test("topKBatch: many queries in one plan, each equal to its per-query probe") {
     val path = java.nio.file.Files.createTempDirectory("graft-bm25-batch").toString
     IndexedBm25.build(corpusDF, "doc_id", "text", path)
