@@ -1702,6 +1702,24 @@ object SparkEntry {
       IndexedBm25.phraseSearch(s, bm25Index(s, dir), Seq("vector", "stream"))
         .orderBy("doc_id")),
 
+    // E3×E6 (round-14): STREAMING phrase routing — each arriving doc
+    // checked in-row for the exact phrase (there is no corpus to index
+    // at ingest; the positional index serves the standing-corpus side).
+    // Stateless AvailableNow stream; shares the full-scan phrase oracle,
+    // so one hash pins scan == index probe == stream.
+    "stream_phrase_match" -> ((s, dir) => {
+      val sinkName = "graft_stream_phrase_match"
+      val sq = Streams.phraseMatchStream(
+          Tables.documentsStream(s, dir), "text", Seq("vector", "stream"))
+        .select(col("doc_id"), col("n_hits"), col("first_pos"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!sq.awaitTermination(300000))
+        throw new graft.core.EngineError(
+          "stream_phrase_match: stream did not finish within 300s — refusing to return a partial sink")
+      s.table(sinkName).orderBy("doc_id")
+    }),
+
     // E3 (round-14): PROXIMITY search from the positional index — both
     // terms within a 10-token window (either order), min_span = tightest
     // covering span. Sits between bag-of-words BM25 and exact phrase;
@@ -3365,6 +3383,7 @@ object SparkEntry {
     // edition; the index is built 60% + appended 40%, so the shared hash
     // also re-proves append == rebuild for the positions column).
     "phrase_index_topk" -> phraseSearchSql,
+    "stream_phrase_match" -> phraseSearchSql,
 
     // Two-term proximity has a closed form the SQL replays directly:
     // min over occurrence pairs of |pa − pb| + 1 (the engine's k-way

@@ -279,6 +279,27 @@ object Streams {
     graft.operators.TextAnalysis.lineClean(stream, textCol, minWords,
       boilerplateRe, requireTerminalPunct, dedupLines)
 
+  /** Streaming PHRASE MATCH (round-14) — route each arriving document by
+    * an exact token-sequence phrase ([[graft.operators.TextAnalysis.phrasePositions]]
+    * in-row, emitting occurrence count + first position and dropping
+    * non-matching docs). The ingest-time face of phrase search: per
+    * arriving document the in-row check IS the right plan (there is no
+    * corpus to index at ingest), complementing the batch side's
+    * positional-index serving for standing corpora. Stateless codegen
+    * projection — the [[piiScrubStream]]/[[bm25RouteStream]] deployment
+    * contract (append mode, no state store, batch backfill identical).
+    */
+  def phraseMatchStream(stream: DataFrame, textCol: String,
+                        phrase: Seq[String]): DataFrame =
+    stream
+      .withColumn("__p",
+        graft.operators.TextAnalysis.phrasePositions(col(textCol), phrase))
+      .withColumn("n_hits", size(col("__p")).cast("long"))
+      .withColumn("first_pos",
+        coalesce(array_min(col("__p")), lit(0)).cast("long"))
+      .drop("__p")
+      .filter(col("n_hits") > 0)
+
   /** Streaming BM25 ROUTING — score each arriving document against a
     * STANDING keyword query ([[graft.operators.Bm25.scoreColumn]]) with
     * statistics frozen from the maintained inverted index

@@ -219,6 +219,33 @@ class Bm25Spec extends SparkSpec {
     assert(spark.read.parquet(s"$path/doclens").count() == 3L)
   }
 
+  test("overlapping deletes: tombstone-only writes keep stats exact (the r13 race)") {
+    // The ADVICE r13 scenario: two deletes with overlapping ids. Under
+    // the old two-write form (negative meta delta + tombstones), both
+    // readers-then-writers double-subtracted the overlap; with the
+    // tombstone file as sole source of truth, stats derive from the
+    // DISTINCT tombstoned set at read time — overlap is harmless.
+    val terms = Seq("apple", "banana", "cherry")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-race").toString
+    IndexedBm25.build(corpusDF, "doc_id", "text", path)
+    IndexedBm25.delete(spark, path, Seq(1L, 2L))
+    IndexedBm25.delete(spark, path, Seq(2L, 3L)) // overlaps on 2
+    val survivors = corpusDF.filter(!col("doc_id").isin(1L, 2L, 3L))
+    val (_, n, total) = IndexedBm25.frozenStats(spark, path, terms)
+    assert(n == 2L, s"n=$n — overlap double-subtracted?")
+    assert(total == survivors
+      .select(sum(operators.TextAnalysis.tokenCount(col("text")))).head.getLong(0))
+    // probe == rebuild over the survivors, and compact preserves it
+    val expect = Bm25.topK(survivors, "doc_id", "text", terms, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(IndexedBm25.topK(spark, path, terms, 10)
+      .as[(Long, Double)].collect().toSeq == expect)
+    IndexedBm25.compact(spark, path)
+    assert(IndexedBm25.topK(spark, path, terms, 10)
+      .as[(Long, Double)].collect().toSeq == expect)
+    assert(IndexedBm25.frozenStats(spark, path, terms)._2 == 2L)
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, full-outer semantics, tiebreak") {
     val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
     val sem = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
