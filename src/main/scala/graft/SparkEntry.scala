@@ -1702,6 +1702,39 @@ object SparkEntry {
       IndexedBm25.phraseSearch(s, bm25Index(s, dir), Seq("vector", "stream"))
         .orderBy("doc_id")),
 
+    // E5 (round-14): HEAVY-HITTER tokens via a Misra–Gries typed
+    // Aggregator — O(k) state per task vs the vocabulary-sized count
+    // table, with the textbook guarantees (no false negatives above
+    // N/(k+1); estimates underestimate by at most N/(k+1)). INVARIANT
+    // row (the ivf_topk pattern): both guarantees are checked
+    // mechanically against the exact counts; the oracle recomputes
+    // n_guaranteed exactly and pins the flags at 1 — any MG
+    // implementation bug (update, merge-tree, encoder) breaks the hash.
+    "heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val k = 20
+      val d = docs(s, dir)
+      val sketch = Sketches.heavyHitterTokens(
+        d.select(col("text")), "text", k).as[(String, Long)].collect()
+      val counts = CountTable.counts(d, "text", n = 1)
+      val totalN = counts.agg(sum(col("tf"))).head.getLong(0)
+      val bound = Sketches.mgErrorBound(totalN, k)
+      val guaranteed = counts.filter(col("tf") > bound)
+        .select(col("ngram")).as[String].collect().toSet
+      val sketchTerms = sketch.map(_._1).toSet
+      val exact = counts
+        .filter(col("ngram").isin(sketch.map(_._1).toSeq: _*))
+        .select(col("ngram"), col("tf")).as[(String, Long)].collect().toMap
+      val allFound = guaranteed.subsetOf(sketchTerms)
+      val boundsOk = sketch.forall { case (t, est) =>
+        val f = exact.getOrElse(t, 0L)
+        est <= f && est >= f - bound
+      }
+      Seq((k.toLong, guaranteed.size.toLong,
+          if (allFound) 1L else 0L, if (boundsOk) 1L else 0L))
+        .toDF("k", "n_guaranteed", "all_found", "bounds_ok")
+    }),
+
     // E3×E6 (round-14): STREAMING phrase routing — each arriving doc
     // checked in-row for the exact phrase (there is no corpus to index
     // at ingest; the positional index serves the standing-corpus side).
@@ -3384,6 +3417,21 @@ object SparkEntry {
     // also re-proves append == rebuild for the positions column).
     "phrase_index_topk" -> phraseSearchSql,
     "stream_phrase_match" -> phraseSearchSql,
+
+    // The MG guarantees are theorems — the oracle recomputes the
+    // guaranteed-set size from EXACT counts and pins both checks at 1;
+    // the engine row goes red iff the sketch violates a bound.
+    "heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents WHERE trim(text) <> ''),
+        |cnt AS (SELECT word, COUNT(*) AS tf FROM tok GROUP BY word),
+        |n AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM cnt)
+        |SELECT CAST(20 AS BIGINT) AS k,
+        |  CAST((SELECT COUNT(*) FROM cnt, n WHERE tf > total / 21) AS BIGINT)
+        |    AS n_guaranteed,
+        |  CAST(1 AS BIGINT) AS all_found,
+        |  CAST(1 AS BIGINT) AS bounds_ok""".stripMargin,
 
     // Two-term proximity has a closed form the SQL replays directly:
     // min over occurrence pairs of |pa − pb| + 1 (the engine's k-way

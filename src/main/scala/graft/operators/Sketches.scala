@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequency sketches for corpus monitoring at 100 TB — the approximate
+  * face of [[CountTable]]: where the count table maintains EXACT
+  * per-term state (vocabulary-sized — the right artifact when you serve
+  * lookups from it), a heavy-hitters sketch answers "what dominates this
+  * corpus/batch/stream" with O(k) state per partition and a
+  * partial-aggregation-friendly merge, so the exchange carries k
+  * counters per task instead of a vocabulary.
+  *
+  * Algorithm: Misra–Gries (Misra & Gries 1982, "Finding repeated
+  * elements"; merge rule from Agarwal et al. 2013, "Mergeable summaries").
+  * The sketch keeps at most `k` counters. Guarantees, for a stream of N
+  * items:
+  *  - every item with true frequency > N/(k+1) IS in the sketch
+  *    (no false negatives above the threshold);
+  *  - each reported estimate satisfies `f − N/(k+1) <= est <= f`
+  *    (underestimates only, error bounded by N/(k+1)).
+  * Both survive arbitrary merge trees, so the bound holds under Spark's
+  * partial → final aggregation regardless of partitioning — the property
+  * the declared invariant row checks mechanically against exact counts.
+  */
+object Sketches {
+
+  /** Misra–Gries state: at most `k` counters. Immutable map — the
+    * buffer crosses the typed-Aggregator encoder boundary, where
+    * `Map[String, Long]` has a native MapType encoding.
+    */
+  type MG = Map[String, Long]
+
+  /** One Misra–Gries update. Classic rule: increment a present counter;
+    * insert while there is room; otherwise decrement ALL counters (the
+    * "pairing" step — one occurrence of each tracked item and the new
+    * item annihilate), dropping zeros.
+    */
+  private[graft] def mgUpdate(m: MG, x: String, k: Int): MG =
+    m.get(x) match {
+      case Some(c) => m.updated(x, c + 1)
+      case None if m.size < k => m.updated(x, 1L)
+      case None =>
+        m.flatMap { case (t, c) =>
+          if (c - 1 <= 0L) None else Some(t -> (c - 1)) }
+    }
+
+  /** Mergeable-summaries combine: sum counters pointwise, then if more
+    * than `k` survive, subtract the (k+1)-th largest value from every
+    * counter and drop non-positives — the multi-decrement generalization
+    * of the pairing step, preserving both MG guarantees.
+    */
+  private[graft] def mgMerge(a: MG, b: MG, k: Int): MG = {
+    val s = b.foldLeft(a) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c) }
+    if (s.size <= k) s
+    else {
+      val cut = s.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      s.flatMap { case (t, c) =>
+        if (c - cut <= 0L) None else Some(t -> (c - cut)) }
+    }
+  }
+
+  /** Typed Aggregator over a string column: `k`-counter Misra–Gries,
+    * planned by Spark with partial aggregation (each task reduces its
+    * slice to ≤k counters BEFORE the exchange — the [[SimJoin.TopKAgg]]
+    * discipline applied to frequency counting). Output: surviving
+    * `(term, estimate)` pairs sorted by (estimate desc, term asc).
+    */
+  class HeavyHittersAgg(k: Int)
+      extends Aggregator[String, MG, Seq[(String, Long)]] {
+    require(k >= 1, s"sketch capacity must be >= 1, got $k")
+    override def zero: MG = Map.empty
+    override def reduce(m: MG, x: String): MG = mgUpdate(m, x, k)
+    override def merge(a: MG, b: MG): MG = mgMerge(a, b, k)
+    override def finish(m: MG): Seq[(String, Long)] =
+      m.toSeq.sortBy { case (t, c) => (-c, t) }
+    override def bufferEncoder: Encoder[MG] = ExpressionEncoder[MG]()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** Heavy-hitter TOKENS of a text column: one distributed MG pass over
+    * the exploded token stream. Returns `(term, est)` rows (≤ k), sorted
+    * by (est desc, term asc). The exact twin is
+    * `CountTable.counts(...)` — vocabulary-sized state; this is the
+    * bounded-state form for monitoring and triage.
+    */
+  def heavyHitterTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .as[String]
+    val agg = new HeavyHittersAgg(k).toColumn.name("hh")
+    toks.groupByKey(_ => 0) // one logical group; partial agg still runs per task
+      .agg(agg)
+      .flatMap(_._2)
+      .toDF("term", "est")
+      .orderBy(desc("est"), col("term"))
+  }
+
+  /** The MG error bound `N/(k+1)` for a given stream length. */
+  def mgErrorBound(n: Long, k: Int): Double = n.toDouble / (k + 1)
+}
