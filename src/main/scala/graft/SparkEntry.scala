@@ -123,6 +123,38 @@ object SparkEntry {
       lit("copyright footer all pages share"),
       concat(lit("unique "), col("doc_id").cast("string")))
 
+  /** Sketch capacity of the heavy-hitter rows. */
+  private val HhK = 20
+
+  /** The MG-theorem invariant row shared by `heavy_hitters` (batch) and
+    * `stream_heavy_hitters` (maintained over micro-batches): both
+    * guarantees checked mechanically against the EXACT counts —
+    * guaranteed set (tf > N/(k+1)) ⊆ sketch, and every estimate within
+    * [f − N/(k+1), f]. The oracle recomputes n_guaranteed exactly and
+    * pins the flags at 1, so any implementation bug (update rule, merge
+    * tree, encoder, stream fold) breaks the hash.
+    */
+  private def hhInvariantRow(s: SparkSession, dir: String,
+                             sketch: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    val counts = CountTable.counts(docs(s, dir), "text", n = 1)
+    val totalN = counts.agg(sum(col("tf"))).head.getLong(0)
+    val bound = Sketches.mgErrorBound(totalN, HhK)
+    val guaranteed = counts.filter(col("tf") > bound)
+      .select(col("ngram")).as[String].collect().toSet
+    val exact = counts
+      .filter(col("ngram").isin(sketch.keys.toSeq: _*))
+      .select(col("ngram"), col("tf")).as[(String, Long)].collect().toMap
+    val allFound = guaranteed.subsetOf(sketch.keySet)
+    val boundsOk = sketch.forall { case (t, est) =>
+      val f = exact.getOrElse(t, 0L)
+      est <= f && est >= f - bound
+    }
+    Seq((HhK.toLong, guaranteed.size.toLong,
+        if (allFound) 1L else 0L, if (boundsOk) 1L else 0L))
+      .toDF("k", "n_guaranteed", "all_found", "bounds_ok")
+  }
+
   /** The BM25 query of the keyword rows — three mid-frequency fixture
     * terms, so tf, df, and length normalization all vary across the hits.
     */
@@ -1710,30 +1742,22 @@ object SparkEntry {
     // mechanically against the exact counts; the oracle recomputes
     // n_guaranteed exactly and pins the flags at 1 — any MG
     // implementation bug (update, merge-tree, encoder) breaks the hash.
-    "heavy_hitters" -> ((s, dir) => {
-      import s.implicits._
-      val k = 20
-      val d = docs(s, dir)
-      val sketch = Sketches.heavyHitterTokens(
-        d.select(col("text")), "text", k).as[(String, Long)].collect()
-      val counts = CountTable.counts(d, "text", n = 1)
-      val totalN = counts.agg(sum(col("tf"))).head.getLong(0)
-      val bound = Sketches.mgErrorBound(totalN, k)
-      val guaranteed = counts.filter(col("tf") > bound)
-        .select(col("ngram")).as[String].collect().toSet
-      val sketchTerms = sketch.map(_._1).toSet
-      val exact = counts
-        .filter(col("ngram").isin(sketch.map(_._1).toSeq: _*))
-        .select(col("ngram"), col("tf")).as[(String, Long)].collect().toMap
-      val allFound = guaranteed.subsetOf(sketchTerms)
-      val boundsOk = sketch.forall { case (t, est) =>
-        val f = exact.getOrElse(t, 0L)
-        est <= f && est >= f - bound
-      }
-      Seq((k.toLong, guaranteed.size.toLong,
-          if (allFound) 1L else 0L, if (boundsOk) 1L else 0L))
-        .toDF("k", "n_guaranteed", "all_found", "bounds_ok")
-    }),
+    "heavy_hitters" -> ((s, dir) =>
+      hhInvariantRow(s, dir,
+        Sketches.heavyHitterTokens(
+            docs(s, dir).select(col("text")), "text", HhK)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)),
+
+    // E5×E6 (round-14): the SAME sketch MAINTAINED over a stream — each
+    // micro-batch sketched, folded into the running summary with the
+    // mergeable-summaries combine. The MG theorems hold under any merge
+    // order, so the drained sketch passes the identical invariant check
+    // against the full corpus's exact counts — one oracle pins batch ==
+    // stream for the sketch family.
+    "stream_heavy_hitters" -> ((s, dir) =>
+      hhInvariantRow(s, dir,
+        Streams.heavyHittersAvailableNow(
+          Tables.documentsStream(s, dir), "text", HhK))),
 
     // E3×E6 (round-14): STREAMING phrase routing — each arriving doc
     // checked in-row for the exact phrase (there is no corpus to index
@@ -2359,6 +2383,21 @@ object SparkEntry {
     s"""WITH $bm25Cte
        |SELECT doc_id, ROUND(score, 6) AS score
        |FROM bm ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10""".stripMargin
+
+  /** ONE heavy-hitters invariant oracle shared by the batch and streaming
+    * sketch rows (see [[hhInvariantRow]]).
+    */
+  private val heavyHittersSql =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |  FROM documents WHERE trim(text) <> ''),
+      |cnt AS (SELECT word, COUNT(*) AS tf FROM tok GROUP BY word),
+      |n AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM cnt)
+      |SELECT CAST(20 AS BIGINT) AS k,
+      |  CAST((SELECT COUNT(*) FROM cnt, n WHERE tf > total / 21) AS BIGINT)
+      |    AS n_guaranteed,
+      |  CAST(1 AS BIGINT) AS all_found,
+      |  CAST(1 AS BIGINT) AS bounds_ok""".stripMargin
 
   /** ONE line-cleaning oracle (list-HOF replay of the C4-style rules over
     * the planted 4-line layout — trim/empty-drop mirrors
@@ -3420,18 +3459,11 @@ object SparkEntry {
 
     // The MG guarantees are theorems — the oracle recomputes the
     // guaranteed-set size from EXACT counts and pins both checks at 1;
-    // the engine row goes red iff the sketch violates a bound.
-    "heavy_hitters" ->
-      """WITH tok AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |  FROM documents WHERE trim(text) <> ''),
-        |cnt AS (SELECT word, COUNT(*) AS tf FROM tok GROUP BY word),
-        |n AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM cnt)
-        |SELECT CAST(20 AS BIGINT) AS k,
-        |  CAST((SELECT COUNT(*) FROM cnt, n WHERE tf > total / 21) AS BIGINT)
-        |    AS n_guaranteed,
-        |  CAST(1 AS BIGINT) AS all_found,
-        |  CAST(1 AS BIGINT) AS bounds_ok""".stripMargin,
+    // the engine row goes red iff the sketch violates a bound. One
+    // oracle serves batch AND streaming maintenance (guarantees are
+    // merge-order-free).
+    "heavy_hitters" -> heavyHittersSql,
+    "stream_heavy_hitters" -> heavyHittersSql,
 
     // Two-term proximity has a closed form the SQL replays directly:
     // min over occurrence pairs of |pa − pb| + 1 (the engine's k-way

@@ -279,6 +279,34 @@ object Streams {
     graft.operators.TextAnalysis.lineClean(stream, textCol, minWords,
       boilerplateRe, requireTerminalPunct, dedupLines)
 
+  /** STREAMING heavy-hitters maintenance (round-14): drain an
+    * AvailableNow stream, sketching each micro-batch with the k-counter
+    * Misra–Gries pass and folding it into a running summary with the
+    * mergeable-summaries combine — the sketch-sized analogue of the
+    * count-table foreachBatch maintenance (there: exact vocabulary-sized
+    * deltas; here: O(k) state, guarantees preserved under ANY merge
+    * order, so the drained result satisfies the MG bounds for the WHOLE
+    * stream). The summary lives on the driver BY DESIGN — k counters is
+    * the whole point; foreachBatch runs batches sequentially, so the
+    * fold needs no synchronization. Returns the final sketch.
+    */
+  def heavyHittersAvailableNow(stream: DataFrame, textCol: String, k: Int,
+                               timeoutMs: Long = 300000): graft.operators.Sketches.MG = {
+    var state: graft.operators.Sketches.MG = Map.empty
+    val sq = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val part = graft.operators.Sketches
+          .heavyHitterTokens(batch.select(col(textCol)), textCol, k)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        state = graft.operators.Sketches.mgMerge(state, part, k)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    if (!sq.awaitTermination(timeoutMs))
+      throw new graft.core.EngineError(
+        "heavyHittersAvailableNow: stream did not finish in time")
+    state
+  }
+
   /** Streaming PHRASE MATCH (round-14) — route each arriving document by
     * an exact token-sequence phrase ([[graft.operators.TextAnalysis.phrasePositions]]
     * in-row, emitting occurrence count + first position and dropping
