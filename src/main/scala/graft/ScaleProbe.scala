@@ -83,9 +83,11 @@ object ScaleProbe {
     // fusion, index-served phrase vs full scan, tombstone-only delete).
     // SPARK_GRAFT_ONLY_R13D=1 probes only the BM25 keyword-retrieval
     // forms (direct scan vs persisted inverted-index lifecycle).
-    // R14B = only the round-14 line-curation rows (the keyword-family
-    // R14 rows have recorded numbers).
-    val onlyR14b = sys.env.contains("SPARK_GRAFT_ONLY_R14B")
+    // R14C = only the round-14 heavy-hitters sketch rows; R14B = only
+    // the round-14 line-curation rows (the keyword-family R14 rows have
+    // recorded numbers).
+    val onlyR14c = sys.env.contains("SPARK_GRAFT_ONLY_R14C")
+    val onlyR14b = onlyR14c || sys.env.contains("SPARK_GRAFT_ONLY_R14B")
     val onlyR14 = onlyR14b || sys.env.contains("SPARK_GRAFT_ONLY_R14")
     val onlyR13d = onlyR14 || sys.env.contains("SPARK_GRAFT_ONLY_R13D")
     val onlyR13c = onlyR13d || sys.env.contains("SPARK_GRAFT_ONLY_R13C")
@@ -565,6 +567,19 @@ object ScaleProbe {
       }
     }
 
+    // Round-14 heavy-hitters sketch: one MG pass over the full exploded
+    // token stream vs the exact count table — the bounded-state
+    // monitoring trade measured. (R14C selects only this block.)
+    locally {
+      timed(s"heavy-hitters MG sketch k=20 ($nDocs docs)") {
+        Sketches.heavyHitterTokens(docs.select(col("text")), "text", 20).collect()
+      }
+      timed(s"exact count table top-20 (the unbounded twin, $nDocs docs)") {
+        CountTable.counts(docs, "text", n = 1)
+          .orderBy(desc("tf")).limit(20).collect()
+      }
+    }
+
     // Round-14 keyword-family completion: the positional index's whole
     // serving surface at scale — build/append (now paying the positions
     // collect), keyword probe (positions must be FREE via column
@@ -639,7 +654,7 @@ object ScaleProbe {
     // line-vocabulary-sized aggregate; removeHotLines is a broadcast-set
     // in-row filter (corpus never shuffles). Aggregates over the computed
     // columns force real evaluation (the round-8 pruned-probe lesson).
-    locally {
+    if (!onlyR14c) locally {
       val aug = docs.select(col("doc_id"),
         concat_ws("\n",
           lit("Subscribe to our newsletter"),

@@ -27,9 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Misra–Gries state: at most `k` counters. Immutable map — the
-    * buffer crosses the typed-Aggregator encoder boundary, where
-    * `Map[String, Long]` has a native MapType encoding.
+  /** Misra–Gries state: at most `k` counters, as an immutable map at the
+    * API seam (callers hold summaries, not buffers).
     */
   type MG = Map[String, Long]
 
@@ -63,21 +62,58 @@ object Sketches {
     }
   }
 
+  /** In-place MG update on the aggregation buffer — the hot path: one
+    * hash lookup per stream item, O(k) only on the (rare once saturated)
+    * pairing step. Semantics identical to [[mgUpdate]]; the spec pins
+    * the two against each other on adversarial streams.
+    */
+  private[graft] def mgUpdateInPlace(m: scala.collection.mutable.HashMap[String, Long],
+                                     x: String, k: Int): Unit =
+    m.get(x) match {
+      case Some(c) => m.update(x, c + 1)
+      case None if m.size < k => m.update(x, 1L)
+      case None =>
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        m.mapValuesInPlace { (_, c) => c - 1 }
+        m.foreach { case (t, c) => if (c <= 0L) dead += t }
+        dead.foreach(m.remove)
+    }
+
   /** Typed Aggregator over a string column: `k`-counter Misra–Gries,
     * planned by Spark with partial aggregation (each task reduces its
     * slice to ≤k counters BEFORE the exchange — the [[SimJoin.TopKAgg]]
-    * discipline applied to frequency counting). Output: surviving
-    * `(term, estimate)` pairs sorted by (estimate desc, term asc).
+    * discipline applied to frequency counting). The buffer is a MUTABLE
+    * hash map under a Kryo encoder: within a task Spark feeds `reduce`
+    * the same buffer object, so the per-token cost is one in-place hash
+    * update — an immutable-map buffer would allocate a persistent-map
+    * node per token, which at 10⁸ tokens per task is the whole runtime.
+    * Serialization (Kryo) happens only at the partial→final exchange,
+    * carrying ≤k counters. Output: surviving `(term, estimate)` pairs
+    * sorted by (estimate desc, term asc).
     */
   class HeavyHittersAgg(k: Int)
-      extends Aggregator[String, MG, Seq[(String, Long)]] {
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+                         Seq[(String, Long)]] {
     require(k >= 1, s"sketch capacity must be >= 1, got $k")
-    override def zero: MG = Map.empty
-    override def reduce(m: MG, x: String): MG = mgUpdate(m, x, k)
-    override def merge(a: MG, b: MG): MG = mgMerge(a, b, k)
-    override def finish(m: MG): Seq[(String, Long)] =
+    override def zero: scala.collection.mutable.HashMap[String, Long] =
+      scala.collection.mutable.HashMap.empty
+    override def reduce(m: scala.collection.mutable.HashMap[String, Long],
+                        x: String): scala.collection.mutable.HashMap[String, Long] = {
+      mgUpdateInPlace(m, x, k); m
+    }
+    override def merge(a: scala.collection.mutable.HashMap[String, Long],
+                       b: scala.collection.mutable.HashMap[String, Long])
+        : scala.collection.mutable.HashMap[String, Long] = {
+      val merged = mgMerge(a.toMap, b.toMap, k)
+      val out = scala.collection.mutable.HashMap.empty[String, Long]
+      merged.foreach { case (t, c) => out.update(t, c) }
+      out
+    }
+    override def finish(m: scala.collection.mutable.HashMap[String, Long])
+        : Seq[(String, Long)] =
       m.toSeq.sortBy { case (t, c) => (-c, t) }
-    override def bufferEncoder: Encoder[MG] = ExpressionEncoder[MG]()
+    override def bufferEncoder: Encoder[scala.collection.mutable.HashMap[String, Long]] =
+      org.apache.spark.sql.Encoders.kryo[scala.collection.mutable.HashMap[String, Long]]
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       ExpressionEncoder[Seq[(String, Long)]]()
   }

@@ -42,6 +42,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("mgUpdateInPlace (the aggregation hot path) == the immutable update, step for step") {
+    for (k <- Seq(1, 3, 8)) {
+      val stream = zipfish(2000)
+      var ref = Map.empty[String, Long]
+      val hot = scala.collection.mutable.HashMap.empty[String, Long]
+      stream.foreach { x =>
+        ref = Sketches.mgUpdate(ref, x, k)
+        Sketches.mgUpdateInPlace(hot, x, k)
+        assert(hot.toMap == ref, s"divergence at k=$k after '$x'")
+      }
+    }
+  }
+
   test("mgMerge: guarantees survive adversarial merge trees") {
     val k = 5
     val stream = zipfish(3000)
