@@ -1537,6 +1537,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
         .orderBy("doc_id")),
 
+    // E5 composition (round-14): the LINE-CURATION CHAIN end-to-end —
+    // interdoc chrome removal feeds the rule cleaner feeds a doc-level
+    // token floor, each stage consuming the previous stage's `cleaned`
+    // output (the composition catches column collisions / text-identity
+    // drift no per-operator row can). On the planted layout the chain
+    // collapses to a closed form the oracle states directly: only the
+    // content line survives, so a doc emits iff its ORIGINAL text has
+    // >= 5 tokens, with n_tokens equal to that count — any stage keeping
+    // chrome, dropping content, or re-joining wrongly breaks the hash.
+    "pipeline_line_curation" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
+      val hot = TextAnalysis.hotLines(aug, "text", maxDocFreq = 100L)
+      val noChrome = TextAnalysis.removeHotLines(aug, "text", hot)
+        .select(col("doc_id"), col("cleaned").as("text"))
+      val ruled = TextAnalysis.lineClean(noChrome, "text",
+          minWords = 5, boilerplateRe = "(?i)subscribe|cookie")
+        .select(col("doc_id"), col("cleaned"))
+      ruled.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("cleaned")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 5)
+        .orderBy("doc_id")
+    }),
+
     // E5×E6 (round-14): STREAMING line cleaning — the ingest-time face
     // of line_clean as a REAL AvailableNow stream: stateless codegen
     // projection (no state store, no watermark), so the batch oracle
@@ -3339,6 +3362,20 @@ object SparkEntry {
     // batch replay IS the stream's semantics).
     "line_clean" -> lineCleanSql,
     "stream_line_clean" -> lineCleanSql,
+
+    // The chain's closed form on the planted layout (header+footer are
+    // interdoc-hot and removed; 'unique N' fails the word floor; the
+    // content line survives iff the original text has >= 5 tokens, and
+    // the trailing '.' glues to the last token so the count is exactly
+    // the original's) — any stage misbehaving breaks the row/hash match.
+    "pipeline_line_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM documents)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens
+        |FROM d WHERE ntok >= 5 ORDER BY doc_id""".stripMargin,
 
     // Interdoc hot-line removal replayed as per-doc-DISTINCT line df →
     // hot set (> 100 docs) → indexed anti-join → order-restoring
