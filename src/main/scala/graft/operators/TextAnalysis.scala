@@ -546,9 +546,7 @@ object TextAnalysis {
   def removeHotLines(df: DataFrame, textCol: String, hot: DataFrame,
                      maxBroadcastLines: Int = 1000000): DataFrame = {
     if (hot.limit(maxBroadcastLines + 1).count() > maxBroadcastLines)
-      throw new graft.core.EngineError(
-        s"hot-line set exceeds $maxBroadcastLines entries — not a bounded " +
-        "boilerplate table; inspect the corpus or raise the cap")
+      return removeHotLinesJoin(df, textCol, hot)
     val hotSet = hot.select(col("line").cast("string"))
       .collect().map(_.getString(0)).toSet
     val bc = df.sparkSession.sparkContext.broadcast(hotSet)
@@ -560,6 +558,46 @@ object TextAnalysis {
         (size(col("__lines")) - size(col("__kept"))).cast("long"))
       .withColumn("cleaned", array_join(col("__kept"), "\n"))
       .drop("__lines", "__kept")
+  }
+
+  /** Fully-distributed twin of [[removeHotLines]] for hot sets too large
+    * to broadcast as a driver set (a pathological corpus whose chrome
+    * table is itself huge): posexplode to line level, anti-join the hot
+    * frame, regroup per document with order restored by a per-row array
+    * sort (never a window) — the [[tokenizeToIdsJoin]] pattern. Pays one
+    * line-level Exchange (the regroup), which is why the broadcast form
+    * is the default; the automatic fallback means an over-cap hot set
+    * degrades to the distributed plan instead of failing or OOMing the
+    * driver (round-14, replacing the earlier hard EngineError).
+    */
+  def removeHotLinesJoin(df: DataFrame, textCol: String,
+                         hot: DataFrame): DataFrame = {
+    // localCheckpoint pins ONE evaluation of the row-id assignment:
+    // `keyed` feeds both the exploded anti-join subtree and the final
+    // re-join, and monotonically_increasing_id is nondeterministic — two
+    // independent evaluations could key the same row differently and
+    // silently cross-join documents (the probeBatch double-evaluation
+    // discipline).
+    val keyed = df.withColumn("__row_id", monotonically_increasing_id())
+      .withColumn("__lines", linesOf(col(textCol)))
+      .localCheckpoint(false)
+    val kept = keyed
+      .select(col("__row_id"),
+        posexplode(col("__lines")).as(Seq("__pos", "__line")))
+      .join(hot.select(col("line").cast("string").as("__line")),
+        Seq("__line"), "left_anti")
+      .groupBy(col("__row_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos").as("p"),
+          col("__line").as("l")))),
+        e => e.getField("l")).as("__kept"))
+    keyed.join(kept, Seq("__row_id"), "left")
+      .withColumn("__kept",
+        coalesce(col("__kept"), array().cast("array<string>")))
+      .withColumn("n_removed",
+        (size(col("__lines")) - size(col("__kept"))).cast("long"))
+      .withColumn("cleaned", array_join(col("__kept"), "\n"))
+      .drop("__row_id", "__lines", "__kept")
   }
 
   // ------------------------------------------------ phrase & snippet

@@ -938,10 +938,19 @@ class OperatorsSpec extends SparkSpec {
       (2L, 1L, "beta content"),
       (3L, 1L, "gamma content")), cleaned.toString)
 
-    // cap guard: a hot set past the broadcast cap is an engine error
-    intercept[graft.core.EngineError] {
-      TextAnalysis.removeHotLines(in, "text", hot, maxBroadcastLines = 0)
-    }
+    // past the broadcast cap the call degrades to the distributed join
+    // form (round-14) — same answer, line-level exchange instead of a
+    // driver set
+    val viaJoin = TextAnalysis.removeHotLines(in, "text", hot, maxBroadcastLines = 0)
+      .select("doc_id", "n_removed", "cleaned")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(viaJoin == cleaned, s"join fallback diverged: $viaJoin")
+    // and the join form directly, including a doc whose every line is hot
+    val allHot = Seq((9L, "shared footer\nshared footer")).toDF("doc_id", "text")
+    val gone = TextAnalysis.removeHotLinesJoin(allHot, "text", hot)
+      .select("doc_id", "n_removed", "cleaned")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(gone == Seq((9L, 2L, "")), gone.toString)
   }
 
   test("phrasePositions/containsPhrase: exact token-sequence match, overlaps, edges") {
