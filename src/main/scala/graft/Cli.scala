@@ -22,8 +22,16 @@ import graft.store.GraftStore
   *   ingest-file <file> [maxChars] [overlap]
   *   stats | delete <id> | show <id> | list [limit] [offset]
   *   compact [targetFiles]
+  *   repl                     (interactive session — the UI counterpart)
   */
 object Cli {
+
+  /** Verb-level exit request — thrown instead of calling `sys.exit` so
+    * the interactive session ([[repl]]) can recover where the one-shot
+    * CLI terminates (round-14).
+    */
+  private[graft] final case class CliExit(code: Int)
+      extends RuntimeException(s"exit $code")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
@@ -36,8 +44,13 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val store = new GraftStore(spark, args(0), HashingEmbedder(64))
-    try run(store, args(1), args.drop(2))
-    catch {
+    try {
+      if (args(1) == "repl")
+        repl(store, new java.io.BufferedReader(
+          new java.io.InputStreamReader(System.in)))
+      else run(store, args(1), args.drop(2))
+    } catch {
+      case CliExit(code) => sys.exit(code)
       // executor-side GraftErrors (strict embed, UTF-8 decode) surface
       // wrapped in SparkException — unwrap the cause chain so the user
       // sees the reference-parity message either way
@@ -48,6 +61,60 @@ object Cli {
           case None => throw e
         }
     } finally spark.stop()
+  }
+
+  /** INTERACTIVE session — the library's counterpart to the reference's
+    * browser UI (`/root/reference/vectolite_ui.py`: four panels — add,
+    * search, browse, manage — over the same store verbs). A Spark library
+    * has no browser; the equivalent interaction is a long-lived session
+    * where the JVM + SparkSession + store state are paid ONCE and every
+    * verb runs against them interactively (the UI's actual value over
+    * the one-shot CLI). Reads one command line per iteration (double
+    * quotes group words); verb errors print and the loop CONTINUES —
+    * unlike the one-shot form, a missing id or bad input never ends the
+    * session. `quit`/`exit`/EOF leave cleanly.
+    */
+  private[graft] def repl(store: GraftStore,
+                          in: java.io.BufferedReader): Unit = {
+    println("graft session — verbs: add query search hybrid phrase " +
+      "ingest-file stats delete show list compact help quit")
+    var line = in.readLine()
+    while (line != null &&
+           line.trim != "quit" && line.trim != "exit") {
+      val parts = tokenizeLine(line)
+      if (parts.nonEmpty) {
+        try {
+          if (parts.head == "help") println(usage)
+          else run(store, parts.head, parts.tail.toArray)
+        } catch {
+          case CliExit(_) => // verb already printed its message
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .collectFirst { case g: GraftError => g } match {
+              case Some(g) => println(s"Error: ${g.getMessage}")
+              case None => println(s"Error: ${e.getMessage}")
+            }
+        }
+      }
+      line = in.readLine()
+    }
+  }
+
+  /** Whitespace tokenizer with double-quote grouping — so
+    * `add "two words" k=v` carries the text as one argument.
+    */
+  private[graft] def tokenizeLine(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '"' => inQ = !inQ
+      case c if c.isWhitespace && !inQ =>
+        if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
   }
 
   private def run(store: GraftStore, cmd: String, rest: Array[String]): Unit = cmd match {
@@ -102,13 +169,13 @@ object Cli {
 
     case "delete" =>
       if (store.deleteDocument(rest(0).toLong)) println(s"Deleted document ${rest(0)}")
-      else { System.err.println(s"Document ${rest(0)} not found"); sys.exit(1) }
+      else { System.err.println(s"Document ${rest(0)} not found"); throw CliExit(1) }
 
     case "show" =>
       store.getDocument(rest(0).toLong) match {
         case Some(r) =>
           println(s"id=${r.getAs[Long]("id")}\nmetadata=${r.getAs[String]("metadata")}\ntext=${r.getAs[String]("text")}")
-        case None => System.err.println(s"Document ${rest(0)} not found"); sys.exit(1)
+        case None => System.err.println(s"Document ${rest(0)} not found"); throw CliExit(1)
       }
 
     case "compact" =>
@@ -126,9 +193,9 @@ object Cli {
         }
 
     case other =>
-      System.err.println(s"Unknown command: $other\n$usage"); sys.exit(2)
+      System.err.println(s"Unknown command: $other\n$usage"); throw CliExit(2)
   }
 
   private val usage =
-    """usage: graft.Cli <store-path> <add|query|search|hybrid|phrase|ingest-file|stats|delete|show|list|compact> [args...]"""
+    """usage: graft.Cli <store-path> <add|query|search|hybrid|phrase|ingest-file|stats|delete|show|list|compact|repl> [args...]"""
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, StringReader}
+
+import graft.operators.HashingEmbedder
+import graft.store.GraftStore
+
+/** The interactive session (the reference UI's counterpart): a scripted
+  * command stream drives the repl loop end-to-end against a real store —
+  * add, query-family, browse, manage — and error recovery keeps the
+  * session alive where the one-shot CLI exits.
+  */
+class CliReplSpec extends SparkSpec {
+
+  private def runScript(script: String, store: GraftStore): String = {
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) {
+      Cli.repl(store, new BufferedReader(new StringReader(script)))
+    }
+    out.toString("UTF-8")
+  }
+
+  test("scripted session: add / search / phrase / stats / delete drive one live store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-repl")
+      .resolve("docs.parquet").toString
+    val store = new GraftStore(spark, dir, HashingEmbedder(16))
+    val out = runScript(
+      """add "ducks like ponds and bread"
+        |add "spark shuffles partitions"
+        |search ponds 3
+        |phrase "ponds and" 3
+        |stats
+        |delete 1
+        |delete 1
+        |stats
+        |quit""".stripMargin, store)
+    assert(out.contains("Document added with ID: 1"), out)
+    assert(out.contains("Document added with ID: 2"), out)
+    assert(out.contains("id=1") && out.contains("ducks"), out) // search hit
+    assert(out.contains("hits=1 first_pos=3"), out)            // phrase hit
+    assert(out.contains("Documents: 2"), out)
+    assert(out.contains("Deleted document 1"), out)
+    assert(out.contains("Documents: 1"), out) // session continued past the
+                                              // failed second delete
+    assert(store.countDocuments() == 1L)
+  }
+
+  test("error recovery: bad verbs and verb errors never end the session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-repl2")
+      .resolve("docs.parquet").toString
+    val store = new GraftStore(spark, dir, HashingEmbedder(16))
+    val out = runScript(
+      """nonsense-verb
+        |add "   "
+        |query ok 0
+        |add "still alive after three failures"
+        |stats
+        |exit""".stripMargin, store)
+    assert(out.contains("Error:"), out)             // validation error printed
+    assert(out.contains("Document added with ID: 1"), out)
+    assert(out.contains("Documents: 1"), out)
+  }
+
+  test("tokenizeLine: quote grouping, collapsed whitespace, empties") {
+    assert(Cli.tokenizeLine("""add "two words" k=v""") ==
+      Seq("add", "two words", "k=v"))
+    assert(Cli.tokenizeLine("  a   b  ") == Seq("a", "b"))
+    assert(Cli.tokenizeLine("") == Seq.empty)
+    assert(Cli.tokenizeLine("\"\"") == Seq.empty) // bare quotes add nothing
+  }
+}
