@@ -879,6 +879,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E4 (round-14): the QUALITY-survivor variant — each near-dup group
+    // keeps its argmax-quality member (ties to the smaller id) instead
+    // of the min id: the curation pick a corpus build actually wants
+    // (cleanest copy, not oldest). Argmax compares the ROUNDED quality
+    // both engines already agree on bit-for-bit (the quality_score hash
+    // row), so survivor choice is deterministic cross-engine.
+    "near_dedup_apply_best" -> ((s, dir) => {
+      val slice = docs(s, dir).filter(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(slice, "doc_id", "text", n = 2, threshold = 0.09)
+      Dedup.dedupNearBest(slice, "doc_id",
+          round(TextAnalysis.qualityScore(col("text")), 6), pairs)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- THE full training-set hygiene pipeline, composed ------------
     // chunk → embed → exact-dedup → decontaminate → split in ONE declared
     // query — the 100 TB story is the pipeline, not the operators in
@@ -2949,6 +2964,68 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 200
         |  AND doc_id NOT IN (SELECT id FROM lab WHERE id <> group_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same transitive closure, survivor = argmax(ROUND(quality,6), then
+    // min id) per component — quality CTEs copied verbatim from the
+    // quality_score oracle (its hash row pins cross-engine equality of
+    // the rounded values, so the equality join on q = mq is exact).
+    "near_dedup_apply_best" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 200)
+        |),
+        |pr AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS asz, len(b.sh) AS bsz
+        |    FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |  WHERE CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.09
+        |),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION SELECT b_id, a_id FROM pr
+        |),
+        |walk AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+        |),
+        |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk GROUP BY src),
+        |qt0 AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |qt1 AS (
+        |  SELECT doc_id,
+        |    LEAST(len / 200.0, 1.0) AS len_score,
+        |    LEAST(ntok / 40.0, 1.0) AS tok_score,
+        |    GREATEST(1.0 - (CASE WHEN len = 0 THEN 0.0
+        |      ELSE (len - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / len END) * 4.0, 0.0) AS punct_score,
+        |    LEAST((CASE WHEN ntok = 0 THEN 0.0
+        |      ELSE len(list_filter(tok, x -> x IN ('the','a','an','and','of','to','in','is','it','for','on','with'))) / CAST(ntok AS DOUBLE) END) * 5.0, 1.0) AS stop_score
+        |  FROM qt0
+        |),
+        |qt AS (SELECT doc_id, ROUND((len_score + tok_score + punct_score + stop_score) / 4.0, 6) AS q FROM qt1),
+        |mq AS (SELECT l.group_id, MAX(q.q) AS mq FROM lab l JOIN qt q ON q.doc_id = l.id GROUP BY l.group_id),
+        |win AS (
+        |  SELECT l.group_id, MIN(l.id) AS keep_id
+        |  FROM lab l JOIN qt q ON q.doc_id = l.id
+        |  JOIN mq ON mq.group_id = l.group_id AND q.q = mq.mq
+        |  GROUP BY l.group_id),
+        |losers AS (
+        |  SELECT l.id FROM lab l JOIN win w ON w.group_id = l.group_id
+        |  WHERE l.id <> w.keep_id)
+        |SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE doc_id < 200 AND doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
     // single-paragraph texts (no blank lines in the fixture) → exactly one

@@ -721,6 +721,36 @@ object Dedup {
     df.join(losers, df(idCol).cast("long") === col("__loser_id"), "left_anti")
   }
 
+  /** Near-dedup keeping the BEST row of each duplicate group by a
+    * caller-supplied `quality` Column — the curation refinement of
+    * [[dedupNear]]'s min-id pick (round-14): a corpus build keeps the
+    * CLEANEST copy of a near-dup cluster, not the oldest. Survivor per
+    * group = argmax(quality, ties to the smaller id), computed as ONE
+    * `max_by` aggregation over the group labels (never a per-group
+    * window — the same skew discipline as every other survivor pick).
+    * Rows in no pair survive untouched. Pass the quality ROUNDED
+    * (`round(q, 6)`) when an oracle/cross-engine replay must agree on
+    * argmax ties — the house determinism rule for float comparisons.
+    */
+  def dedupNearBest(df: DataFrame, idCol: String, quality: Column,
+                    pairs: DataFrame, aCol: String = "a_id",
+                    bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    val groups = nearDupGroups(pairs, aCol, bCol, maxIters)
+    val q = df.select(col(idCol).cast("long").as("__qid"), quality.as("__q"))
+    // max_by over struct(q, -id): lexicographic max = highest quality,
+    // then lowest id — one partial/final agg, |groups| output rows
+    val winners = groups.join(q, col("id") === col("__qid"))
+      .groupBy(col("group_id"))
+      .agg(max_by(col("id"),
+        struct(col("__q").as("q"), (-col("id")).as("nid"))).as("__keep_id"))
+    val losers = groups.join(winners, Seq("group_id"))
+      .filter(col("id") =!= col("__keep_id"))
+      .select(col("id").as("__loser_id"))
+      .localCheckpoint()
+    releaseCheckpointBlocks(groups)
+    df.join(losers, df(idCol).cast("long") === col("__loser_id"), "left_anti")
+  }
+
   // ----------------------------------------- embedding-cosine (guarded exact)
   /** All pairs (a < b) with cosine above a threshold — exact O(n²) form,
     * guarded: refuses to run beyond `maxRows` rows so the quadratic path

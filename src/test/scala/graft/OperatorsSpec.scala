@@ -101,6 +101,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 0.333333)))
   }
 
+  test("dedupNearBest: argmax-quality survivor, ties to min id, unpaired rows untouched") {
+    val df = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),  // group {1,2,3}: 2 and 3 tie on
+                                        // quality — min id 2 must win
+      (10L, 0.5), (11L, 0.1),           // group {10,11}: 10 wins on quality
+      (20L, 0.0)                        // in no pair: survives untouched
+    ).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val kept = Dedup.dedupNearBest(df, "id", col("q"), pairs)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L), kept.toString)
+    // contrast: the min-id pick keeps 1, not the better-quality 2
+    assert(Dedup.dedupNear(df, "id", pairs)
+      .select("id").as[Long].collect().toSet == Set(1L, 10L, 20L))
+  }
+
   test("assertCapUnbound: injected hot shingle throws loudly; cool corpus passes") {
     // 'hot spot' appears in 4 docs — a cap of 3 must bind and name it
     val df = Seq(
