@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON (BENCH_r11–r14 all recorded "parsed": null).
+// Two sbt behaviors break that contract: the default LoggedOutput
+// strategy prefixes every forked-run stdout line with "[info] ", and
+// sbt prints "[success] Total time: …" AFTER the run as the literal
+// last line. Route forked stdout through unmodified and suppress the
+// success banner so Bench's compact summary line is the last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

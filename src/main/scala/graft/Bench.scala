@@ -226,8 +226,7 @@ object Bench {
             threshold = 0.5, ivfBenchNProbe)
           .writeStream.format("memory").queryName(sink).outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        if (!sq.awaitTermination(300000))
-          throw new RuntimeException("bench stream_ivf_probe: timeout after 300s")
+        streaming.Streams.awaitOrAbort(sq, "bench stream_ivf_probe")
         ()
       }
       (results +
@@ -310,7 +309,12 @@ object Bench {
     // full 115-row map in BENCH_LOCAL.json (path in "detail"). Printed
     // after spark.stop() so no shutdown logging can follow it.
     val slow8 = ok.toSeq.sortBy(-_._2).take(8)
-      .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + f"$v%.3f" }
+      // Locale.ROOT: the f interpolator is locale-sensitive — a
+      // comma-decimal default locale would emit unparseable JSON here.
+      .map { case (k, v) =>
+        "\"" + jsonEscape(k) + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow8,""" +

@@ -171,6 +171,28 @@ object SparkEntry {
     3L -> Seq("filter", "row"),
     4L -> Seq("query", "vector"))
 
+  /** Standing phrase workload for the batch positional probe (round-15).
+    * q_id 2 is a trigram with ZERO matches at sf0.001 — the batch plan
+    * must emit nothing for it, not a partial-term candidate.
+    */
+  private val phraseBatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "stream"),
+    1L -> Seq("table", "hash"),
+    2L -> Seq("slow", "hash", "batch"),
+    3L -> Seq("big", "table"),
+    4L -> Seq("merge", "group"))
+
+  /** Standing proximity workload (round-15); q_id 4 is a 3-term query —
+    * the k-way smallest-range path, whose oracle replays the span as a
+    * min over all occurrence triples.
+    */
+  private val proximityBatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "stream"),
+    1L -> Seq("table", "hash"),
+    2L -> Seq("merge", "group"),
+    3L -> Seq("slow", "batch"),
+    4L -> Seq("vector", "table", "hash"))
+
   /** Persisted inverted index for the `bm25_index_topk` row, exercising
     * the FULL lifecycle: build on the first ~60% of the corpus, APPEND the
     * rest — so the probed result matching the direct-scan oracle proves
@@ -460,9 +482,7 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_ivf_probe: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_ivf_probe")
       val stateless = sq.lastProgress != null && sq.lastProgress.stateOperators.isEmpty
       def rows(df: DataFrame): Set[(Long, Long, Double)] =
         df.select(col("q_id"), col("c_id"), col("score"))
@@ -1009,9 +1029,7 @@ object SparkEntry {
       val q = Streams.toMemorySink(
           Streams.eventsWindowAggStream(Tables.eventsStream(s, dir)), sinkName)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "events_window_stream: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(q, "events_window_stream")
       s.table(sinkName).orderBy("window_start", "event_type")
     }),
 
@@ -1032,9 +1050,7 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_sim_filter: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_sim_filter")
       s.table(sinkName).orderBy("vec_id")
     }),
 
@@ -1054,9 +1070,7 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_ann_probe: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_ann_probe")
       s.table(sinkName).orderBy("q_id", "c_id")
     }),
 
@@ -1079,9 +1093,7 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_ann_probe_wm: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_ann_probe_wm")
       s.table(sinkName).orderBy("q_id", "c_id")
     }),
 
@@ -1122,9 +1134,7 @@ object SparkEntry {
       val sq = Streams.sessionizeStateful(evs, gapMinutes = 30).toDF()
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "sessionize_stateful: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "sessionize_stateful")
       s.table(sinkName).orderBy("user_id", "session_seq")
     }),
 
@@ -1147,9 +1157,7 @@ object SparkEntry {
       val sq = Streams.sessionizeStatefulExpiring(evs, gapMinutes = 30).toDF()
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "sessionize_stateful_exp: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "sessionize_stateful_exp")
       s.table(sinkName).orderBy("user_id", "session_seq")
     }),
 
@@ -1163,9 +1171,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("quality"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_quality_filter: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_quality_filter")
       s.table(sinkName).orderBy("doc_id")
     }),
 
@@ -1181,9 +1187,7 @@ object SparkEntry {
         .select("text_sha")
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_dedup: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_dedup")
       s.table(sinkName).orderBy("text_sha")
     }),
 
@@ -1212,9 +1216,7 @@ object SparkEntry {
         .select("text_sha")
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_dedup_wm: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_dedup_wm")
       s.table(sinkName).orderBy("text_sha")
     }),
 
@@ -1243,9 +1245,7 @@ object SparkEntry {
         .select(col("text_sha"), col("n_tokens"), col("quality"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_hygiene: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_hygiene")
       s.table(sinkName).orderBy("text_sha")
     }),
 
@@ -1588,9 +1588,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_kept"), col("cleaned"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_line_clean: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_line_clean")
       s.table(sinkName).orderBy("doc_id")
     }),
 
@@ -1647,9 +1645,7 @@ object SparkEntry {
         .select(col("doc_id"), col("scrubbed"), col("n_pii"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_pii_scrub: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_pii_scrub")
       s.table(sinkName).orderBy("doc_id")
     }),
 
@@ -1734,7 +1730,8 @@ object SparkEntry {
     // E3 (round-13): BM25 BATCH probe at query volume — five keyword
     // queries served from the persisted inverted index in ONE plan
     // (collected touched-term set → pruned postings scan → broadcast
-    // query table → per-(query,doc) sum → PARTITIONED rank window).
+    // query table → per-(query,doc) sum → SimJoin.rankTopK k-bounded
+    // rank — no window; PlanShapeSpec pins zero WindowExec).
     "bm25_batch_topk" -> ((s, dir) => {
       import s.implicits._
       val queries = bm25BatchQueries.toDF("q_id", "terms")
@@ -1809,9 +1806,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_hits"), col("first_pos"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_phrase_match: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_phrase_match")
       s.table(sinkName).orderBy("doc_id")
     }),
 
@@ -1824,6 +1819,32 @@ object SparkEntry {
       IndexedBm25.proximitySearch(s, bm25Index(s, dir),
           Seq("vector", "stream"), window = 10)
         .orderBy("doc_id")),
+
+    // E3 (round-15): BATCH phrase probe — five standing phrases served
+    // from the positional index in ONE plan (VERDICT r14 "missing" #1:
+    // N phrase alerts used to cost N pruned scans). Union touched-term
+    // set → one pruned positional scan → per-(q_id, doc) adjacency →
+    // SimJoin.rankTopK (PlanShapeSpec pins zero WindowExec). The oracle
+    // replays each phrase with the full-scan derivation, so the hash
+    // also proves batch == scan per phrase.
+    "phrase_batch_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = phraseBatchQueries.toDF("q_id", "phrase")
+      IndexedBm25.phraseSearchBatch(s, bm25Index(s, dir), queries, k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // E3 (round-15): BATCH proximity probe — same one-plan serving for
+    // standing near-queries, tightest-span-first ranking on the exact
+    // integer span (no float ordering anywhere), incl. a 3-term k-way
+    // smallest-range query.
+    "proximity_batch_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = proximityBatchQueries.toDF("q_id", "terms")
+      IndexedBm25.proximitySearchBatch(s, bm25Index(s, dir), queries,
+          window = 10, k = 5)
+        .orderBy("q_id", "rank")
+    }),
 
     // E3 composition (round-13): the RESULT PAGE — BM25 top-10 joined
     // back to text with a ±15-char snippet around the leftmost query-term
@@ -1852,9 +1873,7 @@ object SparkEntry {
         .select(col("doc_id"), col("score"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      if (!sq.awaitTermination(300000))
-        throw new graft.core.EngineError(
-          "stream_bm25_route: stream did not finish within 300s — refusing to return a partial sink")
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_bm25_route")
       s.table(sinkName)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("doc_id")
@@ -3570,6 +3589,86 @@ object SparkEntry {
     // also re-proves append == rebuild for the positions column).
     "phrase_index_topk" -> phraseSearchSql,
     "stream_phrase_match" -> phraseSearchSql,
+
+    // Batch phrase replay: a VALUES phrase table, the SAME full-scan
+    // start-position derivation as phraseSearchSql generalized to a
+    // per-row phrase length, then rank(n_hits desc, doc_id) cut at 5 —
+    // integer hit counts, so no rounding anywhere.
+    "phrase_batch_topk" ->
+      """WITH q(q_id, phrase) AS (VALUES
+        |  (0, ['vector', 'stream']),
+        |  (1, ['table', 'hash']),
+        |  (2, ['slow', 'hash', 'batch']),
+        |  (3, ['big', 'table']),
+        |  (4, ['merge', 'group'])),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT q.q_id, t.doc_id,
+        |    list_filter(range(1, len(t.t) - len(q.phrase) + 2),
+        |      i -> t.t[i:i+len(q.phrase)-1] = q.phrase) AS p
+        |  FROM q CROSS JOIN t),
+        |h AS (
+        |  SELECT q_id, doc_id, CAST(len(p) AS BIGINT) AS n_hits
+        |  FROM m WHERE len(p) > 0),
+        |rk AS (
+        |  SELECT q_id, doc_id, n_hits,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY n_hits DESC, doc_id) AS BIGINT) AS "rank"
+        |  FROM h)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_hits, "rank"
+        |FROM rk WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Batch proximity replay: per-query closed forms UNION ALL'd — the
+    // 2-term span is min |pa − pb| + 1, the 3-term span is the min over
+    // all occurrence triples of (greatest − least + 1); both are exactly
+    // the engine's k-way smallest-range on integer positions.
+    "proximity_batch_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |pos AS (
+        |  SELECT doc_id, u.i, u.w AS word
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(t, (x, i) -> struct_pack(w := x, i := i))) AS u
+        |        FROM t)),
+        |sp AS (
+        |  SELECT 0 AS q_id, a.doc_id, MIN(ABS(a.i - b.i) + 1) AS min_span
+        |  FROM (SELECT doc_id, i FROM pos WHERE word = 'vector') a
+        |  JOIN (SELECT doc_id, i FROM pos WHERE word = 'stream') b USING (doc_id)
+        |  GROUP BY a.doc_id
+        |  UNION ALL
+        |  SELECT 1, a.doc_id, MIN(ABS(a.i - b.i) + 1)
+        |  FROM (SELECT doc_id, i FROM pos WHERE word = 'table') a
+        |  JOIN (SELECT doc_id, i FROM pos WHERE word = 'hash') b USING (doc_id)
+        |  GROUP BY a.doc_id
+        |  UNION ALL
+        |  SELECT 2, a.doc_id, MIN(ABS(a.i - b.i) + 1)
+        |  FROM (SELECT doc_id, i FROM pos WHERE word = 'merge') a
+        |  JOIN (SELECT doc_id, i FROM pos WHERE word = 'group') b USING (doc_id)
+        |  GROUP BY a.doc_id
+        |  UNION ALL
+        |  SELECT 3, a.doc_id, MIN(ABS(a.i - b.i) + 1)
+        |  FROM (SELECT doc_id, i FROM pos WHERE word = 'slow') a
+        |  JOIN (SELECT doc_id, i FROM pos WHERE word = 'batch') b USING (doc_id)
+        |  GROUP BY a.doc_id
+        |  UNION ALL
+        |  SELECT 4, a.doc_id,
+        |    MIN(GREATEST(a.i, b.i, c.i) - LEAST(a.i, b.i, c.i) + 1)
+        |  FROM (SELECT doc_id, i FROM pos WHERE word = 'vector') a
+        |  JOIN (SELECT doc_id, i FROM pos WHERE word = 'table') b USING (doc_id)
+        |  JOIN (SELECT doc_id, i FROM pos WHERE word = 'hash') c USING (doc_id)
+        |  GROUP BY a.doc_id),
+        |h AS (SELECT q_id, doc_id, CAST(min_span AS BIGINT) AS min_span
+        |      FROM sp WHERE min_span <= 10),
+        |rk AS (
+        |  SELECT q_id, doc_id, min_span,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY min_span ASC, doc_id) AS BIGINT) AS "rank"
+        |  FROM h)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, min_span, "rank"
+        |FROM rk WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
 
     // The MG guarantees are theorems — the oracle recomputes the
     // guaranteed-set size from EXACT counts and pins both checks at 1;

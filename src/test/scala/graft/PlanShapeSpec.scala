@@ -257,4 +257,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.toLowerCase.contains("partial_topkagg"),
       s"partial_topkagg marker missing from bm25 batch plan:\n$plan")
   }
+
+  test("batch phrase probe: pruned positional scan, k-bounded rank, zero WindowExec") {
+    // Round-15 (VERDICT r14 "missing" #1): N standing phrases in ONE
+    // plan — same rankTopK discipline as the keyword batch probe, and
+    // the postings scan must still prune to the union term set's hash
+    // partitions (plus the committed-epoch predicate).
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-phrase-plan").toString
+    operators.IndexedBm25.build(docs, "doc_id", "text", path)
+    val queries = spark.createDataFrame(
+      Seq(Row(0L, Seq("vector", "stream")), Row(1L, Seq("table", "hash"))).asJava,
+      T.StructType(Seq(
+        T.StructField("q_id", T.LongType),
+        T.StructField("phrase", T.ArrayType(T.StringType)))))
+    val plan = physical(
+      operators.IndexedBm25.phraseSearchBatch(spark, path, queries, k = 5))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"per-q_id rank window in batch phrase plan:\n$plan")
+    assert(plan.toString.toLowerCase.contains("partial_topkagg"),
+      s"partial_topkagg marker missing from batch phrase plan:\n$plan")
+    val scanLine = plan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("pt") && scanLine.contains("epoch"),
+      s"postings scan not pruned on (pt, epoch):\n$scanLine")
+  }
 }
