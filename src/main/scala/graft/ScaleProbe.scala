@@ -86,7 +86,12 @@ object ScaleProbe {
     // R14C = only the round-14 heavy-hitters sketch rows; R14B = only
     // the round-14 line-curation rows (the keyword-family R14 rows have
     // recorded numbers).
-    val onlyR14c = sys.env.contains("SPARK_GRAFT_ONLY_R14C")
+    // SPARK_GRAFT_ONLY_R15=1 probes only the round-15 additions (batch
+    // phrase/proximity probe vs N single probes, persisted hot-lines
+    // serving vs recompute, quantized IVF probe + float re-rank, and the
+    // committed-epoch read overhead across many appends + compact).
+    val onlyR15 = sys.env.contains("SPARK_GRAFT_ONLY_R15")
+    val onlyR14c = onlyR15 || sys.env.contains("SPARK_GRAFT_ONLY_R14C")
     val onlyR14b = onlyR14c || sys.env.contains("SPARK_GRAFT_ONLY_R14B")
     val onlyR14 = onlyR14b || sys.env.contains("SPARK_GRAFT_ONLY_R14")
     val onlyR13d = onlyR14 || sys.env.contains("SPARK_GRAFT_ONLY_R13D")
@@ -730,6 +735,108 @@ object ScaleProbe {
       timed(s"tokenize APPLY, join+regroup fallback ($nDocs docs)") {
         TextAnalysis.tokenizeToIdsJoin(docs, "doc_id", "text", vocab)
           .agg(sum(size(col("token_ids")))).collect()
+      }
+    }
+    // ---- Round-15 additions -------------------------------------------
+    // (a) Batch positional probe: 5 standing phrases in ONE plan vs 5
+    //     single pruned probes — the wall-clock gap that motivated
+    //     phraseSearchBatch (VERDICT r14 "missing" #1).
+    // (b) Persisted hot-lines table: append-maintained serving read vs a
+    //     full-corpus recompute — the nightly-curation story.
+    // (c) Quantized IVF probe + float re-rank vs the float probe.
+    // (d) Committed-epoch protocol overhead: probe latency at 1 epoch vs
+    //     after 10 appends (11 epochs), then after compact — the cost of
+    //     crash-safe appends must be a listing constant, not a scan term.
+    locally {
+      import spark.implicits._
+      val phrases = Seq(
+        0L -> Seq("vector", "stream"), 1L -> Seq("table", "hash"),
+        2L -> Seq("slow", "hash", "batch"), 3L -> Seq("big", "table"),
+        4L -> Seq("merge", "group"))
+      val idxPath = graft.core.SessionCache.newTempDir("graft-scale-bm25-r15")
+      timed(s"bm25 positional index BUILD ($nDocs docs)") {
+        IndexedBm25.build(docs, "doc_id", "text", idxPath)
+      }
+      timed("phrase probe x5, SINGLE (5 pruned scans)") {
+        phrases.foreach { case (_, ph) =>
+          IndexedBm25.phraseSearch(spark, idxPath, ph).count() }
+      }
+      timed("phrase probe x5, BATCH (one plan)") {
+        IndexedBm25.phraseSearchBatch(spark, idxPath,
+          phrases.toDF("q_id", "phrase"), k = 10).count()
+      }
+      timed("proximity probe x5, BATCH (one plan)") {
+        IndexedBm25.proximitySearchBatch(spark, idxPath,
+          phrases.toDF("q_id", "terms"), window = 10, k = 10).count()
+      }
+
+      // (b) hot-lines lifecycle vs recompute (amplified docs carry no
+      // newlines — plant the 4-line layout the declared rows use)
+      val aug = docs.select(col("doc_id"),
+        concat_ws("\n", lit("Subscribe to our newsletter"),
+          concat(col("text"), lit(".")),
+          lit("copyright footer all pages share"),
+          concat(lit("unique "), col("doc_id").cast("string"))).as("text"))
+      val hlPath = graft.core.SessionCache.newTempDir("graft-scale-hotlines")
+      timed(s"hot-lines BUILD 99% ($nDocs docs)") {
+        HotLinesIndex.build(aug.filter(col("doc_id") < nDocs * 99L / 100L), "text", hlPath)
+      }
+      timed("hot-lines APPEND 1% batch") {
+        HotLinesIndex.append(aug.filter(col("doc_id") >= nDocs * 99L / 100L), "text", hlPath)
+      }
+      timed("hot-lines SERVE (merge-on-read, 2 epochs)") {
+        HotLinesIndex.hotLines(spark, hlPath, maxDocFreq = 100L).count()
+      }
+      timed(s"hot-lines RECOMPUTE (corpus scan, $nDocs docs)") {
+        TextAnalysis.hotLines(aug, "text", maxDocFreq = 100L).count()
+      }
+      timed("hot-lines removal served from the table") {
+        TextAnalysis.removeHotLines(aug, "text",
+          HotLinesIndex.hotLines(spark, hlPath, maxDocFreq = 100L)).count()
+      }
+
+      // (c) quantized IVF serving
+      val model = IvfIndex.fit(emb, "embedding")
+      val ivfDir = graft.core.SessionCache.newTempDir("graft-scale-ivf-r15")
+      timed(s"ivf index build+write ($nEmb vectors)") {
+        IvfIndex.writeIndex(IvfIndex.buildIndex(emb, "vec_id", "embedding", model), ivfDir)
+      }
+      val fIdx = IvfIndex.readIndex(spark, ivfDir)
+      val qIdx = {
+        val p = graft.core.SessionCache.newTempDir("graft-scale-ivfq")
+        IvfIndex.quantizeIndex(fIdx).write.partitionBy("cluster").parquet(p)
+        spark.read.parquet(p)
+      }
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      timed("ivf probe FLOAT top-10") {
+        IvfIndex.queryTopK(fIdx, model, q, 10, nProbe).collect()
+      }
+      timed("ivf probe QUANTIZED + float re-rank top-10") {
+        IvfIndex.queryTopKQuantizedRerank(qIdx, fIdx, model, q, 10, nProbe).collect()
+      }
+
+      // (d) epoch-read overhead across appends
+      val terms = Seq("vector", "stream", "hash")
+      timed("bm25 probe, 1 committed epoch") {
+        IndexedBm25.topK(spark, idxPath, terms, 10).collect()
+      }
+      timed("bm25 APPEND x10 (100-doc batches, fresh ids)") {
+        (0 until 10).foreach { i =>
+          IndexedBm25.append(
+            docs.filter(col("doc_id") < 100)
+              .select((col("doc_id") + lit(nDocs) + lit(i * 100L)).as("doc_id"),
+                col("text")),
+            "doc_id", "text", idxPath)
+        }
+      }
+      timed("bm25 probe, 11 committed epochs") {
+        IndexedBm25.topK(spark, idxPath, terms, 10).collect()
+      }
+      timed("bm25 COMPACT (fold 11 epochs)") {
+        IndexedBm25.compact(spark, idxPath)
+      }
+      timed("bm25 probe, post-compact (1 epoch)") {
+        IndexedBm25.topK(spark, idxPath, terms, 10).collect()
       }
     }
     spark.stop()

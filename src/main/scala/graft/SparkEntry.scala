@@ -208,6 +208,23 @@ object SparkEntry {
       p
     }
 
+  /** Persisted HOT-LINES table (round-15): build on the first ~60% of the
+    * corpus, APPEND the rest — per-batch line-frequency deltas sum to the
+    * exact global document frequency, so the served table matching the
+    * whole-corpus recompute oracle proves append == rebuild for the
+    * boilerplate table too. Serves `pipeline_line_curation` and
+    * `hotlines_append_parity` (which additionally compacts).
+    */
+  private def hotLinesIdx(s: SparkSession, dir: String): String =
+    SessionCache.getOrCreate(s"hotlines_index:$dir") {
+      val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
+      val cut = docs(s, dir).agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+      val p = SessionCache.newTempDir("graft-hotlines-idx")
+      HotLinesIndex.build(aug.filter(col("doc_id") <= cut), "text", p)
+      HotLinesIndex.append(aug.filter(col("doc_id") > cut), "text", p)
+      p
+    }
+
   /** Index for the `bm25_delete_parity` row — the FULL lifecycle on its
     * own artifact (a delete on the shared [[bm25Index]] would corrupt the
     * other keyword rows): build 60%, append 40%, then DELETE doc_id<50
@@ -244,6 +261,7 @@ object SparkEntry {
     lshIndex(s, dir)
     ivfIndex(s, dir)
     bm25Index(s, dir)
+    hotLinesIdx(s, dir)
     bm25DeleteIndex(s, dir)
     annDeleteIndex(s, dir)
     annAppendParity(s, dir)
@@ -251,6 +269,7 @@ object SparkEntry {
     annBatchParity(s, dir)
     ivfBatchParity(s, dir)
     ivfTopkParity(s, dir)
+    ivfQuantParity(s, dir)
     streamIvfParity(s, dir)
     incrementalNearDedupFlags(s, dir)
     jaccardIndexAppendParity(s, dir)
@@ -272,7 +291,7 @@ object SparkEntry {
     */
   val cachedQueryNames: Set[String] = Set(
     "ann_append_parity", "ann_batch_topk", "ivf_batch_topk",
-    "ivf_topk", "stream_ivf_probe",
+    "ivf_topk", "ivf_topk_quantized", "stream_ivf_probe",
     "incremental_near_dedup", "jaccard_index_append_parity")
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
@@ -449,6 +468,43 @@ object SparkEntry {
       Seq((RecallK.toLong, if (parity) 1L else 0L,
         if (recall >= RecallFloor) 1L else 0L))
         .toDF("k", "parity", "recall_floor_met")
+    }
+
+  /** Invariant flags of the QUANTIZED IVF serving composition (round-15;
+    * VERDICT r14 next #7): probe the int8-quantized index
+    * ([[IvfIndex.quantizeIndex]]) with a float re-rank of the candidate
+    * pool ([[IvfIndex.queryTopKQuantizedRerank]]) — the 4×-less-scan-IO
+    * serving path. Two mechanical checks become the row:
+    * `rerank_float_exact` — every served (id, score) must equal the
+    * direct float cosine of that id (the re-rank really escaped the
+    * reconstruction); `recall_floor_met` — served ids recover ≥ 90% of
+    * the FLOAT index probe's top-k (quantization may only cost pool
+    * membership, and barely). Constant oracle, the ivf_topk pattern.
+    */
+  private def ivfQuantParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"ivf_quant_parity:$dir") {
+      val q = queryVec(s, dir)
+      val (model, idx) = ivfIndex(s, dir)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      def probed(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("id").cast("long"), round(col("score"), 6).as("score"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val served = probed(IvfIndex.queryTopKQuantizedRerank(
+        IvfIndex.quantizeIndex(idx), idx, model, q, RecallK, nProbe))
+      val floatTop = probed(IvfIndex.queryTopK(idx, model, q, RecallK, nProbe))
+      val recall = served.map(_._1).count(floatTop.map(_._1).toSet).toDouble / RecallK
+      // served scores must be the float cosines, not reconstructions
+      val floatScores = embs(s, dir)
+        .filter(col("vec_id").isin(served.map(p => Long.box(p._1)): _*))
+        .select(col("vec_id").cast("long"),
+          round(cosine_sim(col("embedding"), typedlit(q.toSeq)), 6).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val exactScores = served.forall { case (id, sc) =>
+        floatScores.get(id).contains(sc) }
+      import s.implicits._
+      Seq((RecallK.toLong, if (exactScores) 1L else 0L,
+        if (recall >= 0.9) 1L else 0L))
+        .toDF("k", "rerank_float_exact", "recall_floor_met")
     }
 
   /** Invariant flags of the streaming IVF probe, declared as the
@@ -1563,7 +1619,11 @@ object SparkEntry {
     // chrome, dropping content, or re-joining wrongly breaks the hash.
     "pipeline_line_curation" -> ((s, dir) => {
       val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
-      val hot = TextAnalysis.hotLines(aug, "text", maxDocFreq = 100L)
+      // round-15: the chain now serves the hot set from the PERSISTED
+      // table (built 60% + appended 40%) instead of recomputing it from
+      // the corpus — the nightly form; the unchanged closed-form oracle
+      // re-proves served == recomputed.
+      val hot = HotLinesIndex.hotLines(s, hotLinesIdx(s, dir), maxDocFreq = 100L)
       val noChrome = TextAnalysis.removeHotLines(aug, "text", hot)
         .select(col("doc_id"), col("cleaned").as("text"))
       val ruled = TextAnalysis.lineClean(noChrome, "text",
@@ -1603,6 +1663,25 @@ object SparkEntry {
       val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
       val hot = TextAnalysis.hotLines(aug, "text", maxDocFreq = 100L)
       TextAnalysis.removeHotLines(aug, "text", hot)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("cleaned")).as("clean_sha"))
+        .orderBy("doc_id")
+    }),
+
+    // E4/E5 lifecycle (round-15; VERDICT r14 "missing" #2): the SAME
+    // boilerplate removal served from the PERSISTED hot-lines table
+    // after its full lifecycle — build 60% + append 40% (per-batch
+    // frequency deltas, single-commit epochs) + COMPACT (collapse the
+    // deltas under the atomic swap). Sharing line_boilerplate's
+    // recompute-from-corpus oracle proves append+compact == rebuild for
+    // the line-curation artifact, completing the maintained-table story
+    // (postings/vocab/ANN/IVF/count-table all had it; hot lines didn't).
+    "hotlines_append_parity" -> ((s, dir) => {
+      val path = hotLinesIdx(s, dir)
+      HotLinesIndex.compact(s, path)
+      val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
+      TextAnalysis.removeHotLines(aug, "text",
+          HotLinesIndex.hotLines(s, path, maxDocFreq = 100L))
         .select(col("doc_id"), col("n_removed"),
           md5(col("cleaned")).as("clean_sha"))
         .orderBy("doc_id")
@@ -2013,6 +2092,13 @@ object SparkEntry {
     // probe).
     "ivf_topk" -> ((s, dir) => ivfTopkParity(s, dir)),
 
+    // E2 composition (round-15): QUANTIZED IVF serving — int8 index
+    // probe + float re-rank of the candidate pool (4× less candidate
+    // scan IO at 100 TB), declared as the float-exactness + recall-floor
+    // invariant row against the float probe (the topk_cosine_quantized
+    // claim, index-served).
+    "ivf_topk_quantized" -> ((s, dir) => ivfQuantParity(s, dir)),
+
     // E2/E3: IVF batch probe against the persisted index (round-9) — each
     // query ranks the broadcast centroids and probes its own nProbe
     // clusters; touched clusters prune the scan; ids live in one cluster
@@ -2074,6 +2160,37 @@ object SparkEntry {
           d.filter(col("doc_id") >= 250 && col("doc_id") < 325), "doc_id", "text",
           n = 2, threshold = 0.2,
           Dedup.shinglePostings(d.filter(col("doc_id") < 300), "doc_id", "text", 2))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // E4×E6 (round-15; VERDICT r14 next #5): STREAMING jaccard ingest
+    // gate — each arriving doc probes the PERSISTED shingle-postings
+    // index (built 60% + appended, the lifecycle exercised stream-side)
+    // and drops when near-duplicate of ANY indexed doc; re-delivered
+    // text scores jaccard 1 and always drops. foreachBatch per-doc
+    // gate == the batch gate under any micro-batch split (the decision
+    // is per-doc + index-only), so a plain SQL derivation oracles the
+    // stream exactly — the text twin of stream_ann_probe.
+    "stream_jaccard_gate" -> ((s, dir) => {
+      jaccardCapGuard(s, dir)
+      val d = docs(s, dir)
+      val postingsPath = SessionCache.getOrCreate(s"jaccard_gate_index:$dir") {
+        val p = SessionCache.newTempDir("graft-jgate-idx")
+        Dedup.buildPostingsIndex(d.filter(col("doc_id") < 250),
+          "doc_id", "text", n = 2, p)
+        Dedup.appendPostingsIndex(
+          d.filter(col("doc_id") >= 250 && col("doc_id") < 300),
+          "doc_id", "text", n = 2, p)
+        p
+      }
+      val out = SessionCache.newTempDir("graft-jgate-out")
+      Streams.jaccardGateAvailableNow(
+        Tables.documentsStream(s, dir)
+          .filter(col("doc_id") >= 250 && col("doc_id") < 325),
+        "doc_id", "text", n = 2, threshold = 0.2,
+        Dedup.readPostingsIndex(s, postingsPath), out)
+      s.read.parquet(out)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
@@ -2493,6 +2610,43 @@ object SparkEntry {
     * == corpus-scan phrase, the same probe==scan pattern as
     * `bm25_index_topk`.
     */
+  /** Boilerplate-line removal replay over the planted 4-line layout —
+    * shared by `line_boilerplate` (hot set recomputed from the corpus)
+    * and `hotlines_append_parity` (hot set served from the persisted
+    * table after build+append+compact).
+    */
+  private val lineBoilerplateSql: String =
+    """WITH aug AS (
+        |  SELECT doc_id,
+        |    'Subscribe to our newsletter' || chr(10) || text || '.' || chr(10) ||
+        |    'copyright footer all pages share' || chr(10) ||
+        |    'unique ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)),
+        |      s -> s <> '') AS ls
+        |  FROM aug),
+        |df AS (
+        |  SELECT line, COUNT(*) AS n_docs FROM (
+        |    SELECT DISTINCT doc_id, line FROM (
+        |      SELECT doc_id, unnest(ls) AS line FROM l))
+        |  GROUP BY line),
+        |hot AS (SELECT line FROM df WHERE n_docs > 100),
+        |pos AS (
+        |  SELECT doc_id, u.i, u.s AS line
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(ls, (x, i) -> struct_pack(s := x, i := i))) AS u
+        |        FROM l)),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.line
+        |  FROM pos p LEFT JOIN hot h ON p.line = h.line WHERE h.line IS NULL),
+        |agg AS (SELECT doc_id, list(line ORDER BY i) AS kls FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  CAST(len(l.ls) - COALESCE(len(a.kls), 0) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(a.kls, chr(10)), '')) AS clean_sha
+        |FROM l LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   private val phraseSearchSql =
     """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -3476,37 +3630,14 @@ object SparkEntry {
     // Interdoc hot-line removal replayed as per-doc-DISTINCT line df →
     // hot set (> 100 docs) → indexed anti-join → order-restoring
     // regroup; md5 of the re-joined survivors hash-checks the removal.
-    "line_boilerplate" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |    'Subscribe to our newsletter' || chr(10) || text || '.' || chr(10) ||
-        |    'copyright footer all pages share' || chr(10) ||
-        |    'unique ' || CAST(doc_id AS VARCHAR) AS t
-        |  FROM documents),
-        |l AS (
-        |  SELECT doc_id,
-        |    list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)),
-        |      s -> s <> '') AS ls
-        |  FROM aug),
-        |df AS (
-        |  SELECT line, COUNT(*) AS n_docs FROM (
-        |    SELECT DISTINCT doc_id, line FROM (
-        |      SELECT doc_id, unnest(ls) AS line FROM l))
-        |  GROUP BY line),
-        |hot AS (SELECT line FROM df WHERE n_docs > 100),
-        |pos AS (
-        |  SELECT doc_id, u.i, u.s AS line
-        |  FROM (SELECT doc_id,
-        |          unnest(list_transform(ls, (x, i) -> struct_pack(s := x, i := i))) AS u
-        |        FROM l)),
-        |kept AS (
-        |  SELECT p.doc_id, p.i, p.line
-        |  FROM pos p LEFT JOIN hot h ON p.line = h.line WHERE h.line IS NULL),
-        |agg AS (SELECT doc_id, list(line ORDER BY i) AS kls FROM kept GROUP BY doc_id)
-        |SELECT l.doc_id,
-        |  CAST(len(l.ls) - COALESCE(len(a.kls), 0) AS BIGINT) AS n_removed,
-        |  md5(COALESCE(array_to_string(a.kls, chr(10)), '')) AS clean_sha
-        |FROM l LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "line_boilerplate" -> lineBoilerplateSql,
+
+    // The persisted-table row must equal the recompute-from-corpus row
+    // exactly — one oracle serves both (served == recomputed, the
+    // append-parity pattern; the index is built 60% + appended 40% +
+    // compacted, so the shared hash proves the whole lifecycle).
+    "hotlines_append_parity" -> lineBoilerplateSql,
+
 
     // The streaming face is a stateless projection of the same pass —
     // one oracle serves both (same planted PII, same augmentation).
@@ -4022,6 +4153,35 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // The streaming gate is the cross-index half of the incremental row
+    // alone (per-doc + index-only — no within-batch dedup, which is
+    // batching-dependent and stays with the nightly pass): same bt/ct
+    // shingle sets, drop iff max jaccard vs the indexed corpus >= 0.2.
+    "stream_jaccard_gate" ->
+      """WITH bt AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id >= 250 AND doc_id < 325)
+        |),
+        |ct AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 300)
+        |),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM bt b JOIN ct c ON len(list_intersect(b.sh, c.sh)) > 0
+        |  WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |        / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.2
+        |)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |JOIN bt ON d.doc_id = bt.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // Repetition: duplicate-token / duplicate-bigram fractions. Blank
     // text guards mirror token_count (DuckDB splits '' into ['']); bigram
     // i ranges over 1..ntok-1 with an inclusive 2-element slice.
@@ -4229,6 +4389,14 @@ object SparkEntry {
     // recall floor; the oracle pins the only acceptable outcome.
     "ivf_topk" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS parity,
+        |  CAST(1 AS BIGINT) AS recall_floor_met""".stripMargin,
+
+    // Quantized-index serving: the Spark side probes the int8 index with
+    // a float re-rank for real and checks the served scores are exact
+    // float cosines + a 0.9 recall floor vs the float probe; the oracle
+    // pins the only acceptable outcome.
+    "ivf_topk_quantized" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS rerank_float_exact,
         |  CAST(1 AS BIGINT) AS recall_floor_met""".stripMargin,
 
     // stream_ivf_probe: streaming emission == batch emission of the same

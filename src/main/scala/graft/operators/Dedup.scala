@@ -398,7 +398,23 @@ object Dedup {
     val within = dedupNear(nb, idCol,
       jaccardPairs(nb, idCol, textCol, n, threshold, maxDocFreq))
       .localCheckpoint(eager = false)
-    val bsets = within.select(col(idCol).cast("long").as("__b_id"),
+    within.join(dupIdsVsIndex(within, idCol, textCol, n, threshold,
+        corpusPostings, maxDocFreq),
+      within(idCol).cast("long") === col("__b_id"), "left_anti")
+  }
+
+  /** Ids of `batch` docs whose n-gram jaccard against ANY doc of the
+    * postings index reaches `threshold` — the cross-index half of
+    * [[jaccardIncremental]], shared with the streaming ingest gate
+    * ([[graft.streaming.Streams.jaccardGateAvailableNow]]). Per-doc and
+    * index-only: the verdict for one doc never depends on the rest of
+    * the batch, which is what makes the streaming face micro-batching-
+    * invariant. Output: one `__b_id` column.
+    */
+  def dupIdsVsIndex(batch: DataFrame, idCol: String, textCol: String,
+                    n: Int, threshold: Double, corpusPostings: DataFrame,
+                    maxDocFreq: Long = 1000L): DataFrame = {
+    val bsets = batch.select(col(idCol).cast("long").as("__b_id"),
       shingles(col(textCol), n).as("__sh"))
     val bpost =
       if (maxDocFreq == Long.MaxValue)
@@ -411,14 +427,30 @@ object Dedup {
           .withColumn("__b_size",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__b_id")))
       }
-    val dupIds = bpost.join(corpusPostings, Seq("shingle"))
+    bpost.join(corpusPostings, Seq("shingle"))
       .groupBy(col("__b_id"), col("corpus_id"), col("__b_size"), col("corpus_size"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") / (col("__b_size") + col("corpus_size") - col("common"))
         >= threshold)
       .select(col("__b_id")).distinct()
-    within.join(dupIds, within(idCol).cast("long") === col("__b_id"), "left_anti")
   }
+
+  /** NOVELTY GATE against a persisted shingle-postings index: keep only
+    * `batch` docs whose jaccard vs every indexed doc is below
+    * `threshold`. The per-doc cross-index filter WITHOUT within-batch
+    * dedup — the decision for each doc depends only on that doc and the
+    * index, so the gate composes identically batch-wise and as a
+    * streaming foreachBatch regardless of micro-batch boundaries
+    * (within-batch dedup is deliberately NOT part of the ingest gate:
+    * it is batching-DEPENDENT, and belongs to the nightly
+    * [[jaccardIncremental]] pass).
+    */
+  def jaccardGate(batch: DataFrame, idCol: String, textCol: String,
+                  n: Int, threshold: Double, corpusPostings: DataFrame,
+                  maxDocFreq: Long = 1000L): DataFrame =
+    batch.join(dupIdsVsIndex(batch, idCol, textCol, n, threshold,
+        corpusPostings, maxDocFreq),
+      batch(idCol).cast("long") === col("__b_id"), "left_anti")
 
   // ------------------------------------------------------- decontamination
   /** Benchmark decontamination: corpus docs sharing at least `minOverlap`

@@ -230,6 +230,43 @@ object IvfIndex {
     queryTopK(buildIndex(emb, idCol, embCol, model), model, queryVec, k, nProbe)
   }
 
+  /** INT8 serving copy of an IVF index (round-15; VERDICT r14 next #7):
+    * same (id, cluster) layout, embedding stored as int8 codes + one
+    * float scale per vector ([[Quantize]]'s symmetric max-abs scheme) —
+    * the form whose cluster-pruned candidate scan reads ~4× fewer bytes
+    * at 100 TB. Columns: (id, cluster, q_embedding, scale).
+    */
+  def quantizeIndex(index: DataFrame, embCol: String = "embedding"): DataFrame =
+    index.withColumn("__scale", Quantize.scaleOf(col(embCol)))
+      .select(col("id"), col("cluster"),
+        Quantize.quantize(col(embCol), col("__scale")).as("q_embedding"),
+        col("__scale").as("scale"))
+
+  /** Probe the QUANTIZED index with a FLOAT re-rank: candidates in the
+    * probed clusters score against the int8 reconstruction (the cheap
+    * 4×-less-IO pass), the top `poolFactor`·k pool joins back to the
+    * float index (a k-bounded id join — tiny), and the pool re-ranks in
+    * full precision. Served scores are therefore EXACT float cosines;
+    * quantization can only cost recall by dropping a true top-k id out
+    * of the pool, which the pool factor makes vanishingly rare (the
+    * `ivf_topk_quantized` row pins a recall floor vs the float probe).
+    * Both ranking cuts go through [[Similarity.topK]]'s deterministic
+    * rounded-score + id tie-break.
+    */
+  def queryTopKQuantizedRerank(qIndex: DataFrame, floatIndex: DataFrame,
+                               model: Model, queryVec: Array[Float], k: Int,
+                               nProbe: Int, poolFactor: Int = 4): DataFrame = {
+    require(poolFactor >= 1, s"poolFactor must be >= 1, got $poolFactor")
+    val probes = model.nearestClusters(queryVec, nProbe)
+    val cands = qIndex.filter(col("cluster").isin(probes: _*))
+      .select(col("id"),
+        Quantize.dequantize(col("q_embedding"), col("scale")).as("embedding"))
+    val pool = Similarity.topK(cands, "embedding", "id", queryVec, k * poolFactor)
+    val rerank = floatIndex.join(broadcast(pool.select(col("id"))), Seq("id"))
+      .select(col("id"), col("embedding"))
+    Similarity.topK(rerank, "embedding", "id", queryVec, k)
+  }
+
   /** BATCH probe (round-9) — the IVF twin of
     * [[AnnIndex.queryTopKBatch]]: every query row ranks the broadcast
     * centroids in one UDF pass and probes its own `nProbe` nearest

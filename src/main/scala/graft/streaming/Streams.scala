@@ -290,6 +290,40 @@ object Streams {
     * the whole point; foreachBatch runs batches sequentially, so the
     * fold needs no synchronization. Returns the final sketch.
     */
+  /** STREAMING n-gram JACCARD INGEST GATE (round-15; VERDICT r14 next #5):
+    * each arriving document probes the persisted shingle-postings index
+    * and is dropped when its jaccard against ANY indexed doc reaches
+    * `threshold` — the text twin of [[annProbeStream]] (there: embedding
+    * buckets; here: n-gram postings). Survivors land in `outDir` as
+    * parquet.
+    *
+    * foreachBatch (not an in-plan streaming aggregation): the per-(doc,
+    * corpus_id) overlap count is an aggregation, which append-mode
+    * streams only allow under an event-time watermark the verdict
+    * doesn't need — and the gate is per-doc + index-only
+    * ([[graft.operators.Dedup.dupIdsVsIndex]]), so running it batch-wise
+    * per micro-batch is value-identical under ANY micro-batch split: the
+    * emitted survivor set equals the batch gate over the whole replay.
+    * Within-batch dedup is deliberately absent at ingest (it is
+    * batching-dependent); the nightly [[graft.operators.Dedup.jaccardIncremental]]
+    * owns it.
+    */
+  def jaccardGateAvailableNow(stream: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double,
+                              corpusPostings: DataFrame, outDir: String,
+                              maxDocFreq: Long = 1000L,
+                              timeoutMs: Long = 300000): Unit = {
+    val sq = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .jaccardGate(batch, idCol, textCol, n, threshold,
+            corpusPostings, maxDocFreq)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    awaitOrAbort(sq, "jaccardGateAvailableNow", timeoutMs)
+  }
+
   /** Await an AvailableNow query's completion; on timeout STOP the query
     * before throwing so a straggler never keeps running (holding its
     * state store and sources) in the session after the caller has

@@ -119,6 +119,45 @@ class EpochCommitSpec extends SparkSpec {
       "compact did not GC the orphaned staged epoch")
   }
 
+  test("hot-lines index: staged delta invisible; append sums to recompute; compact preserves") {
+    import graft.operators.{HotLinesIndex, TextAnalysis}
+    val corpus = Seq(
+      (1L, "chrome line\nreal content one"),
+      (2L, "chrome line\nreal content two"),
+      (3L, "chrome line\nreal content three"),
+      (4L, "chrome line\nanother body"),
+      (5L, "chrome line\nlast body"))
+      .toDF("doc_id", "text")
+    val oldDocs = corpus.filter(col("doc_id") <= 3)
+    val batch = corpus.filter(col("doc_id") > 3)
+    val path = tmp("graft-epoch-hotlines")
+    def served(cap: Long) = HotLinesIndex.hotLines(spark, path, cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    HotLinesIndex.build(oldDocs, "text", path)
+    assert(served(2L) == Set(("chrome line", 3L)))
+
+    // staged-but-uncommitted batch delta is invisible
+    HotLinesIndex.stageBatch(batch, "text", path)
+    assert(served(2L) == Set(("chrome line", 3L)), "uncommitted delta leaked")
+
+    // committed append: per-batch deltas SUM to the whole-corpus
+    // recompute (each doc in exactly one batch)
+    HotLinesIndex.append(batch, "text", path)
+    val recomputed = TextAnalysis.hotLines(corpus, "text", maxDocFreq = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(served(2L) == recomputed && served(2L) == Set(("chrome line", 5L)))
+
+    // the cap is a read-time parameter (re-threshold without rebuild)
+    assert(served(4L) == Set(("chrome line", 5L)) && served(5L).isEmpty)
+
+    // compact collapses deltas (incl. GC of the orphaned stage), content
+    // unchanged; the freqs dir is down to one committed epoch
+    HotLinesIndex.compact(spark, path)
+    assert(served(2L) == recomputed)
+    assert(graft.store.EpochCommit.committed(spark, path).size == 1)
+  }
+
   test("commit marker create is refused for a duplicate epoch id") {
     val path = tmp("graft-epoch-dup")
     graft.store.EpochCommit.commit(spark, path, "e1")

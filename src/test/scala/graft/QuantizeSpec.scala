@@ -54,6 +54,36 @@ class QuantizeSpec extends SparkSpec {
     assert(r.getDouble(3) == 0d)
   }
 
+  test("quantized IVF probe + float re-rank: exact float scores, near-total recall vs float probe") {
+    import graft.operators.{IvfIndex, Similarity}
+    val model = IvfIndex.fit(embs, "embedding", k = 8)
+    val idx = IvfIndex.buildIndex(embs, "vec_id", "embedding", model)
+    val nProbe = IvfIndex.defaultNProbe(8)
+    val q = embs.filter(col("vec_id") === 3)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id").cast("long"), round(col("score"), 6).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val served = rows(IvfIndex.queryTopKQuantizedRerank(
+      IvfIndex.quantizeIndex(idx), idx, model, q, k = 10, nProbe))
+    val floatProbe = rows(IvfIndex.queryTopK(idx, model, q, 10, nProbe))
+    assert(served.size == 10)
+    // re-rank escapes the reconstruction: every served score is the
+    // EXACT float cosine (cross-checked against the brute-force scorer)
+    val exact = rows(Similarity.topK(
+        embs.select(col("vec_id").as("id"), col("embedding")),
+        "embedding", "id", q, 200))
+      .toMap
+    served.foreach { case (id, s) =>
+      assert(exact.get(id).contains(s), s"served score of $id is not float-exact") }
+    // quantization can only cost pool membership — on the fixture the
+    // pool factor makes the served set equal the float probe's
+    val recall = served.map(_._1).count(floatProbe.map(_._1).toSet).toDouble / 10
+    assert(recall >= 0.9, s"recall $recall vs float probe")
+  }
+
   test("globalShuffle: a reproducible permutation keyed by md5, not a reorderless pass-through") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet").select("doc_id")
     val s1 = Splits.globalShuffle(docs, "doc_id").select("doc_id", "shuffle_key")

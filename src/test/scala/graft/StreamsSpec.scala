@@ -364,4 +364,30 @@ class StreamsSpec extends SparkSpec {
     assert((0L until 15L).forall(i => got.contains((i, i, 1.0))),
       "missing self-matches")
   }
+
+  test("streaming jaccard gate equals the batch gate against the same persisted index") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-jgate-idx").toString
+    Dedup.buildPostingsIndex(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", n = 2, idxPath)
+    val postings = Dedup.readPostingsIndex(spark, idxPath)
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-jgate-out").toString + "/surv"
+    Streams.jaccardGateAvailableNow(
+      Tables.documentsStream(spark, Sf0001)
+        .filter(col("doc_id") >= 250 && col("doc_id") < 325),
+      "doc_id", "text", n = 2, threshold = 0.2, postings, outDir)
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    val expected = Dedup.jaccardGate(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 325),
+        "doc_id", "text", n = 2, threshold = 0.2, postings)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+    // re-delivered docs (250-299 are already indexed) must all drop
+    assert(got.forall(_ >= 300), s"re-delivered doc survived: $got")
+    assert(got.nonEmpty, "gate dropped everything — fixture drift?")
+  }
 }
