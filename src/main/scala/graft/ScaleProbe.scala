@@ -575,7 +575,7 @@ object ScaleProbe {
     // Round-14 heavy-hitters sketch: one MG pass over the full exploded
     // token stream vs the exact count table — the bounded-state
     // monitoring trade measured. (R14C selects only this block.)
-    locally {
+    if (!onlyR15) locally {
       timed(s"heavy-hitters MG sketch k=20 ($nDocs docs)") {
         Sketches.heavyHitterTokens(docs.select(col("text")), "text", 20).collect()
       }
@@ -749,6 +749,10 @@ object ScaleProbe {
     //     crash-safe appends must be a listing constant, not a scan term.
     locally {
       import spark.implicits._
+      // SPARK_GRAFT_ONLY_R15C=1 re-measures only the quantized-IVF part
+      // (the phrase/hot-lines/epoch parts have recorded numbers).
+      val onlyR15c = sys.env.contains("SPARK_GRAFT_ONLY_R15C")
+      if (!onlyR15c) locally {
       val phrases = Seq(
         0L -> Seq("vector", "stream"), 1L -> Seq("table", "hash"),
         2L -> Seq("slow", "hash", "batch"), 3L -> Seq("big", "table"),
@@ -795,26 +799,6 @@ object ScaleProbe {
           HotLinesIndex.hotLines(spark, hlPath, maxDocFreq = 100L)).count()
       }
 
-      // (c) quantized IVF serving
-      val model = IvfIndex.fit(emb, "embedding")
-      val ivfDir = graft.core.SessionCache.newTempDir("graft-scale-ivf-r15")
-      timed(s"ivf index build+write ($nEmb vectors)") {
-        IvfIndex.writeIndex(IvfIndex.buildIndex(emb, "vec_id", "embedding", model), ivfDir)
-      }
-      val fIdx = IvfIndex.readIndex(spark, ivfDir)
-      val qIdx = {
-        val p = graft.core.SessionCache.newTempDir("graft-scale-ivfq")
-        IvfIndex.quantizeIndex(fIdx).write.partitionBy("cluster").parquet(p)
-        spark.read.parquet(p)
-      }
-      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
-      timed("ivf probe FLOAT top-10") {
-        IvfIndex.queryTopK(fIdx, model, q, 10, nProbe).collect()
-      }
-      timed("ivf probe QUANTIZED + float re-rank top-10") {
-        IvfIndex.queryTopKQuantizedRerank(qIdx, fIdx, model, q, 10, nProbe).collect()
-      }
-
       // (d) epoch-read overhead across appends
       val terms = Seq("vector", "stream", "hash")
       timed("bm25 probe, 1 committed epoch") {
@@ -838,6 +822,41 @@ object ScaleProbe {
       timed("bm25 probe, post-compact (1 epoch)") {
         IndexedBm25.topK(spark, idxPath, terms, 10).collect()
       }
+      } // !onlyR15c
+
+      // (c) quantized IVF serving
+      val model = IvfIndex.fit(emb, "embedding")
+      val ivfDir = graft.core.SessionCache.newTempDir("graft-scale-ivf-r15")
+      timed(s"ivf index build+write ($nEmb vectors)") {
+        IvfIndex.writeIndex(IvfIndex.buildIndex(emb, "vec_id", "embedding", model), ivfDir)
+      }
+      val fIdx = IvfIndex.readIndex(spark, ivfDir)
+      val qIdx = {
+        // newTempDir CREATES the dir — write to a child path
+        val p = graft.core.SessionCache.newTempDir("graft-scale-ivfq") + "/q"
+        IvfIndex.quantizeIndex(fIdx).write.partitionBy("cluster").parquet(p)
+        spark.read.parquet(p)
+      }
+      val pIdx = {
+        val p = graft.core.SessionCache.newTempDir("graft-scale-ivfp") + "/p"
+        IvfIndex.quantizeIndexPacked(fIdx).write.partitionBy("cluster").parquet(p)
+        spark.read.parquet(p)
+      }
+      def dirBytes(df: DataFrame): Long =
+        df.inputFiles.map(f => new java.io.File(new java.net.URI(f)).length()).sum
+      println(f"[scale] index bytes: float ${dirBytes(fIdx)}%,d  " +
+        f"array<int> ${dirBytes(qIdx)}%,d  packed-binary ${dirBytes(pIdx)}%,d")
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      timed("ivf probe FLOAT top-10") {
+        IvfIndex.queryTopK(fIdx, model, q, 10, nProbe).collect()
+      }
+      timed("ivf probe QUANTIZED + float re-rank top-10") {
+        IvfIndex.queryTopKQuantizedRerank(qIdx, fIdx, model, q, 10, nProbe).collect()
+      }
+      timed("ivf probe PACKED-i8 + float re-rank top-10") {
+        IvfIndex.queryTopKPackedRerank(pIdx, fIdx, model, q, 10, nProbe).collect()
+      }
+
     }
     spark.stop()
   }

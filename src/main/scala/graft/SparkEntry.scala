@@ -491,6 +491,10 @@ object SparkEntry {
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val served = probed(IvfIndex.queryTopKQuantizedRerank(
         IvfIndex.quantizeIndex(idx), idx, model, q, RecallK, nProbe))
+      // byte-packed twin (BINARY codes, codegen cosine_sim_i8) must rank
+      // identically — the 4×-storage form serves the same answers
+      val packedParity = served == probed(IvfIndex.queryTopKPackedRerank(
+        IvfIndex.quantizeIndexPacked(idx), idx, model, q, RecallK, nProbe))
       val floatTop = probed(IvfIndex.queryTopK(idx, model, q, RecallK, nProbe))
       val recall = served.map(_._1).count(floatTop.map(_._1).toSet).toDouble / RecallK
       // served scores must be the float cosines, not reconstructions
@@ -503,8 +507,8 @@ object SparkEntry {
         floatScores.get(id).contains(sc) }
       import s.implicits._
       Seq((RecallK.toLong, if (exactScores) 1L else 0L,
-        if (recall >= 0.9) 1L else 0L))
-        .toDF("k", "rerank_float_exact", "recall_floor_met")
+        if (recall >= 0.9) 1L else 0L, if (packedParity) 1L else 0L))
+        .toDF("k", "rerank_float_exact", "recall_floor_met", "packed_parity")
     }
 
   /** Invariant flags of the streaming IVF probe, declared as the
@@ -2195,6 +2199,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E5×E6 (round-15): STREAMING hot-lines maintenance — the persisted
+    // boilerplate table built ENTIRELY by a stream (foreachBatch appends
+    // one single-commit delta per arriving micro-batch; per-batch line
+    // dfs sum exactly under any split), then served into the same
+    // removal pass. Shares line_boilerplate's recompute oracle: one hash
+    // pins recomputed == batch-maintained == stream-maintained.
+    "stream_hotlines_maintain" -> ((s, dir) => {
+      val path = SessionCache.newTempDir("graft-hotlines-stream")
+      Streams.hotLinesMaintainAvailableNow(
+        Tables.documentsStream(s, dir)
+          .select(col("doc_id"), lineAugmented.as("text")),
+        "text", path)
+      val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
+      TextAnalysis.removeHotLines(aug, "text",
+          HotLinesIndex.hotLines(s, path, maxDocFreq = 100L))
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("cleaned")).as("clean_sha"))
+        .orderBy("doc_id")
+    }),
+
     // E4 index MAINTENANCE (round-11): build + append + compact ==
     // rebuild for the persisted shingle-postings index, with the
     // hot-shingle cap BINDING — the jaccard twin of ann_append_parity.
@@ -3635,8 +3659,11 @@ object SparkEntry {
     // The persisted-table row must equal the recompute-from-corpus row
     // exactly — one oracle serves both (served == recomputed, the
     // append-parity pattern; the index is built 60% + appended 40% +
-    // compacted, so the shared hash proves the whole lifecycle).
+    // compacted, so the shared hash proves the whole lifecycle). The
+    // stream-maintained table shares it too: recomputed == batch-
+    // maintained == stream-maintained under one hash.
     "hotlines_append_parity" -> lineBoilerplateSql,
+    "stream_hotlines_maintain" -> lineBoilerplateSql,
 
 
     // The streaming face is a stateless projection of the same pass —
@@ -4393,11 +4420,13 @@ object SparkEntry {
 
     // Quantized-index serving: the Spark side probes the int8 index with
     // a float re-rank for real and checks the served scores are exact
-    // float cosines + a 0.9 recall floor vs the float probe; the oracle
+    // float cosines + a 0.9 recall floor vs the float probe + the
+    // byte-packed (BINARY codes) twin ranking identically; the oracle
     // pins the only acceptable outcome.
     "ivf_topk_quantized" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS rerank_float_exact,
-        |  CAST(1 AS BIGINT) AS recall_floor_met""".stripMargin,
+        |  CAST(1 AS BIGINT) AS recall_floor_met,
+        |  CAST(1 AS BIGINT) AS packed_parity""".stripMargin,
 
     // stream_ivf_probe: streaming emission == batch emission of the same
     // plan, and the executed streaming plan ran zero state operators.

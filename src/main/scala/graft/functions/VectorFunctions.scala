@@ -92,6 +92,36 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** cosine of BYTE-PACKED int8 codes (binary) against a float-array
+    * query (round-15 — the packed quantized-index scorer). Codegen for
+    * `BinaryType` hands the value over as `byte[]`, so the generated
+    * call feeds [[VectorOps.cosineI8]] directly — the whole candidate
+    * pass stays inside whole-stage codegen with zero per-row boxing.
+    */
+  case class CosineSimI8(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      left.dataType match {
+        case BinaryType => checkFloatArray(right, prettyName, "second")
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: first argument must be binary (packed int8 codes), got ${other.catalogString}")
+      }
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim_i8"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorOps.cosineI8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosineI8($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** ||a||₂ of a float array (codegen'd). */
   case class L2Norm(child: Expression) extends UnaryExpression {
 
@@ -144,6 +174,7 @@ object VectorFunctions {
         reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
         reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
         reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
+        reg.createOrReplaceTempFunction("cosine_sim_i8", es => CosineSimI8(es(0), es(1)), "scala_udf")
         registeredSessions.put(spark, java.lang.Boolean.TRUE)
         true
       } catch {
@@ -164,6 +195,11 @@ object VectorFunctions {
   def l2_norm(a: Column): Column =
     if (ensureRegistered()) call_function("l2_norm", a) else norm_udf(a)
 
+  /** Codegen'd packed-int8 cosine (binary codes vs float query). */
+  def cosine_sim_i8(codes: Column, q: Column): Column =
+    if (ensureRegistered()) call_function("cosine_sim_i8", codes, q)
+    else cosineI8ScalaUdf(codes, q)
+
   // ---- plain Scala UDF fallback path (no registration required) ----
   // Boxed Float signatures so a null array *element* behaves like the
   // ArrayData path (null slot reads as 0.0) instead of NPE-ing.
@@ -182,6 +218,11 @@ object VectorFunctions {
     udf((a: Seq[java.lang.Float]) =>
       if (a == null) null.asInstanceOf[java.lang.Double]
       else java.lang.Double.valueOf(VectorOps.normBoxed(a)))
+
+  private val cosineI8ScalaUdf =
+    udf((codes: Array[Byte], q: Seq[java.lang.Float]) =>
+      if (codes == null || q == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(VectorOps.cosineI8Boxed(codes, q)))
 
   def cosine_udf(a: Column, b: Column): Column = cosineScalaUdf(a, b)
   def dot_udf(a: Column, b: Column): Column = dotScalaUdf(a, b)

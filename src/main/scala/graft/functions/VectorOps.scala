@@ -60,6 +60,49 @@ object VectorOps {
     math.sqrt(s)
   }
 
+  /** Cosine of BYTE-PACKED int8 codes against a float query (round-15:
+    * the packed quantized-index hot path). `codes` is one signed byte
+    * per component — the true 4×-smaller storage of the int8 scheme
+    * (an `array<int>` column stores 4-byte elements; parquet BINARY
+    * stores the vector as dim bytes). Cosine is invariant under the
+    * vector's positive dequantization scale, so scoring raw codes ranks
+    * identically to scoring the reconstruction — no scale read, no
+    * dequantize arithmetic. Same double-precision sequential reduction
+    * and zero-norm guard as [[cosineF]]. Codegen-callable.
+    */
+  def cosineI8(codes: Array[Byte], q: ArrayData): Double = {
+    val n = codes.length
+    require(n == q.numElements(),
+      s"cosine_sim_i8: dimension mismatch ${n} vs ${q.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = codes(i).toDouble
+      val y = if (q.isNullAt(i)) 0.0 else q.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val normProduct = math.sqrt(na) * math.sqrt(nb)
+    if (normProduct == 0.0) 0.0 else dot / normProduct
+  }
+
+  /** [[cosineI8]] over a boxed query seq (UDF fallback path). */
+  def cosineI8Boxed(codes: Array[Byte], q: Seq[java.lang.Float]): Double = {
+    val qi = q.toIndexedSeq
+    val n = codes.length
+    require(n == qi.length, s"cosine_sim_i8: dimension mismatch $n vs ${qi.length}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = codes(i).toDouble
+      val y = if (qi(i) == null) 0.0 else qi(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val normProduct = math.sqrt(na) * math.sqrt(nb)
+    if (normProduct == 0.0) 0.0 else dot / normProduct
+  }
+
   /** Cosine over boxed seqs (UDF fallback path — mirrors [[cosineF]]'s
     * null-element-is-zero contract).
     */

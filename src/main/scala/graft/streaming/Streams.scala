@@ -324,6 +324,27 @@ object Streams {
     awaitOrAbort(sq, "jaccardGateAvailableNow", timeoutMs)
   }
 
+  /** STREAMING maintenance of the persisted HOT-LINES table (round-15):
+    * each arriving micro-batch appends its line-frequency delta via the
+    * single-commit lifecycle ([[graft.operators.HotLinesIndex.append]] —
+    * linear in the batch, the corpus never re-read). Per-batch deltas
+    * SUM to the exact global document frequency under ANY micro-batch
+    * split (each doc arrives once), so the drained table equals a
+    * from-scratch build — the count-table maintenance pattern applied to
+    * the line-curation artifact. Works from an empty `path`: the stream
+    * IS the builder.
+    */
+  def hotLinesMaintainAvailableNow(stream: DataFrame, textCol: String,
+                                   path: String,
+                                   timeoutMs: Long = 300000): Unit = {
+    val sq = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.HotLinesIndex.append(batch, textCol, path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    awaitOrAbort(sq, "hotLinesMaintainAvailableNow", timeoutMs)
+  }
+
   /** Await an AvailableNow query's completion; on timeout STOP the query
     * before throwing so a straggler never keeps running (holding its
     * state store and sources) in the session after the caller has

@@ -365,6 +365,22 @@ class StreamsSpec extends SparkSpec {
       "missing self-matches")
   }
 
+  test("streaming hot-lines maintenance: per-batch deltas converge to the full recompute") {
+    import graft.operators.{HotLinesIndex, TextAnalysis}
+    val path = graft.core.SessionCache.newTempDir("spec-stream-hotlines")
+    val aug = (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
+      concat_ws("\n", lit("hdr shared by all"), col("text")).as("text"))
+    Streams.hotLinesMaintainAvailableNow(
+      aug(Tables.documentsStream(spark, Sf0001)), "text", path)
+    val maintained = HotLinesIndex.hotLines(spark, path, maxDocFreq = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val recomputed = TextAnalysis.hotLines(
+        aug(Tables.documents(spark, Sf0001)), "text", maxDocFreq = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(maintained == recomputed && maintained.nonEmpty,
+      s"stream-maintained $maintained vs recomputed $recomputed")
+  }
+
   test("streaming jaccard gate equals the batch gate against the same persisted index") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
