@@ -1691,6 +1691,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E4/E5 lifecycle (round-15): hot-lines DELETE — retire a batch via
+    // NEGATED single-commit deltas (doc frequencies form a group:
+    // deletion is subtraction-by-summation, the count-table delete
+    // discipline) + COMPACT folding the cancellation. Serving the
+    // survivors must equal a recompute over the survivors alone — the
+    // restricted-corpus twin of the append-parity oracle; a retired
+    // doc's unique tail line must vanish from the table entirely.
+    "hotlines_delete_parity" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
+      val path = SessionCache.getOrCreate(s"hotlines_delete_index:$dir") {
+        val p = SessionCache.newTempDir("graft-hotlines-del")
+        HotLinesIndex.build(aug, "text", p)
+        HotLinesIndex.delete(aug.filter(col("doc_id") >= 300), "text", p)
+        HotLinesIndex.compact(s, p)
+        p
+      }
+      val survivors = aug.filter(col("doc_id") < 300)
+      TextAnalysis.removeHotLines(survivors, "text",
+          HotLinesIndex.hotLines(s, path, maxDocFreq = 100L))
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("cleaned")).as("clean_sha"))
+        .orderBy("doc_id")
+    }),
+
     // E7 (round-13): CURRICULUM sampling — quality-tiered deterministic
     // down-sampling (keep all high-quality mass, thin mid, heavily thin
     // low — the quality-mixing step of a corpus recipe). Tier cuts
@@ -1834,8 +1858,13 @@ object SparkEntry {
     // (codegen slice-compare per candidate position, nothing leaves the
     // row), emitting occurrence count + first position per matching doc.
     "phrase_search" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-          TextAnalysis.phrasePositions(col("text"),
+      // tokens staged apart from the position filter (round-15 — see
+      // Streams.phraseMatchStream: the fused form re-evaluated the
+      // tokenize+slice subtree per downstream reference)
+      docs(s, dir)
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.phrasePositionsOf(col("__toks"),
             Seq("vector", "stream")).as("__p"))
         .select(col("doc_id"), size(col("__p")).cast("long").as("n_hits"),
           coalesce(array_min(col("__p")), lit(0)).cast("long").as("first_pos"))
@@ -1891,6 +1920,22 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       graft.streaming.Streams.awaitOrAbort(sq, "stream_phrase_match")
       s.table(sinkName).orderBy("doc_id")
+    }),
+
+    // E3×E6 (round-15): MULTI-PHRASE streaming ROUTER — the ingest twin
+    // of phrase_batch_topk: every arriving doc checked in-row against
+    // the 5 standing phrases in ONE stateless projection, emitting a
+    // row per matching (phrase, doc). N standing alerts cost one pass
+    // per doc at ingest, exactly as they cost one pruned scan in batch.
+    "stream_phrase_route" -> ((s, dir) => {
+      val sinkName = "graft_stream_phrase_route"
+      val sq = Streams.phraseRouteStream(
+          Tables.documentsStream(s, dir), "text", phraseBatchQueries)
+        .select(col("q_id"), col("doc_id"), col("n_hits"), col("first_pos"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_phrase_route")
+      s.table(sinkName).orderBy("q_id", "doc_id")
     }),
 
     // E3 (round-14): PROXIMITY search from the positional index — both
@@ -2639,13 +2684,19 @@ object SparkEntry {
     * and `hotlines_append_parity` (hot set served from the persisted
     * table after build+append+compact).
     */
-  private val lineBoilerplateSql: String =
-    """WITH aug AS (
+  private val lineBoilerplateSql: String = lineBoilerplateSqlFor("")
+
+  /** [[lineBoilerplateSql]] over a RESTRICTED corpus (`where` applies to
+    * the aug CTE, so both the hot-line df and the removal pass see the
+    * same surviving docs) — the delete-parity oracle's shape.
+    */
+  private def lineBoilerplateSqlFor(where: String): String =
+    s"""WITH aug AS (
         |  SELECT doc_id,
         |    'Subscribe to our newsletter' || chr(10) || text || '.' || chr(10) ||
         |    'copyright footer all pages share' || chr(10) ||
         |    'unique ' || CAST(doc_id AS VARCHAR) AS t
-        |  FROM documents),
+        |  FROM documents $where),
         |l AS (
         |  SELECT doc_id,
         |    list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)),
@@ -3665,6 +3716,11 @@ object SparkEntry {
     "hotlines_append_parity" -> lineBoilerplateSql,
     "stream_hotlines_maintain" -> lineBoilerplateSql,
 
+    // Delete-parity: the same replay RESTRICTED to the surviving docs —
+    // build-full + delete-tail + compact must serve exactly what a
+    // from-scratch pass over the survivors computes.
+    "hotlines_delete_parity" -> lineBoilerplateSqlFor("WHERE doc_id < 300"),
+
 
     // The streaming face is a stateless projection of the same pass —
     // one oracle serves both (same planted PII, same augmentation).
@@ -3777,6 +3833,29 @@ object SparkEntry {
         |  FROM h)
         |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_hits, "rank"
         |FROM rk WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+
+    // The streaming router is the batch phrase derivation WITHOUT the
+    // rank cut (every match routes), plus first_pos — the same VALUES
+    // phrase table and slice-compare start-position formula.
+    "stream_phrase_route" ->
+      """WITH q(q_id, phrase) AS (VALUES
+        |  (0, ['vector', 'stream']),
+        |  (1, ['table', 'hash']),
+        |  (2, ['slow', 'hash', 'batch']),
+        |  (3, ['big', 'table']),
+        |  (4, ['merge', 'group'])),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT q.q_id, t.doc_id,
+        |    list_filter(range(1, len(t.t) - len(q.phrase) + 2),
+        |      i -> t.t[i:i+len(q.phrase)-1] = q.phrase) AS p
+        |  FROM q CROSS JOIN t)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
+        |  CAST(len(p) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(list_min(p), 0) AS BIGINT) AS first_pos
+        |FROM m WHERE len(p) > 0 ORDER BY q_id, doc_id""".stripMargin,
 
     // Batch proximity replay: per-query closed forms UNION ALL'd — the
     // 2-term span is min |pa − pb| + 1, the 3-term span is the min over

@@ -68,6 +68,24 @@ object HotLinesIndex {
     graft.store.EpochCommit.commit(batch.sparkSession, path, e)
   }
 
+  /** DELETE a batch's contribution (retention/takedown): append the
+    * NEGATED line-frequency delta — the count-table discipline (integer
+    * document frequencies form a group, so deletion is
+    * subtraction-by-summation), under the same single-commit epoch as
+    * [[append]]. Merge-on-read sums cancel exactly: a line whose
+    * remaining df falls to (or under) the cap drops out of the served
+    * hot set, and a fully-retired line sums to 0 (excluded by any
+    * positive cap). Deleting a batch that was never ingested corrupts
+    * the table — the same caller contract as double-append.
+    */
+  def delete(batch: DataFrame, textCol: String, path: String): Unit = {
+    val e = graft.store.EpochCommit.newEpochId()
+    lineFreqs(batch, textCol)
+      .select(col("line"), negate(col("n_docs")).as("n_docs"))
+      .write.parquet(graft.store.EpochCommit.stagePath(freqsDir(path), e))
+    graft.store.EpochCommit.commit(batch.sparkSession, path, e)
+  }
+
   /** The served hot-line table `(line, n_docs)`: lines whose summed
     * document frequency exceeds `maxDocFreq`. Drop-in for
     * [[TextAnalysis.hotLines]]'s output (feed to
@@ -93,6 +111,8 @@ object HotLinesIndex {
       graft.store.EpochCommit
         .readCommitted(spark, path, freqsDir(path), "hot-lines index")
         .groupBy("line").agg(sum(col("n_docs")).as("n_docs"))
+        // delete-cancelled lines sum to 0 — fold the cancellation away
+        .filter(col("n_docs") =!= 0L)
         .write.parquet(graft.store.EpochCommit.stagePath(freqsDir(tmp), e))
       graft.store.EpochCommit.commit(spark, tmp, e)
     }

@@ -614,10 +614,19 @@ object TextAnalysis {
     * a slice comparison per candidate position — O(|tokens|·m) per row
     * with nothing leaving the row, so phrase search rides any scan.
     */
-  def phrasePositions(text: Column, phrase: Seq[String]): Column = {
+  def phrasePositions(text: Column, phrase: Seq[String]): Column =
+    phrasePositionsOf(tokens(text), phrase)
+
+  /** [[phrasePositions]] over an ALREADY-TOKENIZED column — stage `toks`
+    * as an attribute when checking SEVERAL phrases against one document
+    * (round-15: the multi-phrase router re-tokenized per phrase through
+    * the text form — 5 standing phrases cost 5 splits per doc, measured
+    * 13.5 s vs 3.6 s for the single-phrase stream at sf0.1; one staged
+    * tokenization shares the split across every check).
+    */
+  def phrasePositionsOf(toks: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty, "phrase must be non-empty")
     val m = phrase.size
-    val toks = tokens(text)
     // measured note: a first-token CaseWhen pre-filter before the slice
     // compare was tried and REVERTED — for short phrases the guard costs
     // as much per position as the slice it skips (3.1 s → 3.6 s on the

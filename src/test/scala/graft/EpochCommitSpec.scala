@@ -156,6 +156,19 @@ class EpochCommitSpec extends SparkSpec {
     HotLinesIndex.compact(spark, path)
     assert(served(2L) == recomputed)
     assert(graft.store.EpochCommit.committed(spark, path).size == 1)
+
+    // DELETE: retire the appended batch via negated deltas — served
+    // counts must equal a recompute over the survivors, and the retired
+    // docs' lines cancel to zero (excluded at any cap; compact folds
+    // the cancellation into a physically clean table)
+    HotLinesIndex.delete(batch, "text", path)
+    assert(served(2L) == Set(("chrome line", 3L)), "delete did not subtract")
+    HotLinesIndex.compact(spark, path)
+    assert(served(2L) == Set(("chrome line", 3L)))
+    val allRows = graft.store.EpochCommit
+      .readCommitted(spark, path, s"$path/freqs", "hot-lines index")
+      .collect()
+    assert(allRows.forall(_.getLong(1) != 0L), "compact kept a cancelled line")
   }
 
   test("commit marker create is refused for a duplicate epoch id") {
