@@ -1858,16 +1858,14 @@ object SparkEntry {
     // (codegen slice-compare per candidate position, nothing leaves the
     // row), emitting occurrence count + first position per matching doc.
     "phrase_search" -> ((s, dir) =>
-      // tokens staged apart from the position filter (round-15 — see
-      // Streams.phraseMatchStream: the fused form re-evaluated the
-      // tokenize+slice subtree per downstream reference)
+      // let-bound check (TextAnalysis.phraseHits): one tokenize + one
+      // position filter per row regardless of how many downstream
+      // expressions consume the result — see phraseHits' scaladoc
       docs(s, dir)
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"),
-          TextAnalysis.phrasePositionsOf(col("__toks"),
-            Seq("vector", "stream")).as("__p"))
-        .select(col("doc_id"), size(col("__p")).cast("long").as("n_hits"),
-          coalesce(array_min(col("__p")), lit(0)).cast("long").as("first_pos"))
+          TextAnalysis.phraseHits(col("text"), Seq("vector", "stream")).as("__h"))
+        .select(col("doc_id"), col("__h.n_hits").as("n_hits"),
+          col("__h.first_pos").as("first_pos"))
         .filter(col("n_hits") > 0)
         .orderBy("doc_id")),
 

@@ -617,6 +617,26 @@ object TextAnalysis {
   def phrasePositions(text: Column, phrase: Seq[String]): Column =
     phrasePositionsOf(tokens(text), phrase)
 
+  /** `(n_hits, first_pos)` struct of one phrase over `text`, with BOTH
+    * the token array and the position array LET-BOUND (round-15): the
+    * compose-it-yourself form (`phrasePositions` staged, then
+    * `size`/`array_min`/a filter referencing it) re-evaluates the whole
+    * tokenize+slice check per reference — CaseWhen branches are excluded
+    * from codegen subexpression elimination (the round-13 scoreTokens
+    * lesson), and the check IS a CaseWhen. Behind the let-binding the
+    * shared subtree sits ABOVE the CaseWhen, so CSE collapses every
+    * downstream reference to one evaluation per row. Measured at sf0.1:
+    * the full-scan phrase row 2.9 s → 0.30 s and the phrase stream
+    * 3.3 s → 0.58 s (the 5-phrase router evidenced the
+    * single-evaluation cost first — its Generate boundary had the same
+    * effect structurally).
+    */
+  def phraseHits(text: Column, phrase: Seq[String]): Column =
+    bind(tokens(text), t =>
+      bind(phrasePositionsOf(t, phrase), p =>
+        struct(size(p).cast("long").as("n_hits"),
+          coalesce(array_min(p), lit(0)).cast("long").as("first_pos"))))
+
   /** [[phrasePositions]] over an ALREADY-TOKENIZED column — stage `toks`
     * as an attribute when checking SEVERAL phrases against one document
     * (round-15: the multi-phrase router re-tokenized per phrase through

@@ -392,20 +392,16 @@ object Streams {
     */
   def phraseMatchStream(stream: DataFrame, textCol: String,
                         phrase: Seq[String]): DataFrame =
-    // tokens staged SEPARATELY from the position filter (round-15: the
-    // one-withColumn form re-evaluated the whole tokenize+slice subtree
-    // per downstream reference — staging the split dropped the 5-phrase
-    // router 13.5 s → 1.0 s at sf0.1, and this row 3.3 s → the same
-    // staged shape)
+    // let-bound check (TextAnalysis.phraseHits): one tokenize + one
+    // position filter per arriving doc regardless of reference count —
+    // plain column staging could not stop the re-evaluation because the
+    // check is a CaseWhen, which codegen CSE skips (phraseHits scaladoc)
     stream
-      .withColumn("__toks", graft.operators.TextAnalysis.tokens(col(textCol)))
-      .withColumn("__p",
-        graft.operators.TextAnalysis.phrasePositionsOf(col("__toks"), phrase))
-      .drop("__toks")
-      .withColumn("n_hits", size(col("__p")).cast("long"))
-      .withColumn("first_pos",
-        coalesce(array_min(col("__p")), lit(0)).cast("long"))
-      .drop("__p")
+      .withColumn("__h",
+        graft.operators.TextAnalysis.phraseHits(col(textCol), phrase))
+      .withColumn("n_hits", col("__h.n_hits"))
+      .withColumn("first_pos", col("__h.first_pos"))
+      .drop("__h")
       .filter(col("n_hits") > 0)
 
   /** MULTI-PHRASE streaming router (round-15) — the N-standing-phrase
