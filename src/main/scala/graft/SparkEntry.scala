@@ -1715,6 +1715,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Lifecycle observability (round-16; VERDICT r15 next #8): the
+    // committed-EPOCH COUNT is the operational health number of every
+    // epoch'd index — the per-probe listing and the merge-on-read fan-in
+    // both grow with appends-since-compact, so it must be SURFACED
+    // (EpochCommit.committedCount), not inferred from an FS walk. This
+    // row drives a dedicated index through build → append → compact →
+    // append and pins the count at each step (1, 2, 1, 2): compact is
+    // proven to actually collapse the epoch fan-in, and the surfaced
+    // number is proven to track the lifecycle exactly. Constant row →
+    // constant oracle. Cadence guidance lives in SCALE.md.
+    "epoch_count_lifecycle" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), lineAugmented.as("text"))
+      val p = SessionCache.newTempDir("graft-epochcount")
+      def n = graft.store.EpochCommit.committedCount(s, p).toLong
+      HotLinesIndex.build(aug.filter(col("doc_id") < 200), "text", p)
+      val afterBuild = n
+      HotLinesIndex.append(
+        aug.filter(col("doc_id") >= 200 && col("doc_id") < 300), "text", p)
+      val afterAppend = n
+      HotLinesIndex.compact(s, p)
+      val afterCompact = n
+      HotLinesIndex.append(aug.filter(col("doc_id") >= 300), "text", p)
+      val afterSecond = n
+      import s.implicits._
+      Seq((afterBuild, afterAppend, afterCompact, afterSecond))
+        .toDF("after_build", "after_append", "after_compact", "after_second_append")
+    }),
+
     // E7 (round-13): CURRICULUM sampling — quality-tiered deterministic
     // down-sampling (keep all high-quality mass, thin mid, heavily thin
     // low — the quality-mixing step of a corpus recipe). Tier cuts
@@ -3718,6 +3746,14 @@ object SparkEntry {
     // build-full + delete-tail + compact must serve exactly what a
     // from-scratch pass over the survivors computes.
     "hotlines_delete_parity" -> lineBoilerplateSqlFor("WHERE doc_id < 300"),
+
+    // Designed constants: epoch count through build(1) → append(2) →
+    // compact(1) → append(2) on a dedicated index.
+    "epoch_count_lifecycle" ->
+      """SELECT CAST(1 AS BIGINT) AS after_build,
+        |       CAST(2 AS BIGINT) AS after_append,
+        |       CAST(1 AS BIGINT) AS after_compact,
+        |       CAST(2 AS BIGINT) AS after_second_append""".stripMargin,
 
 
     // The streaming face is a stateless projection of the same pass —

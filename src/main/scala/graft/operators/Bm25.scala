@@ -652,6 +652,17 @@ object IndexedBm25 {
     import spark.implicits._
     val q = queries.select(col("q_id").cast("long").as("q_id"),
       col("phrase").cast("array<string>").as("phrase"))
+    // Mirror the single-probe require PER QUERY ROW (advisor, r15): a
+    // null/empty phrase would silently vanish from the candidate join
+    // where phraseSearch throws — a misconfigured standing alert must
+    // fail loudly, not return nothing forever. One limit-1 job over the
+    // standing-query frame (bounded config, not data).
+    q.filter(col("phrase").isNull || size(col("phrase")) === 0)
+      .select(col("q_id")).limit(1).collect().headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"phraseSearchBatch: standing query q_id=${r.getLong(0)} has a " +
+          "null/empty phrase — phrase must be non-empty (same contract as phraseSearch)")
+      }
     val byQDoc = positionalCandidatesBatch(spark, path, q, "phrase")
     val firstList = element_at(col("__m"), element_at(col("phrase"), 1))
     // 1-based start p of phrase(1) matches iff p+j-1 ∈ positions(phrase(j))
@@ -690,6 +701,19 @@ object IndexedBm25 {
     val q = queries.select(col("q_id").cast("long").as("q_id"),
       col("terms").cast("array<string>").as("terms"))
     require(window >= 2, s"proximity window must be >= 2, got $window")
+    // Mirror proximitySearch's per-query requires (advisor, r15): >= 2
+    // distinct terms, and the window must be able to HOLD them — a
+    // 3-term query with window=2 can never match, so serving it as a
+    // standing row would return empty forever instead of failing loudly.
+    q.select(col("q_id"),
+        coalesce(size(array_distinct(col("terms"))), lit(0)).as("__nt"))
+      .filter(col("__nt") < 2 || col("__nt") > window)
+      .limit(1).collect().headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"proximitySearchBatch: standing query q_id=${r.getLong(0)} has " +
+          s"${r.getInt(1)} distinct terms — each query needs >= 2 distinct terms " +
+          s"and window $window must hold them all (same contract as proximitySearch)")
+      }
     val spanUdf = udf { (m: Map[String, Seq[Int]], ts: Seq[String]) =>
       Bm25Positional.minimalSpan(ts.distinct.map(t => m(t).toArray))
     }

@@ -62,11 +62,19 @@ object HotLinesIndex {
   /** APPEND a batch's line-frequency delta — linear in the batch, the
     * corpus is never re-read. Caller owns doc-disjointness across
     * batches (the same contract as every other append in the engine).
+    *
+    * An EMPTY batch is a no-op, not an epoch: an empty delta write can
+    * land a data dir with no parquet files, and if that were the only
+    * committed epoch, [[hotLines]]'s read would fail schema inference
+    * despite the committed check passing (streaming maintenance can
+    * legitimately deliver empty micro-batches). The emptiness probe is
+    * one limit-1 job over the batch — trivial next to the aggregation.
     */
-  def append(batch: DataFrame, textCol: String, path: String): Unit = {
-    val e = stageBatch(batch, textCol, path)
-    graft.store.EpochCommit.commit(batch.sparkSession, path, e)
-  }
+  def append(batch: DataFrame, textCol: String, path: String): Unit =
+    if (!batch.isEmpty) {
+      val e = stageBatch(batch, textCol, path)
+      graft.store.EpochCommit.commit(batch.sparkSession, path, e)
+    }
 
   /** DELETE a batch's contribution (retention/takedown): append the
     * NEGATED line-frequency delta — the count-table discipline (integer
@@ -78,13 +86,14 @@ object HotLinesIndex {
     * positive cap). Deleting a batch that was never ingested corrupts
     * the table — the same caller contract as double-append.
     */
-  def delete(batch: DataFrame, textCol: String, path: String): Unit = {
-    val e = graft.store.EpochCommit.newEpochId()
-    lineFreqs(batch, textCol)
-      .select(col("line"), negate(col("n_docs")).as("n_docs"))
-      .write.parquet(graft.store.EpochCommit.stagePath(freqsDir(path), e))
-    graft.store.EpochCommit.commit(batch.sparkSession, path, e)
-  }
+  def delete(batch: DataFrame, textCol: String, path: String): Unit =
+    if (!batch.isEmpty) { // empty-batch no-op — same rationale as append
+      val e = graft.store.EpochCommit.newEpochId()
+      lineFreqs(batch, textCol)
+        .select(col("line"), negate(col("n_docs")).as("n_docs"))
+        .write.parquet(graft.store.EpochCommit.stagePath(freqsDir(path), e))
+      graft.store.EpochCommit.commit(batch.sparkSession, path, e)
+    }
 
   /** The served hot-line table `(line, n_docs)`: lines whose summed
     * document frequency exceeds `maxDocFreq`. Drop-in for

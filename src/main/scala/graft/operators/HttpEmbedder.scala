@@ -21,7 +21,9 @@ import java.time.Duration
   * every transport. Transport-level failures (connect refused, HTTP 5xx,
   * timeout, truncated/malformed JSON) throw `IOException` and are
   * therefore RETRIED up to the policy bound — the right default, since
-  * each can be transient on a real provider.
+  * each can be transient on a real provider. The one transport failure
+  * that is NEVER transient — an auth rejection (401/403) — throws the
+  * typed [[graft.core.EmbedError]] instead and fails fast.
   *
   * The zero-egress test container exercises this against an in-process
   * loopback `HttpServer` (HttpEmbedderSpec): happy path, 5xx-then-ok
@@ -31,19 +33,32 @@ import java.time.Duration
   * serves all executor task threads (`@transient lazy` — rebuilt per JVM
   * after closure shipping, the [[CachedModelEmbedder]] discipline).
   */
+/** @param headers extra request headers sent verbatim on every POST —
+  *   the auth surface (`Authorization: Bearer …` for a real provider,
+  *   any API-key scheme likewise). Header VALUES are secrets-shaped:
+  *   they ride the task closure like the endpoint does, and are never
+  *   echoed into error messages.
+  * @param connectTimeoutMs TCP/TLS handshake budget, SEPARATE from
+  *   `requestTimeoutMs` (the whole-exchange budget). One knob for both
+  *   would let a slow handshake silently eat the full request budget;
+  *   defaults keep connect strictly smaller.
+  */
 final class HttpJsonEmbedder(endpoint: String,
                              override val dim: Int,
                              batchSize: Int = 64,
                              maxRetries: Int = 3,
                              retryBackoffMs: Long = 0L,
-                             requestTimeoutMs: Long = 10000L)
+                             requestTimeoutMs: Long = 10000L,
+                             connectTimeoutMs: Long = 3000L,
+                             headers: Map[String, String] = Map.empty)
     extends RemoteBatchEmbedder(batchSize, maxRetries, retryBackoffMs) {
   require(dim > 0, s"dim must be positive, got $dim")
   require(requestTimeoutMs > 0, s"requestTimeoutMs must be positive, got $requestTimeoutMs")
+  require(connectTimeoutMs > 0, s"connectTimeoutMs must be positive, got $connectTimeoutMs")
 
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder()
-      .connectTimeout(Duration.ofMillis(requestTimeoutMs))
+      .connectTimeout(Duration.ofMillis(connectTimeoutMs))
       .build()
 
   @transient private lazy val mapper =
@@ -53,12 +68,21 @@ final class HttpJsonEmbedder(endpoint: String,
     val payload = mapper.createObjectNode()
     val arr = payload.putArray("texts")
     texts.foreach(arr.add)
-    val req = HttpRequest.newBuilder(URI.create(endpoint))
+    val b = HttpRequest.newBuilder(URI.create(endpoint))
       .timeout(Duration.ofMillis(requestTimeoutMs))
       .header("Content-Type", "application/json")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val req = b
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(payload)))
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    // Auth rejection is NOT flaky: retrying a bad credential burns the
+    // whole retry budget to arrive at the same 401. EmbedError is the
+    // typed non-retryable channel (RemoteBatchEmbedder rethrows it as-is).
+    if (resp.statusCode() == 401 || resp.statusCode() == 403)
+      throw new graft.core.EmbedError(
+        s"embedding endpoint rejected credentials (HTTP ${resp.statusCode()}) — " +
+        "not retryable; fix the Authorization header")
     if (resp.statusCode() != 200)
       throw new java.io.IOException(
         s"embedding endpoint returned HTTP ${resp.statusCode()}: ${resp.body().take(200)}")

@@ -301,12 +301,15 @@ object IvfIndex {
     require(poolFactor >= 1, s"poolFactor must be >= 1, got $poolFactor")
     graft.core.Validate.positiveTopK(k)
     val probes = model.nearestClusters(queryVec, nProbe)
-    val pool = pIndex.filter(col("cluster").isin(probes: _*))
-      .select(col("id"),
-        graft.functions.VectorFunctions
-          .cosine_sim_i8(col("codes"), typedlit(queryVec.toSeq)).as("score"))
-      .orderBy(desc("score"), col("id").asc)
-      .limit(k * poolFactor)
+    // pool cut through the SAME helper as the array-form twin and the
+    // final re-rank — one total order (score desc, id asc) everywhere,
+    // so the packed and array forms cannot diverge on score ties
+    val pool = Similarity.cutTopK(
+      pIndex.filter(col("cluster").isin(probes: _*))
+        .select(col("id"),
+          graft.functions.VectorFunctions
+            .cosine_sim_i8(col("codes"), typedlit(queryVec.toSeq)).as("score")),
+      "id", k * poolFactor)
     val rerank = floatIndex.join(broadcast(pool.select(col("id"))), Seq("id"))
       .select(col("id"), col("embedding"))
     Similarity.topK(rerank, "embedding", "id", queryVec, k)

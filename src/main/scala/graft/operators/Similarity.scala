@@ -34,10 +34,20 @@ object Similarity {
   def topK(corpus: DataFrame, embCol: String, idCol: String,
            queryVec: Array[Float], k: Int): DataFrame = {
     Validate.positiveTopK(k)
-    corpus
-      .withColumn("score", cosine_sim(col(embCol), typedlit(queryVec.toSeq)))
-      .orderBy(desc("score"), col(idCol).asc)
-      .limit(k)
+    cutTopK(
+      corpus.withColumn("score", cosine_sim(col(embCol), typedlit(queryVec.toSeq))),
+      idCol, k)
+  }
+
+  /** THE top-k cut: (score desc, id asc) — the one total order every
+    * scored single-query ranking in the engine uses, so two serving
+    * forms of the same index (e.g. the float IVF probe and its packed
+    * int8 candidate pass) can never diverge on score ties. Plans as
+    * `TakeOrderedAndProjectExec` — per-partition heaps, no global sort.
+    */
+  def cutTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    Validate.positiveTopK(k)
+    scored.orderBy(desc("score"), col(idCol).asc).limit(k)
   }
 
   /** Batch top-k per query — see [[SimJoin.topKPerQuery]] for the scale

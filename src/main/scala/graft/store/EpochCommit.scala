@@ -22,10 +22,17 @@ import org.apache.spark.sql.functions._
   *     `<dataDir>/epoch=<id>/…` with a fresh, never-reused epoch id.
   *     Staged files are INVISIBLE: readers filter on the committed set.
   *  2. COMMIT — one atomic zero-byte marker create at
-  *     `<indexPath>/epochs/<id>` (`FileSystem.create(overwrite=false)`
-  *     is atomic on local FS and HDFS; an object-store PUT likewise).
-  *     This is the linearization point: before it, probes see NONE of
-  *     the batch; after it, ALL of it.
+  *     `<indexPath>/epochs/<id>`. Atomicity of the exclusive create is
+  *     a LOCAL-FS/HDFS property (`FileSystem.create(overwrite=false)`
+  *     maps to O_EXCL / an exclusive namenode create there); S3A and
+  *     most object-store connectors implement create-no-overwrite as
+  *     check-then-PUT, which is NOT exclusive under a concurrent
+  *     creator. Epoch ids are random UUIDs, so two writers never race
+  *     on the SAME marker name in practice — but on an object store the
+  *     linearization guarantee degrades from "filesystem-enforced" to
+  *     "by id uniqueness"; run real multi-writer tables on a format
+  *     with a transaction log. This is the linearization point: before
+  *     it, probes see NONE of the batch; after it, ALL of it.
   *  3. READ — list `epochs/` once (a bounded FS listing: build + appends
   *     since the last compact), then prune every data scan with
   *     `epoch IN (committed)`. `epoch` is a PARTITION column, so the
@@ -40,6 +47,19 @@ import org.apache.spark.sql.functions._
   * Epoch ids are random (never derived from existing dirs): a crashed
   * stage must not share its id with a later retry, or the retry would
   * commit the crash's partial files along with its own.
+  *
+  * ==== APPEND vs COMPACT: the single-writer contract ====
+  * Compaction rewrites the index under [[DocStore.swapDirContents]]'s
+  * atomic dir swap. An append that stages AND commits while a compact
+  * is mid-swap would land its epoch in the OLD tree — silently discarded
+  * when the swap promotes the rewrite. [[commit]] therefore refuses to
+  * run while the swap lock (`<indexPath>.lock`) is held, failing loudly
+  * instead of losing the batch. The check is best-effort (a compact that
+  * STARTS between the check and the marker create can still discard the
+  * epoch), so appenders and the compactor on one index share the same
+  * single-writer contract the store swap itself documents: serialize
+  * them in the orchestrator; the lock check converts the most likely
+  * overlap into an explicit error rather than silent data loss.
   */
 object EpochCommit {
 
@@ -64,15 +84,33 @@ object EpochCommit {
 
   /** THE commit: one atomic marker-file create. Everything staged under
     * this epoch becomes visible to readers in this single operation.
+    * Refuses while the index's swap lock is held (see the single-writer
+    * contract in the object scaladoc) — committing into a tree a compact
+    * is about to replace would silently discard the batch.
     */
   def commit(spark: SparkSession, indexPath: String, epoch: String): Unit = {
+    require(epoch.matches(EpochIdPattern),
+      s"malformed epoch id '$epoch' — commit only ids from newEpochId()")
     val dir = epochsDir(indexPath)
     val f = fs(spark, dir)
+    val swapLock = new org.apache.hadoop.fs.Path(indexPath + ".lock")
+    if (f.exists(swapLock))
+      throw new graft.core.EngineError(
+        s"refusing to commit epoch $epoch at $indexPath: swap lock $swapLock is held " +
+        "(a compact in flight would discard this epoch when it promotes its rewrite) — " +
+        "serialize appends with compaction, or remove a stale lock by hand")
     f.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, epoch)
     val out = f.create(marker, /* overwrite = */ false)
     out.close()
   }
+
+  /** Shape of every id [[newEpochId]] mints: 'e' + 32 hex digits.
+    * [[committed]] admits ONLY this shape, so a stray file under
+    * `epochs/` (crash artifact, editor temp, manual touch) can never
+    * silently enter the committed set or the epoch-count accounting.
+    */
+  private val EpochIdPattern = "^e[0-9a-f]{32}$"
 
   /** The committed epoch set (FS listing; empty if the index was never
     * committed).
@@ -81,8 +119,20 @@ object EpochCommit {
     val dir = epochsDir(indexPath)
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath.getName).sorted
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches(EpochIdPattern)) // stray files are not epochs
+      .sorted
   }
+
+  /** Committed-epoch count — the operational health number an operator
+    * watches: the per-probe listing AND the merge-on-read fan-in both
+    * grow with appends-since-compact, so surface it (stats/CLI) and
+    * compact on a cadence (SCALE.md: listing cost is flat into the
+    * tens of epochs; compact once the count reaches ~O(100) or the
+    * per-epoch files stop filling a parquet row group, whichever first).
+    */
+  def committedCount(spark: SparkSession, indexPath: String): Int =
+    committed(spark, indexPath).size
 
   /** Committed epochs, or a loud failure for an index that has none —
     * an unbuilt/never-committed index must never read as empty-but-fine.

@@ -234,6 +234,38 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("batch probes validate per query row like their single-probe twins (r16 advisor)") {
+    val corpus = Seq((1L, "apple banana cherry")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-vbatch").toString
+    IndexedBm25.build(corpus, "doc_id", "text", path)
+
+    // empty phrase array: single form throws — batch must too, naming the row
+    val e1 = intercept[IllegalArgumentException](
+      IndexedBm25.phraseSearchBatch(spark, path,
+        Seq(0L -> Seq("apple"), 1L -> Seq.empty[String]).toDF("q_id", "phrase"), k = 5))
+    assert(e1.getMessage.contains("q_id=1"), e1.getMessage)
+
+    // window too small for the query's distinct-term count: a 3-term
+    // query with window=2 can never match — fail loudly, not empty-forever
+    val e2 = intercept[IllegalArgumentException](
+      IndexedBm25.proximitySearchBatch(spark, path,
+        Seq(7L -> Seq("apple", "banana", "cherry")).toDF("q_id", "terms"),
+        window = 2, k = 5))
+    assert(e2.getMessage.contains("q_id=7") && e2.getMessage.contains("3 distinct"),
+      e2.getMessage)
+
+    // single-term proximity query: same >=2-distinct-terms contract
+    val e3 = intercept[IllegalArgumentException](
+      IndexedBm25.proximitySearchBatch(spark, path,
+        Seq(8L -> Seq("apple", "apple")).toDF("q_id", "terms"), window = 5, k = 5))
+    assert(e3.getMessage.contains("q_id=8"), e3.getMessage)
+
+    // well-formed rows still serve
+    assert(IndexedBm25.proximitySearchBatch(spark, path,
+      Seq(9L -> Seq("apple", "cherry")).toDF("q_id", "terms"), window = 5, k = 5)
+      .count() == 1L)
+  }
+
   test("delete: tombstoned probe == rebuild-without; compact folds physically; idempotent") {
     val terms = Seq("apple", "banana", "cherry")
     val survivors = corpusDF.filter(col("doc_id") =!= 1L && col("doc_id") =!= 4L)

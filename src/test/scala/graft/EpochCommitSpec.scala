@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IndexedBm25}
+import graft.operators.{Dedup, HotLinesIndex, IndexedBm25}
 
 /** CRASH-INJECTION contracts for the single-commit append protocol
   * (round-15; VERDICT r14 "wrong" #1): a multi-dir index append must be
@@ -173,8 +173,61 @@ class EpochCommitSpec extends SparkSpec {
 
   test("commit marker create is refused for a duplicate epoch id") {
     val path = tmp("graft-epoch-dup")
-    graft.store.EpochCommit.commit(spark, path, "e1")
-    intercept[Exception](graft.store.EpochCommit.commit(spark, path, "e1"))
-    assert(graft.store.EpochCommit.committed(spark, path) == Seq("e1"))
+    val e = graft.store.EpochCommit.newEpochId()
+    graft.store.EpochCommit.commit(spark, path, e)
+    intercept[Exception](graft.store.EpochCommit.commit(spark, path, e))
+    assert(graft.store.EpochCommit.committed(spark, path) == Seq(e))
+  }
+
+  test("committed() ignores stray files that are not epoch ids (r16 advisor)") {
+    val path = tmp("graft-epoch-stray")
+    val e = graft.store.EpochCommit.newEpochId()
+    graft.store.EpochCommit.commit(spark, path, e)
+    // plant crash artifacts / editor temps next to the real marker
+    val dir = new org.apache.hadoop.fs.Path(s"$path/epochs")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(".e123.swp", "e1", "E" + "0" * 32, e + "x", "_SUCCESS").foreach { n =>
+      fs.create(new org.apache.hadoop.fs.Path(dir, n), false).close()
+    }
+    assert(graft.store.EpochCommit.committed(spark, path) == Seq(e),
+      "a stray file entered the committed set")
+    assert(graft.store.EpochCommit.committedCount(spark, path) == 1)
+  }
+
+  test("commit refuses malformed epoch ids and a held swap lock (r16 advisor)") {
+    val path = tmp("graft-epoch-guard")
+    intercept[IllegalArgumentException](
+      graft.store.EpochCommit.commit(spark, path, "e1"))
+    // a held swap lock means a compact is rewriting the tree — an epoch
+    // committed now would vanish with the swap; commit must fail loudly
+    val lock = new org.apache.hadoop.fs.Path(path + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    try {
+      val err = intercept[graft.core.EngineError](
+        graft.store.EpochCommit.commit(spark, path, graft.store.EpochCommit.newEpochId()))
+      assert(err.getMessage.contains("swap lock"))
+    } finally fs.delete(lock, false)
+    // lock released → commit goes through
+    val e = graft.store.EpochCommit.newEpochId()
+    graft.store.EpochCommit.commit(spark, path, e)
+    assert(graft.store.EpochCommit.committed(spark, path) == Seq(e))
+  }
+
+  test("hot-lines append/delete skip the epoch for an EMPTY batch (r16 advisor)") {
+    import spark.implicits._
+    val path = tmp("graft-epoch-emptybatch")
+    val d = Seq((1L, "a line\nshared"), (2L, "b line\nshared")).toDF("doc_id", "text")
+    HotLinesIndex.build(d, "text", path)
+    val before = graft.store.EpochCommit.committed(spark, path)
+    // an empty micro-batch (legitimate in streaming maintenance) must be
+    // a no-op — an empty parquet delta dir could poison schema inference
+    HotLinesIndex.append(d.filter(col("doc_id") > 99L), "text", path)
+    HotLinesIndex.delete(d.filter(col("doc_id") > 99L), "text", path)
+    assert(graft.store.EpochCommit.committed(spark, path) == before,
+      "empty batch committed an epoch")
+    val hot = HotLinesIndex.hotLines(spark, path, maxDocFreq = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(hot == Set(("shared", 2L)))
   }
 }

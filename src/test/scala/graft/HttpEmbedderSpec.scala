@@ -151,4 +151,61 @@ class HttpEmbedderSpec extends SparkSpec {
       assert(requests.get() == 2, "both attempts must have hit the endpoint")
     }
   }
+
+  test("custom headers (Authorization) arrive verbatim on every request (r16)") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    withServer { ex =>
+      seen.set(ex.getRequestHeaders.getFirst("Authorization"))
+      val texts = textsOf(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200, okBody(texts))
+    } { url =>
+      val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8,
+        headers = Map("Authorization" -> "Bearer test-token-123",
+                      "X-Api-Version" -> "2"))
+      emb.embedBatch(Seq("hello"))
+      assert(seen.get() == "Bearer test-token-123",
+        s"Authorization header did not arrive: '${seen.get()}'")
+    }
+  }
+
+  test("401/403 auth rejection is typed and NEVER retried (r16)") {
+    for (code <- Seq(401, 403)) {
+      val requests = new AtomicInteger(0)
+      withServer { ex =>
+        requests.incrementAndGet()
+        respond(ex, code, """{"error":"bad key"}""")
+      } { url =>
+        val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8, maxRetries = 5)
+        val e = intercept[EmbedError](emb.embedBatch(Seq("x")))
+        assert(e.getMessage.contains("credentials") && e.getMessage.contains(code.toString),
+          e.getMessage)
+        assert(requests.get() == 1,
+          s"HTTP $code was retried ${requests.get()} times — auth failures are not flaky")
+      }
+    }
+  }
+
+  test("connect timeout is a SEPARATE budget from the request timeout (r16)") {
+    // slow RESPONSE, instant handshake: a 600ms handler must succeed even
+    // with a 100ms connect budget — under the old one-knob wiring,
+    // connectTimeout==requestTimeout made this configuration inexpressible
+    withServer { ex =>
+      Thread.sleep(600)
+      val texts = textsOf(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200, okBody(texts))
+    } { url =>
+      val emb = new HttpJsonEmbedder(url, Dim, batchSize = 8, maxRetries = 0,
+        requestTimeoutMs = 10000, connectTimeoutMs = 100)
+      assert(emb.embedBatch(Seq("ok")).head.length == Dim)
+    }
+    // unreachable HANDSHAKE: the connect budget must govern, not the
+    // minute-scale request budget (elapsed stays far under it either way
+    // — some stacks fail the route instantly, both are "fail fast")
+    val t0 = System.nanoTime()
+    val emb = new HttpJsonEmbedder("http://10.255.255.1:81/embed", Dim,
+      batchSize = 8, maxRetries = 0, requestTimeoutMs = 120000, connectTimeoutMs = 300)
+    intercept[EmbedError](emb.embedBatch(Seq("x")))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 30000, s"connect failure took ${elapsedMs}ms — request budget leaked into the handshake")
+  }
 }
