@@ -76,6 +76,26 @@ object SparkEntry {
       (model, s.read.parquet(p))
     }
 
+  /** PERSISTED packed-IVF serving artifact (round-16; VERDICT r15 next
+    * #2): the byte-packed int8 sidecar lives ON DISK with the float
+    * re-rank side under one epoch-committed root — built over the first
+    * 3/4 of the corpus and APPENDed the last 1/4 against the shared
+    * frozen model, so every probe through it also exercises the
+    * maintained-artifact path (append == rebuild), never a per-session
+    * re-quantization of the corpus.
+    */
+  private def ivfPackedIdx(s: SparkSession, dir: String): String =
+    SessionCache.getOrCreate(s"ivf_packed_index:$dir") {
+      val (model, _) = ivfIndex(s, dir)
+      val cut = embs(s, dir).count() * 3 / 4
+      val root = SessionCache.newTempDir("graft-ivf-packed-idx")
+      IvfPackedIndex.build(embs(s, dir).filter(col("vec_id") < cut),
+        "vec_id", "embedding", model, root)
+      IvfPackedIndex.append(embs(s, dir).filter(col("vec_id") >= cut),
+        "vec_id", "embedding", model, root)
+      root
+    }
+
   // Corpus-slice index for the incremental near-dedup row: the first 3/4
   // of the embeddings stand in for the historical corpus, indexed with
   // the LOW-threshold LSH geometry (few bits, many tables — at cosine
@@ -270,7 +290,9 @@ object SparkEntry {
     ivfBatchParity(s, dir)
     ivfTopkParity(s, dir)
     ivfQuantParity(s, dir)
+    ivfPackedLifecycle(s, dir)
     streamIvfParity(s, dir)
+    streamIvfQuantParity(s, dir)
     incrementalNearDedupFlags(s, dir)
     jaccardIndexAppendParity(s, dir)
     dailyDropRehearsal(s, dir)
@@ -291,7 +313,8 @@ object SparkEntry {
     */
   val cachedQueryNames: Set[String] = Set(
     "ann_append_parity", "ann_batch_topk", "ivf_batch_topk",
-    "ivf_topk", "ivf_topk_quantized", "stream_ivf_probe",
+    "ivf_topk", "ivf_topk_quantized", "ivf_packed_lifecycle",
+    "stream_ivf_probe", "stream_ivf_probe_quantized",
     "incremental_near_dedup", "jaccard_index_append_parity")
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
@@ -471,15 +494,20 @@ object SparkEntry {
     }
 
   /** Invariant flags of the QUANTIZED IVF serving composition (round-15;
-    * VERDICT r14 next #7): probe the int8-quantized index
-    * ([[IvfIndex.quantizeIndex]]) with a float re-rank of the candidate
-    * pool ([[IvfIndex.queryTopKQuantizedRerank]]) — the 4×-less-scan-IO
-    * serving path. Two mechanical checks become the row:
+    * VERDICT r14 next #7; re-declared round-16 over the PERSISTED packed
+    * artifact per VERDICT r15 next #2): the served probe now runs
+    * [[IvfPackedIndex.queryTopK]] against the on-disk, epoch-committed,
+    * build-3/4-append-1/4 packed+float index — the deployment path —
+    * instead of re-quantizing the float index in-session. Checks:
     * `rerank_float_exact` — every served (id, score) must equal the
     * direct float cosine of that id (the re-rank really escaped the
     * reconstruction); `recall_floor_met` — served ids recover ≥ 90% of
     * the FLOAT index probe's top-k (quantization may only cost pool
-    * membership, and barely). Constant oracle, the ivf_topk pattern.
+    * membership, and barely); `packed_parity` — the persisted serve
+    * equals BOTH in-session derivations (array-form int8 rerank and
+    * byte-packed rerank), so persisted == derived == rebuild (the
+    * append-parity proof rides the 3/4+1/4 construction). Constant
+    * oracle, the ivf_topk pattern.
     */
   private def ivfQuantParity(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrCreate(s"ivf_quant_parity:$dir") {
@@ -489,12 +517,16 @@ object SparkEntry {
       def probed(df: DataFrame): Seq[(Long, Double)] =
         df.select(col("id").cast("long"), round(col("score"), 6).as("score"))
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val served = probed(IvfIndex.queryTopKQuantizedRerank(
-        IvfIndex.quantizeIndex(idx), idx, model, q, RecallK, nProbe))
-      // byte-packed twin (BINARY codes, codegen cosine_sim_i8) must rank
-      // identically — the 4×-storage form serves the same answers
-      val packedParity = served == probed(IvfIndex.queryTopKPackedRerank(
-        IvfIndex.quantizeIndexPacked(idx), idx, model, q, RecallK, nProbe))
+      val served = probed(IvfPackedIndex.queryTopK(
+        s, ivfPackedIdx(s, dir), model, q, RecallK, nProbe))
+      // both in-session derivations must rank identically to the
+      // persisted serve: the array-form int8 rerank AND the byte-packed
+      // rerank over a fresh quantization of the full-corpus float index
+      val packedParity =
+        served == probed(IvfIndex.queryTopKQuantizedRerank(
+          IvfIndex.quantizeIndex(idx), idx, model, q, RecallK, nProbe)) &&
+        served == probed(IvfIndex.queryTopKPackedRerank(
+          IvfIndex.quantizeIndexPacked(idx), idx, model, q, RecallK, nProbe))
       val floatTop = probed(IvfIndex.queryTopK(idx, model, q, RecallK, nProbe))
       val recall = served.map(_._1).count(floatTop.map(_._1).toSet).toDouble / RecallK
       // served scores must be the float cosines, not reconstructions
@@ -509,6 +541,56 @@ object SparkEntry {
       Seq((RecallK.toLong, if (exactScores) 1L else 0L,
         if (recall >= 0.9) 1L else 0L, if (packedParity) 1L else 0L))
         .toDF("k", "rerank_float_exact", "recall_floor_met", "packed_parity")
+    }
+
+  /** FULL LIFECYCLE of the persisted packed-IVF index on a dedicated
+    * root (round-16; VERDICT r15 next #2 "append/delete parity row"):
+    * build 3/4 → append 1/4 → DELETE ids < 50 (one shared-tombstone
+    * write hiding them from BOTH precision forms) → COMPACT (fold
+    * physically, epoch fan-in back to 1). At each step the persisted
+    * probe must equal the byte-packed rerank over a fresh in-memory
+    * frozen-model (re)build of the surviving corpus — proving the
+    * epoch-committed two-form layout, the shared tombstone sidecar, and
+    * the swap-compact each lose nothing. `compact_parity` additionally
+    * pins the committed-epoch count collapsing to exactly 1. Constant
+    * flags → constant oracle (the ann_append_parity pattern). Cached:
+    * lifecycle churn is a verification artifact; `ivf_topk_quantized`
+    * serves the live probe and the bench volume rows time it.
+    */
+  private def ivfPackedLifecycle(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"ivf_packed_lifecycle:$dir") {
+      val q = queryVec(s, dir)
+      val (model, _) = ivfIndex(s, dir)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      def probed(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("id").cast("long"), round(col("score"), 6).as("score"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def fresh(rows: DataFrame): Seq[(Long, Double)] = {
+        val assigned = IvfIndex.buildIndex(rows, "vec_id", "embedding", model)
+          .localCheckpoint(eager = false)
+        probed(IvfIndex.queryTopKPackedRerank(
+          IvfIndex.quantizeIndexPacked(assigned), assigned, model, q, RecallK, nProbe))
+      }
+      val root = SessionCache.newTempDir("graft-ivf-packed-lc")
+      val cut = embs(s, dir).count() * 3 / 4
+      IvfPackedIndex.build(embs(s, dir).filter(col("vec_id") < cut),
+        "vec_id", "embedding", model, root)
+      IvfPackedIndex.append(embs(s, dir).filter(col("vec_id") >= cut),
+        "vec_id", "embedding", model, root)
+      def served: Seq[(Long, Double)] =
+        probed(IvfPackedIndex.queryTopK(s, root, model, q, RecallK, nProbe))
+      val appendParity = served == fresh(embs(s, dir))
+      IvfPackedIndex.delete(s, root, 0L until 50L)
+      val afterDelete = served
+      val deleteParity =
+        afterDelete == fresh(embs(s, dir).filter(col("vec_id") >= 50))
+      IvfPackedIndex.compact(s, root)
+      val compactParity = served == afterDelete &&
+        graft.store.EpochCommit.committedCount(s, root) == 1
+      import s.implicits._
+      Seq((RecallK.toLong, if (appendParity) 1L else 0L,
+        if (deleteParity) 1L else 0L, if (compactParity) 1L else 0L))
+        .toDF("k", "append_parity", "delete_parity", "compact_parity")
     }
 
   /** Invariant flags of the streaming IVF probe, declared as the
@@ -555,6 +637,60 @@ object SparkEntry {
       import s.implicits._
       Seq((20L, if (got == expected) 1L else 0L, if (stateless) 1L else 0L))
         .toDF("n_queries", "parity", "stateless")
+    }
+
+  /** Invariant flags of the QUANTIZED streaming IVF probe (round-16;
+    * VERDICT r15 next #3) — [[Streams.ivfProbeStreamQuantized]] over the
+    * PERSISTED packed index: int8 candidate pass on the BINARY codes,
+    * float-side join only for near-threshold survivors, exact float
+    * threshold. Three designed invariants, the stream_ivf_probe pattern:
+    *
+    *  - `parity`: streaming emission == the same plan on the batch frame
+    *    (mode-agnostic by construction);
+    *  - `float_parity`: the emitted set == the FLOAT [[Streams.ivfProbeStream]]
+    *    emission over the same queries/corpus — the int8 prescreen's
+    *    margin provably swallowed the quantization error, so the cheap
+    *    serving form answers EXACTLY like the expensive one;
+    *  - `stateless`: the executed streaming plan ran zero state
+    *    operators (joins and filters only), checked on the actual
+    *    StreamingQueryProgress.
+    *
+    * Constant row → constant oracle.
+    */
+  private def streamIvfQuantParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"stream_ivf_quant_parity:$dir") {
+      val (model, idx) = ivfIndex(s, dir)
+      val root = ivfPackedIdx(s, dir)
+      val packed = IvfPackedIndex.readPacked(s, root)
+      val floatSide = IvfPackedIndex.readFloat(s, root)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      val sinkName = "graft_stream_ivf_probe_quant"
+      val sq = Streams.ivfProbeStreamQuantized(
+          Tables.embeddingsStream(s, dir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", packed, floatSide, model,
+          threshold = 0.5, nProbe)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      graft.streaming.Streams.awaitOrAbort(sq, "stream_ivf_probe_quantized")
+      val stateless = sq.lastProgress != null && sq.lastProgress.stateOperators.isEmpty
+      def rows(df: DataFrame): Set[(Long, Long, Double)] =
+        df.select(col("q_id"), col("c_id"), col("score"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = rows(s.table(sinkName))
+      val expected = rows(Streams.ivfProbeStreamQuantized(
+          embs(s, dir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", packed, floatSide, model,
+          threshold = 0.5, nProbe)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score")))
+      val floatExpected = rows(Streams.ivfProbeStream(
+          embs(s, dir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", idx, model, threshold = 0.5, nProbe)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score")))
+      import s.implicits._
+      Seq((20L, if (got == expected) 1L else 0L,
+        if (got == floatExpected) 1L else 0L, if (stateless) 1L else 0L))
+        .toDF("n_queries", "parity", "float_parity", "stateless")
     }
 
   /** Invariant flags of the incremental embedding near-dedup, declared as
@@ -1164,6 +1300,14 @@ object SparkEntry {
     // invariant row, hash-checked against a constant oracle — the
     // listing itself is seeded-k-means territory (StreamsSpec pins it).
     "stream_ivf_probe" -> ((s, dir) => streamIvfParity(s, dir)),
+
+    // E2/E6 (round-16): the QUANTIZED twin — the int8 candidate pass +
+    // float re-rank served as a query-vector stream over the PERSISTED
+    // packed index. Declared as stream==batch parity + emitted-set ==
+    // float-probe parity (the prescreen margin swallows quantization
+    // error) + zero-state-operators, hash-checked against a constant
+    // oracle (see streamIvfQuantParity).
+    "stream_ivf_probe_quantized" -> ((s, dir) => streamIvfQuantParity(s, dir)),
 
     // ---- E6: SLIDING windows (1h window, 30m slide) ------------------
     "events_sliding" -> ((s, dir) =>
@@ -2173,6 +2317,14 @@ object SparkEntry {
     // invariant row against the float probe (the topk_cosine_quantized
     // claim, index-served).
     "ivf_topk_quantized" -> ((s, dir) => ivfQuantParity(s, dir)),
+
+    // E2 lifecycle (round-16): the persisted packed-IVF artifact through
+    // build → append → shared-tombstone DELETE → swap COMPACT, each step
+    // parity-checked against a fresh frozen-model rebuild of the
+    // survivors (see ivfPackedLifecycle). The quantized serving index is
+    // now maintained on disk like every other serving artifact, not
+    // re-derived per session.
+    "ivf_packed_lifecycle" -> ((s, dir) => ivfPackedLifecycle(s, dir)),
 
     // E2/E3: IVF batch probe against the persisted index (round-9) — each
     // query ranks the broadcast centroids and probes its own nProbe
@@ -4541,10 +4693,25 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS recall_floor_met,
         |  CAST(1 AS BIGINT) AS packed_parity""".stripMargin,
 
+    // Persisted packed-IVF lifecycle: append == rebuild, delete ==
+    // rebuild-without, compact == no-op + epoch fan-in 1; the oracle
+    // pins the only acceptable outcome.
+    "ivf_packed_lifecycle" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS append_parity,
+        |  CAST(1 AS BIGINT) AS delete_parity,
+        |  CAST(1 AS BIGINT) AS compact_parity""".stripMargin,
+
     // stream_ivf_probe: streaming emission == batch emission of the same
     // plan, and the executed streaming plan ran zero state operators.
     "stream_ivf_probe" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS parity,
+        |  CAST(1 AS BIGINT) AS stateless""".stripMargin,
+
+    // Quantized streaming probe: stream == batch, emitted set == the
+    // float probe's (margin swallowed the int8 error), zero state ops.
+    "stream_ivf_probe_quantized" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS parity,
+        |  CAST(1 AS BIGINT) AS float_parity,
         |  CAST(1 AS BIGINT) AS stateless""".stripMargin,
 
     // Incremental near-dedup invariants: n_batch re-derives the Spark
