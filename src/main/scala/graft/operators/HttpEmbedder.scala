@@ -37,7 +37,9 @@ import java.time.Duration
   *   the auth surface (`Authorization: Bearer …` for a real provider,
   *   any API-key scheme likewise). Header VALUES are secrets-shaped:
   *   they ride the task closure like the endpoint does, and are never
-  *   echoed into error messages.
+  *   echoed into error messages. JDK-restricted names (Host, Connection,
+  *   Content-Length, Expect, Upgrade) are rejected at construction;
+  *   a caller-supplied Content-Type REPLACES the JSON default.
   * @param connectTimeoutMs TCP/TLS handshake budget, SEPARATE from
   *   `requestTimeoutMs` (the whole-exchange budget). One knob for both
   *   would let a slow handshake silently eat the full request budget;
@@ -55,6 +57,20 @@ final class HttpJsonEmbedder(endpoint: String,
   require(dim > 0, s"dim must be positive, got $dim")
   require(requestTimeoutMs > 0, s"requestTimeoutMs must be positive, got $requestTimeoutMs")
   require(connectTimeoutMs > 0, s"connectTimeoutMs must be positive, got $connectTimeoutMs")
+  // Reject JDK-restricted header names at CONSTRUCTION, driver-side
+  // (advisor, r16): HttpRequest.Builder throws IllegalArgumentException
+  // for these at request-build time, which on an executor thread
+  // NonFatal-matches and burns the whole retry budget on a pure
+  // configuration error before surfacing. Fail fast where the config is
+  // written instead. (The set is the JDK's default disallowed list —
+  // the client manages these itself.)
+  locally {
+    val restricted = Set("connection", "content-length", "expect", "host", "upgrade")
+    val bad = headers.keys.filter(k => restricted.contains(k.toLowerCase))
+    require(bad.isEmpty,
+      s"restricted HTTP header(s) ${bad.mkString(", ")} cannot be set — the JDK " +
+      "HttpClient manages them itself and rejects them at request build time")
+  }
 
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder()
@@ -68,10 +84,14 @@ final class HttpJsonEmbedder(endpoint: String,
     val payload = mapper.createObjectNode()
     val arr = payload.putArray("texts")
     texts.foreach(arr.add)
+    // setHeader (REPLACE) rather than header (APPEND) throughout: the
+    // Content-Type default is overridable by a caller-supplied value
+    // instead of duplicating it on the wire (advisor, r16), and a
+    // repeated key in `headers` keeps last-wins Map semantics.
     val b = HttpRequest.newBuilder(URI.create(endpoint))
       .timeout(Duration.ofMillis(requestTimeoutMs))
-      .header("Content-Type", "application/json")
-    headers.foreach { case (k, v) => b.header(k, v) }
+      .setHeader("Content-Type", "application/json")
+    headers.foreach { case (k, v) => b.setHeader(k, v) }
     val req = b
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(payload)))
       .build()

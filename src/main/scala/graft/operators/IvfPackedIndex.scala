@@ -78,9 +78,17 @@ object IvfPackedIndex {
     e
   }
 
-  /** BUILD from scratch: wipe, stage the corpus as epoch 1, commit. */
+  /** BUILD from scratch: wipe, stage the corpus as epoch 1, commit.
+    * An EMPTY corpus is refused loudly (advisor, r16): committing an
+    * epoch whose data dirs hold no parquet footers would pass
+    * `committedOrThrow` but fail schema inference at first read — an
+    * index that looks built and serves nothing is worse than no index.
+    */
   def build(emb: DataFrame, idCol: String, embCol: String,
             model: IvfIndex.Model, root: String): Unit = {
+    require(!emb.isEmpty,
+      s"packed ivf build at $root: corpus is empty — refusing to commit an " +
+      "index whose data dirs contain no files (reads would fail schema inference)")
     EpochCommit.wipe(emb.sparkSession, root)
     val e = stageBatch(emb, idCol, embCol, model, root)
     EpochCommit.commit(emb.sparkSession, root, e)
@@ -89,12 +97,17 @@ object IvfPackedIndex {
   /** APPEND a batch against the FROZEN model — linear in the batch;
     * caller owns id-uniqueness and runs [[IvfIndex.driftCheck]] on the
     * deployment cadence (same contract as [[IvfIndex.appendToIndex]]).
+    * An empty batch is a NO-OP (advisor, r16 — the HotLinesIndex.append
+    * discipline): a first empty streaming micro-batch must neither
+    * commit a footer-less epoch nor inflate `committedCount` with no-op
+    * epochs.
     */
   def append(newRows: DataFrame, idCol: String, embCol: String,
-             model: IvfIndex.Model, root: String): Unit = {
-    val e = stageBatch(newRows, idCol, embCol, model, root)
-    EpochCommit.commit(newRows.sparkSession, root, e)
-  }
+             model: IvfIndex.Model, root: String): Unit =
+    if (!newRows.isEmpty) {
+      val e = stageBatch(newRows, idCol, embCol, model, root)
+      EpochCommit.commit(newRows.sparkSession, root, e)
+    }
 
   /** DELETE ids — one tombstone write hides them from BOTH precision
     * forms at read time (same sidecar contract and id-reuse caveat as

@@ -75,6 +75,39 @@ object Quantize {
       }
     }
 
+  /** L2 norm of the quantized code vector, ‖c‖ (0.0 for a zero vector)
+    * — persisted alongside packed codes so probes can turn the
+    * quantization-error THEOREM into a per-row prescreen bound without
+    * touching the bytes twice. The theorem (QuantizeSpec property-checks
+    * it across dims 2…1024 and distributions, including adversarial
+    * one-spike vectors): for nonzero x with codes c (half-up rounding,
+    * scale s = max|x|/127) and ANY query y,
+    *
+    *   |cos(c, y) − cos(x, y)| ≤ √d / ‖c‖.
+    *
+    * Proof sketch: x̂ = s·c is parallel to c, so cos(c,y) = cos(x̂,y);
+    * half-up gives ‖x̂ − x‖ ≤ s√d/2 elementwise, and ‖x̂‖ = s‖c‖; the
+    * unit-normalization perturbation lemma ‖a/‖a‖ − b/‖b‖‖ ≤
+    * 2‖a−b‖/max(‖a‖,‖b‖) then bounds the unit-vector drift by
+    * 2(s√d/2)/(s‖c‖) = √d/‖c‖, and a dot with the unit query moves by
+    * at most that. Dense vectors have ‖c‖ ≈ 127√(d/3), so the bound
+    * sits near √3/127 ≈ 0.014 INDEPENDENT of dim; a one-spike vector
+    * degrades it to √d/127 — exactly the shape quantization genuinely
+    * hurts, and the per-row bound widens the prescreen there instead of
+    * silently dropping matches.
+    */
+  def codeNorm(emb: Column, scale: Column): Column =
+    when(scale === 0d, lit(0d)).otherwise(
+      sqrt(aggregate(emb, lit(0d), (acc, x) =>
+        acc + halfUp(x.cast("double") / scale) * halfUp(x.cast("double") / scale))))
+
+  /** The per-row prescreen bound √d/‖c‖ of [[codeNorm]]'s theorem (0.0
+    * for a zero-vector row, whose cosine is exactly 0 in both forms).
+    */
+  def cosineErrorBound(dim: Column, codeNorm: Column): Column =
+    when(codeNorm === 0d, lit(0d))
+      .otherwise(sqrt(dim.cast("double")) / codeNorm)
+
   /** Exact integer checksum of the quantized vector (Σ q_i) — the
     * hash-checkable signature the declared row emits: any change to the
     * rounding, the scale, or a single element moves it.

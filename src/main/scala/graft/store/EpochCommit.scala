@@ -52,14 +52,24 @@ import org.apache.spark.sql.functions._
   * Compaction rewrites the index under [[DocStore.swapDirContents]]'s
   * atomic dir swap. An append that stages AND commits while a compact
   * is mid-swap would land its epoch in the OLD tree — silently discarded
-  * when the swap promotes the rewrite. [[commit]] therefore refuses to
-  * run while the swap lock (`<indexPath>.lock`) is held, failing loudly
-  * instead of losing the batch. The check is best-effort (a compact that
-  * STARTS between the check and the marker create can still discard the
-  * epoch), so appenders and the compactor on one index share the same
-  * single-writer contract the store swap itself documents: serialize
-  * them in the orchestrator; the lock check converts the most likely
-  * overlap into an explicit error rather than silent data loss.
+  * when the swap promotes the rewrite. [[commit]] therefore checks the
+  * swap lock (`<indexPath>.lock`) TWICE: before staging the marker
+  * (fail fast) and again AFTER the marker create (advisor, r16 — the
+  * pre-check alone was check-then-act). The compactor acquires the lock
+  * BEFORE its rewrite reads the committed set ([[DocStore.swapDirContents]]
+  * creates the lock first), so every interleaving resolves safely: a
+  * marker visible at the compactor's read is folded into the rewrite; a
+  * marker created after the lock exists trips the post-create re-check,
+  * which removes the marker and throws (the batch is invisible — retry
+  * after the compact). Silent discard is no longer reachable. The one
+  * residual is benign-but-noisy: if the compactor's committed() listing
+  * lands in the microseconds between the marker create and the re-check
+  * delete, the epoch is BOTH folded in and reported failed, so the
+  * caller's retry would duplicate the batch — appenders and the
+  * compactor on one index therefore still share the store swap's
+  * single-writer contract: serialize them in the orchestrator; the lock
+  * protocol converts concurrent overlap into loud errors, never into
+  * silent data loss.
   */
 object EpochCommit {
 
@@ -103,6 +113,23 @@ object EpochCommit {
     val marker = new org.apache.hadoop.fs.Path(dir, epoch)
     val out = f.create(marker, /* overwrite = */ false)
     out.close()
+    // Close the check-then-act window (advisor, r16): a compact that
+    // acquired the lock BETWEEN the pre-check and the marker create
+    // would promote a rewrite that never read this epoch — the exact
+    // silent-batch-loss mode the pre-check exists to prevent. Re-check
+    // after the create: the compactor's rewrite starts only after it
+    // holds the lock, and it reads the committed set after that, so a
+    // marker that lands before the lock is folded in and one that lands
+    // after fails here — either way, never silently discarded. (The
+    // marker is removed before throwing so the failed append leaves no
+    // committed trace for the compactor to half-see.)
+    if (f.exists(swapLock)) {
+      f.delete(marker, false)
+      throw new graft.core.EngineError(
+        s"refusing to commit epoch $epoch at $indexPath: swap lock $swapLock was " +
+        "acquired during the commit (a compact in flight would discard this epoch " +
+        "when it promotes its rewrite) — retry the append after the compact finishes")
+    }
   }
 
   /** Shape of every id [[newEpochId]] mints: 'e' + 32 hex digits.
@@ -133,6 +160,45 @@ object EpochCommit {
     */
   def committedCount(spark: SparkSession, indexPath: String): Int =
     committed(spark, indexPath).size
+
+  /** Names under `epochs/` that [[committed]] FILTERS OUT (not 'e'+32hex)
+    * — surfaced so an operator can tell a crash artifact / editor temp /
+    * foreign marker from an unexpectedly dropped epoch (advisor, r16: the
+    * id-shape filter must not convert a corrupt marker from a loud
+    * anomaly into invisible data). Always zero for indexes written by
+    * this engine ([[newEpochId]] only mints matching ids); anything here
+    * means a foreign writer or corruption — inspect by hand. Reported
+    * next to [[committedCount]] in the store's `stats` surface.
+    */
+  def strayMarkers(spark: SparkSession, indexPath: String): Seq[String] = {
+    val dir = epochsDir(indexPath)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.matches(EpochIdPattern))
+      .sorted
+  }
+
+  /** Opt-in compaction TRIGGER (round-17; VERDICT r16 next #8 — the
+    * `committedCount` scaladoc prescribes compacting at ~O(100) epochs,
+    * but nothing enforced it, so a forever-appending maintainer stream
+    * grew the listing and the merge-on-read fan-in without bound): when
+    * the committed count reaches `threshold`, run `compactFn` (the
+    * index family's OWN compact — this helper knows the protocol, not
+    * the layout) and report whether it fired. The check is one bounded
+    * FS listing — cheap enough for every maintainer micro-batch. The
+    * caller owns the single-writer contract between its appends and the
+    * compact it passes in (trivially true inside foreachBatch, which
+    * runs batches sequentially).
+    */
+  def compactIfNeeded(spark: SparkSession, indexPath: String, threshold: Int)
+                     (compactFn: => Unit): Boolean = {
+    require(threshold >= 2,
+      s"compactIfNeeded threshold must be >= 2 (a 1-epoch index is already compact), got $threshold")
+    val fire = committedCount(spark, indexPath) >= threshold
+    if (fire) compactFn
+    fire
+  }
 
   /** Committed epochs, or a loud failure for an index that has none —
     * an unbuilt/never-committed index must never read as empty-but-fine.

@@ -266,6 +266,49 @@ class Bm25Spec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("batch-probe validation rides the one standing-set job (r16 wrong #3)") {
+    val corpus = Seq((1L, "apple banana cherry")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-jbatch").toString
+    IndexedBm25.build(corpus, "doc_id", "text", path)
+
+    // the two failure modes carry DISTINCT messages (r16 advisor: the
+    // conflated message blamed term count for a window problem) …
+    val eFew = intercept[IllegalArgumentException](
+      IndexedBm25.proximitySearchBatch(spark, path,
+        Seq((0L, null.asInstanceOf[Seq[String]])).toDF("q_id", "terms"),
+        window = 5, k = 5))
+    // … and a null terms array reports 0 distinct terms, never legacy -1
+    assert(eFew.getMessage.contains("0 distinct") &&
+      !eFew.getMessage.contains("cannot hold"), eFew.getMessage)
+    val eWin = intercept[IllegalArgumentException](
+      IndexedBm25.proximitySearchBatch(spark, path,
+        Seq(1L -> Seq("apple", "banana", "cherry")).toDF("q_id", "terms"),
+        window = 2, k = 5))
+    assert(eWin.getMessage.contains("cannot hold") &&
+      !eWin.getMessage.contains("needs >= 2"), eWin.getMessage)
+
+    // constructing a batch probe runs EXACTLY ONE Spark job — the
+    // standing-set collect that the pruned scan always needed; the
+    // per-row validation rides it instead of a second driver job
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IndexedBm25.phraseSearchBatch(spark, path,
+        Seq(0L -> Seq("apple", "banana")).toDF("q_id", "phrase"), k = 5)
+      IndexedBm25.proximitySearchBatch(spark, path,
+        Seq(0L -> Seq("apple", "cherry")).toDF("q_id", "terms"), window = 5, k = 5)
+      // listener events are async — wait for them to drain, bounded
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(300) // catch any straggler job this would make > 2
+      assert(jobs == 2, s"expected 1 job per batch-probe construction, saw $jobs for 2")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("delete: tombstoned probe == rebuild-without; compact folds physically; idempotent") {
     val terms = Seq("apple", "banana", "cherry")
     val survivors = corpusDF.filter(col("doc_id") =!= 1L && col("doc_id") =!= 4L)

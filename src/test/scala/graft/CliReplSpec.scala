@@ -45,6 +45,33 @@ class CliReplSpec extends SparkSpec {
     assert(store.countDocuments() == 1L)
   }
 
+  test("stats surfaces attached-index epoch counts and stray markers (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-repl-idx")
+      .resolve("docs.parquet").toString
+    val store = new GraftStore(spark, dir, HashingEmbedder(16))
+    store.insert("ducks like ponds")
+    store.insert("spark shuffles partitions")
+    // no attached indexes yet: stats prints only the parity line
+    assert(!runScript("stats\nquit", store).contains("Index "), "phantom index row")
+    // attach a bm25 index at the conventional root and append once
+    val bm25 = s"${store.indexRoot}/bm25"
+    graft.operators.IndexedBm25.build(store.table(), "id", "text", bm25)
+    graft.operators.IndexedBm25.append(
+      store.table().filter(org.apache.spark.sql.functions.col("id") === 2L),
+      "id", "text", bm25)
+    val out = runScript("stats\nquit", store)
+    assert(out.contains("Documents: 2"), out)
+    assert(out.contains("Index bm25: 2 committed epoch(s)"), out)
+    assert(!out.contains("STRAY"), out)
+    assert(store.indexStats() == Seq(("bm25", 2, 0)))
+    // a foreign marker is SURFACED next to the count, never swallowed
+    val strayP = new org.apache.hadoop.fs.Path(s"$bm25/epochs/_editor.tmp")
+    strayP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(strayP, false).close()
+    val out2 = runScript("stats\nquit", store)
+    assert(out2.contains("Index bm25: 2 committed epoch(s)  STRAY MARKERS: 1"), out2)
+  }
+
   test("error recovery: bad verbs and verb errors never end the session") {
     val dir = java.nio.file.Files.createTempDirectory("graft-repl2")
       .resolve("docs.parquet").toString

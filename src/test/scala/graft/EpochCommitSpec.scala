@@ -192,6 +192,13 @@ class EpochCommitSpec extends SparkSpec {
     assert(graft.store.EpochCommit.committed(spark, path) == Seq(e),
       "a stray file entered the committed set")
     assert(graft.store.EpochCommit.committedCount(spark, path) == 1)
+    // …but the filtered names are SURFACED, not swallowed (r16 advisor:
+    // the shape filter must not turn a corrupt/foreign marker into
+    // invisible data — an operator reads this next to committedCount)
+    assert(graft.store.EpochCommit.strayMarkers(spark, path)
+      == Seq(".e123.swp", "E" + "0" * 32, "_SUCCESS", "e1", e + "x"))
+    assert(graft.store.EpochCommit.strayMarkers(spark, tmp("graft-epoch-nostray"))
+      .isEmpty)
   }
 
   test("commit refuses malformed epoch ids and a held swap lock (r16 advisor)") {

@@ -168,6 +168,33 @@ class HttpEmbedderSpec extends SparkSpec {
     }
   }
 
+  test("restricted header names fail at construction; Content-Type REPLACES the default (r17)") {
+    // JDK-restricted names would throw IllegalArgumentException at
+    // request-build time on EXECUTOR threads — a pure config error that
+    // NonFatal-matches and burns the retry budget. Fail fast, driver-side.
+    for (bad <- Seq("Host", "content-length", "Connection")) {
+      val e = intercept[IllegalArgumentException](
+        new HttpJsonEmbedder("http://localhost:9/x", Dim,
+          headers = Map(bad -> "v", "Authorization" -> "ok")))
+      assert(e.getMessage.toLowerCase.contains(bad.toLowerCase), e.getMessage)
+    }
+    // a caller-supplied Content-Type overrides the JSON default instead
+    // of appending a duplicate value on the wire
+    val ctypes = new java.util.concurrent.atomic.AtomicReference[java.util.List[String]]()
+    withServer { ex =>
+      ctypes.set(ex.getRequestHeaders.get("Content-Type"))
+      val texts = textsOf(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200, okBody(texts))
+    } { url =>
+      new HttpJsonEmbedder(url, Dim,
+        headers = Map("Content-Type" -> "application/json; charset=utf-8"))
+        .embedBatch(Seq("hello"))
+      assert(ctypes.get() != null && ctypes.get().size() == 1 &&
+        ctypes.get().get(0) == "application/json; charset=utf-8",
+        s"Content-Type not replaced: ${ctypes.get()}")
+    }
+  }
+
   test("401/403 auth rejection is typed and NEVER retried (r16)") {
     for (code <- Seq(401, 403)) {
       val requests = new AtomicInteger(0)

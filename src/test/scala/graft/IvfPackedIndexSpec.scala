@@ -88,6 +88,25 @@ class IvfPackedIndexSpec extends SparkSpec {
     assert(IvfPackedIndex.readPacked(spark, root).count() == 29)
   }
 
+  test("empty batches: append is a no-op epoch-wise; build refuses loudly (r16 advisor)") {
+    val root = tmp("graft-ivfp-empty")
+    val none = embAll.filter(col("vec_id") < 0)
+    // an empty BUILD must not commit an index whose data dirs have no
+    // parquet footers — committedOrThrow would pass but reads would fail
+    intercept[IllegalArgumentException](
+      IvfPackedIndex.build(none, "vec_id", "embedding", model, root))
+    IvfPackedIndex.build(embAll.filter(col("vec_id") < 30),
+      "vec_id", "embedding", model, root)
+    val before = served(root)
+    // an empty APPEND (e.g. a first empty streaming micro-batch) neither
+    // stages a footer-less epoch nor inflates committedCount
+    IvfPackedIndex.append(none, "vec_id", "embedding", model, root)
+    assert(graft.store.EpochCommit.committedCount(spark, root) == 1,
+      "empty append committed a no-op epoch")
+    assert(served(root) == before)
+    assert(IvfPackedIndex.readFloat(spark, root).count() == 30)
+  }
+
   test("served scores are EXACT float cosines of the served ids") {
     val root = tmp("graft-ivfp-exact")
     IvfPackedIndex.build(embAll, "vec_id", "embedding", model, root)
