@@ -90,7 +90,10 @@ object ScaleProbe {
     // phrase/proximity probe vs N single probes, persisted hot-lines
     // serving vs recompute, quantized IVF probe + float re-rank, and the
     // committed-epoch read overhead across many appends + compact).
-    val onlyR15 = sys.env.contains("SPARK_GRAFT_ONLY_R15")
+    // SPARK_GRAFT_ONLY_R17=1 probes only the round-17 addition (the
+    // PERSISTED packed-IVF lifecycle + probe at index scale).
+    val onlyR17 = sys.env.contains("SPARK_GRAFT_ONLY_R17")
+    val onlyR15 = onlyR17 || sys.env.contains("SPARK_GRAFT_ONLY_R15")
     val onlyR14c = onlyR15 || sys.env.contains("SPARK_GRAFT_ONLY_R14C")
     val onlyR14b = onlyR14c || sys.env.contains("SPARK_GRAFT_ONLY_R14B")
     val onlyR14 = onlyR14b || sys.env.contains("SPARK_GRAFT_ONLY_R14")
@@ -747,7 +750,7 @@ object ScaleProbe {
     // (d) Committed-epoch protocol overhead: probe latency at 1 epoch vs
     //     after 10 appends (11 epochs), then after compact — the cost of
     //     crash-safe appends must be a listing constant, not a scan term.
-    locally {
+    if (!onlyR17) locally {
       import spark.implicits._
       // SPARK_GRAFT_ONLY_R15C=1 re-measures only the quantized-IVF part
       // (the phrase/hot-lines/epoch parts have recorded numbers).
@@ -857,6 +860,78 @@ object ScaleProbe {
         IvfIndex.queryTopKPackedRerank(pIdx, fIdx, model, q, 10, nProbe).collect()
       }
 
+    }
+
+    // ---- Round-17 additions -------------------------------------------
+    // The PERSISTED packed-IVF index at the same 1M-vector setting
+    // (VERDICT r16 "missing" #2a): round 15 measured the packed probe
+    // over in-session derived frames; this measures the ON-DISK artifact
+    // the engine now maintains — build, probe time AND actual bytes read
+    // (the 4× candidate-IO claim, on disk), single-commit append,
+    // tombstone fold, governor compact.
+    locally {
+      /** Wall-clock + total task input bytes for one action (listener
+        * events drain async — the bounded sleep is generous for a probe).
+        */
+      def measured[T](name: String)(f: => T): T = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          val t0 = System.nanoTime()
+          val r = f
+          val s = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // let straggler TaskEnd events drain
+          println(f"[scale] $name%-52s $s%8.2f s  bytesRead ${bytes.get()}%,d")
+          r
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+      val model = IvfIndex.fit(emb, "embedding")
+      val root = graft.core.SessionCache.newTempDir("graft-scale-ivfpacked") + "/idx"
+      timed(s"packed-ivf BUILD ($nEmb vectors, both forms, one commit)") {
+        IvfPackedIndex.build(emb, "vec_id", "embedding", model, root)
+      }
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      def persistedProbe(): Unit =
+        IvfPackedIndex.queryTopK(spark, root, model, q, 10, nProbe).collect()
+      // warm the FS listing caches once so the float-vs-packed comparison
+      // below is scan cost, not first-listing cost
+      persistedProbe()
+      measured("ivf probe FLOAT (persisted float side)") {
+        IvfIndex.queryTopK(IvfPackedIndex.readFloat(spark, root), model, q, 10, nProbe)
+          .collect()
+      }
+      measured("ivf probe PERSISTED PACKED + pruned float re-rank") {
+        persistedProbe()
+      }
+      measured("packed candidate pass ALONE (int8 scan, probed clusters)") {
+        val probes = model.nearestClusters(q, nProbe)
+        Similarity.cutTopK(
+          IvfPackedIndex.readPacked(spark, root)
+            .filter(col("cluster").isin(probes.map(Int.box): _*))
+            .select(col("id"),
+              graft.functions.VectorFunctions
+                .cosine_sim_i8(col("codes"), typedlit(q.toSeq)).as("score")),
+          "id", 40).collect()
+      }
+      timed("packed-ivf APPEND 1% batch (single-commit, both forms)") {
+        IvfPackedIndex.append(
+          emb.filter(col("vec_id") < nEmb / 100)
+            .select((col("vec_id") + lit(nEmb)).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", model, root)
+      }
+      timed("packed-ivf probe, 2 committed epochs") { persistedProbe() }
+      timed("packed-ivf DELETE 100 ids (one tombstone write)") {
+        IvfPackedIndex.delete(spark, root, 0L until 100L)
+      }
+      timed("packed-ivf probe, tombstone merge-on-read") { persistedProbe() }
+      timed("packed-ivf COMPACT (fold 2 epochs + tombstones)") {
+        IvfPackedIndex.compact(spark, root)
+      }
+      timed("packed-ivf probe, post-compact (1 epoch)") { persistedProbe() }
     }
     spark.stop()
   }

@@ -293,6 +293,7 @@ object SparkEntry {
     ivfPackedLifecycle(s, dir)
     streamIvfParity(s, dir)
     streamIvfQuantParity(s, dir)
+    streamIvfPackedMaintain(s, dir)
     incrementalNearDedupFlags(s, dir)
     jaccardIndexAppendParity(s, dir)
     dailyDropRehearsal(s, dir)
@@ -315,6 +316,7 @@ object SparkEntry {
     "ann_append_parity", "ann_batch_topk", "ivf_batch_topk",
     "ivf_topk", "ivf_topk_quantized", "ivf_packed_lifecycle",
     "stream_ivf_probe", "stream_ivf_probe_quantized",
+    "stream_ivf_packed_maintain",
     "incremental_near_dedup", "jaccard_index_append_parity")
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
@@ -691,6 +693,60 @@ object SparkEntry {
       Seq((20L, if (got == expected) 1L else 0L,
         if (got == floatExpected) 1L else 0L, if (stateless) 1L else 0L))
         .toDF("n_queries", "parity", "float_parity", "stateless")
+    }
+
+  /** Invariant flags of the STREAMING packed-IVF maintenance (round-17;
+    * VERDICT r16 next #7 + #8): the persisted two-form index built
+    * ENTIRELY by a stream — two controlled waves (sequential
+    * AvailableNow drains over one checkpoint, the daily-drop resume
+    * shape) foreachBatch-append via
+    * [[graft.operators.IvfPackedIndex.append]] (single-commit per
+    * micro-batch, frozen-model assignment, empty batches no-ops), with
+    * the opt-in epoch governor `compactEvery = 2` folding the fan-in as
+    * it grows:
+    *
+    *  - `parity`: the drained index serves EXACTLY what the byte-packed
+    *    rerank over a fresh frozen-model batch build of the same corpus
+    *    serves — stream-append == batch build (deterministic assignment
+    *    makes it split-invariant; StreamsSpec proves the loop on
+    *    designed vectors, this row re-proves it on the driver fixtures);
+    *  - `auto_compacted`: [[graft.store.EpochCommit.compactIfNeeded]]
+    *    fired inside the maintainer and collapsed the committed-epoch
+    *    count to 1 — a forever-appending maintainer can no longer grow
+    *    the listing and the merge-on-read fan-in unboundedly.
+    *
+    * Constant row → constant oracle. Cached: lifecycle churn is a
+    * verification artifact (the ivf_packed_lifecycle precedent).
+    */
+  private def streamIvfPackedMaintain(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"stream_ivf_packed_maintain:$dir") {
+      val q = queryVec(s, dir)
+      val (model, _) = ivfIndex(s, dir)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      def probed(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("id").cast("long"), round(col("score"), 6).as("score"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val e = embs(s, dir)
+      val cut = e.count() / 2
+      val root = SessionCache.newTempDir("graft-ivfp-maintain")
+      val arrival = SessionCache.newTempDir("graft-ivfp-maintain-src")
+      val ckpt = SessionCache.newTempDir("graft-ivfp-maintain-ckpt")
+      for (w <- Seq(e.filter(col("vec_id") < cut), e.filter(col("vec_id") >= cut))) {
+        w.coalesce(1).write.mode("append").parquet(arrival)
+        Streams.ivfPackedMaintainAvailableNow(
+          s.readStream.schema(e.schema).parquet(arrival),
+          "vec_id", "embedding", model, root,
+          compactEvery = 2, checkpoint = Some(ckpt))
+      }
+      val served = probed(IvfPackedIndex.queryTopK(s, root, model, q, RecallK, nProbe))
+      val assigned = IvfIndex.buildIndex(e, "vec_id", "embedding", model)
+        .localCheckpoint(eager = false)
+      val fresh = probed(IvfIndex.queryTopKPackedRerank(
+        IvfIndex.quantizeIndexPacked(assigned), assigned, model, q, RecallK, nProbe))
+      val compacted = graft.store.EpochCommit.committedCount(s, root) == 1
+      import s.implicits._
+      Seq((2L, if (served == fresh) 1L else 0L, if (compacted) 1L else 0L))
+        .toDF("n_waves", "parity", "auto_compacted")
     }
 
   /** Invariant flags of the incremental embedding near-dedup, declared as
@@ -1308,6 +1364,7 @@ object SparkEntry {
     // error) + zero-state-operators, hash-checked against a constant
     // oracle (see streamIvfQuantParity).
     "stream_ivf_probe_quantized" -> ((s, dir) => streamIvfQuantParity(s, dir)),
+    "stream_ivf_packed_maintain" -> ((s, dir) => streamIvfPackedMaintain(s, dir)),
 
     // ---- E6: SLIDING windows (1h window, 30m slide) ------------------
     "events_sliding" -> ((s, dir) =>
@@ -2417,6 +2474,40 @@ object SparkEntry {
           .filter(col("doc_id") >= 250 && col("doc_id") < 325),
         "doc_id", "text", n = 2, threshold = 0.2,
         Dedup.readPostingsIndex(s, postingsPath), out)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // E4×E6 (round-17; VERDICT r16 "missing" #1 — the CLOSED ingest
+    // loop): gate-then-APPEND. Two controlled waves (250-290, 290-325)
+    // arrive as sequential AvailableNow drains over one checkpoint; each
+    // micro-batch runs the full jaccardIncremental discipline against
+    // the index-SO-FAR (built over doc_id < 250), then appends its
+    // survivors' postings single-commit — so wave 2 gates against wave
+    // 1's survivors immediately instead of waiting for a nightly
+    // rebuild (at sf0.01 exactly that path fires: one wave-2 doc drops
+    // PURELY because a wave-1 survivor was appended). Fully
+    // oracle-checked: DuckDB replays the two-step chain — within-wave
+    // transitive closure, cross-index jaccard vs the initial corpus,
+    // then wave 2 vs corpus ∪ wave-1 survivors.
+    "stream_jaccard_gate_append" -> ((s, dir) => {
+      jaccardCapGuard(s, dir)
+      val d = docs(s, dir)
+      val idx = SessionCache.newTempDir("graft-jgatea-idx")
+      Dedup.buildPostingsIndex(d.filter(col("doc_id") < 250),
+        "doc_id", "text", n = 2, idx)
+      val arrival = SessionCache.newTempDir("graft-jgatea-src")
+      val ckpt = SessionCache.newTempDir("graft-jgatea-ckpt")
+      val out = SessionCache.newTempDir("graft-jgatea-out") + "/surv"
+      for ((lo, hi) <- Seq((250, 290), (290, 325))) {
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(arrival)
+        Streams.jaccardGateMaintainAvailableNow(
+          s.readStream.schema(d.schema).parquet(arrival),
+          "doc_id", "text", n = 2, threshold = 0.2, idx, out,
+          checkpoint = Some(ckpt))
+      }
       s.read.parquet(out)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
@@ -4474,6 +4565,72 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Gate-then-append: the incremental_jaccard_dedup replay applied
+    // TWICE — wave 1 (250-290) within-dedup + cross vs the doc_id<250
+    // corpus, then wave 2 (290-325) within-dedup + cross vs corpus ∪
+    // wave-1 survivors (the appended postings). Exact int arithmetic in
+    // double keeps the 0.2 threshold boundary-identical to Spark.
+    "stream_jaccard_gate_append" ->
+      """WITH RECURSIVE
+        |allsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)
+        |),
+        |ct1 AS (SELECT doc_id, sh FROM allsh WHERE doc_id < 250),
+        |b1 AS (SELECT doc_id, sh FROM allsh WHERE doc_id >= 250 AND doc_id < 290),
+        |pr1 AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS asz, len(b.sh) AS bsz
+        |    FROM b1 a JOIN b1 b ON a.doc_id < b.doc_id)
+        |  WHERE common > 0 AND CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.2
+        |),
+        |edges1 AS (SELECT a_id AS src, b_id AS dst FROM pr1 UNION SELECT b_id, a_id FROM pr1),
+        |walk1 AS (
+        |  SELECT src, dst FROM edges1
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk1 w JOIN edges1 e ON w.dst = e.src
+        |),
+        |lab1 AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk1 GROUP BY src),
+        |sw1 AS (SELECT doc_id, sh FROM b1 WHERE doc_id NOT IN (SELECT id FROM lab1 WHERE id <> group_id)),
+        |dup1 AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM sw1 s JOIN ct1 c ON len(list_intersect(s.sh, c.sh)) > 0
+        |  WHERE CAST(len(list_intersect(s.sh, c.sh)) AS DOUBLE)
+        |        / (len(s.sh) + len(c.sh) - len(list_intersect(s.sh, c.sh))) >= 0.2
+        |),
+        |s1 AS (SELECT doc_id, sh FROM sw1 WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |ct2 AS (SELECT doc_id, sh FROM ct1 UNION ALL SELECT doc_id, sh FROM s1),
+        |b2 AS (SELECT doc_id, sh FROM allsh WHERE doc_id >= 290 AND doc_id < 325),
+        |pr2 AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS asz, len(b.sh) AS bsz
+        |    FROM b2 a JOIN b2 b ON a.doc_id < b.doc_id)
+        |  WHERE common > 0 AND CAST(common AS DOUBLE) / (asz + bsz - common) >= 0.2
+        |),
+        |edges2 AS (SELECT a_id AS src, b_id AS dst FROM pr2 UNION SELECT b_id, a_id FROM pr2),
+        |walk2 AS (
+        |  SELECT src, dst FROM edges2
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk2 w JOIN edges2 e ON w.dst = e.src
+        |),
+        |lab2 AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk2 GROUP BY src),
+        |sw2 AS (SELECT doc_id, sh FROM b2 WHERE doc_id NOT IN (SELECT id FROM lab2 WHERE id <> group_id)),
+        |dup2 AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM sw2 s JOIN ct2 c ON len(list_intersect(s.sh, c.sh)) > 0
+        |  WHERE CAST(len(list_intersect(s.sh, c.sh)) AS DOUBLE)
+        |        / (len(s.sh) + len(c.sh) - len(list_intersect(s.sh, c.sh))) >= 0.2
+        |),
+        |s2 AS (SELECT doc_id FROM sw2 WHERE doc_id NOT IN (SELECT doc_id FROM dup2))
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM s1 UNION SELECT doc_id FROM s2)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // Repetition: duplicate-token / duplicate-bigram fractions. Blank
     // text guards mirror token_count (DuckDB splits '' into ['']); bigram
     // i ranges over 1..ntok-1 with an inclusive 2-element slice.
@@ -4708,11 +4865,20 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS stateless""".stripMargin,
 
     // Quantized streaming probe: stream == batch, emitted set == the
-    // float probe's (margin swallowed the int8 error), zero state ops.
+    // float probe's (the per-row proven bound swallowed the int8 error),
+    // zero state ops.
     "stream_ivf_probe_quantized" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS parity,
         |  CAST(1 AS BIGINT) AS float_parity,
         |  CAST(1 AS BIGINT) AS stateless""".stripMargin,
+
+    // Streaming packed-IVF maintenance: two-wave stream-append == fresh
+    // frozen-model batch build, and the compactEvery=2 governor folded
+    // the epoch fan-in to 1. Constant flags pin the only acceptable
+    // outcome.
+    "stream_ivf_packed_maintain" ->
+      """SELECT CAST(2 AS BIGINT) AS n_waves, CAST(1 AS BIGINT) AS parity,
+        |  CAST(1 AS BIGINT) AS auto_compacted""".stripMargin,
 
     // Incremental near-dedup invariants: n_batch re-derives the Spark
     // side's `vec_id >= count*3/4` batch slice straight from the parquet

@@ -269,7 +269,12 @@ object IvfIndex {
     val cands = qIndex.filter(col("cluster").isin(probes: _*))
       .select(col("id"), col("q_embedding").cast("array<float>").as("embedding"))
     val pool = Similarity.topK(cands, "embedding", "id", queryVec, k * poolFactor)
-    val rerank = floatIndex.join(broadcast(pool.select(col("id"))), Seq("id"))
+    // the pool's ids come only from the probed clusters, so the re-rank
+    // side prunes to the SAME cluster partitions — without this the id
+    // join is broadcast (no shuffle) but the float scan reads the whole
+    // corpus per probe (round-17; caught by the PlanShapeSpec pin)
+    val rerank = floatIndex.filter(col("cluster").isin(probes: _*))
+      .join(broadcast(pool.select(col("id"))), Seq("id"))
       .select(col("id"), col("embedding"))
     Similarity.topK(rerank, "embedding", "id", queryVec, k)
   }
@@ -316,7 +321,12 @@ object IvfIndex {
           graft.functions.VectorFunctions
             .cosine_sim_i8(col("codes"), typedlit(queryVec.toSeq)).as("score")),
       "id", k * poolFactor)
-    val rerank = floatIndex.join(broadcast(pool.select(col("id"))), Seq("id"))
+    // cluster-prune the re-rank side too: the pool can only contain ids
+    // from the probed clusters, and without the predicate the broadcast
+    // id join still SCANS the whole float index per probe (round-17;
+    // caught by the PlanShapeSpec pin)
+    val rerank = floatIndex.filter(col("cluster").isin(probes: _*))
+      .join(broadcast(pool.select(col("id"))), Seq("id"))
       .select(col("id"), col("embedding"))
     Similarity.topK(rerank, "embedding", "id", queryVec, k)
   }

@@ -406,4 +406,99 @@ class StreamsSpec extends SparkSpec {
     assert(got.forall(_ >= 300), s"re-delivered doc survived: $got")
     assert(got.nonEmpty, "gate dropped everything — fixture drift?")
   }
+
+  test("gate-then-append CLOSES the ingest loop: wave-2 near-dups of wave-1 survivors drop (r17)") {
+    import graft.operators.Dedup
+    // hand-built corpus so every jaccard relation is designed:
+    //   indexed #1;  wave1: #10 novel, #11 near-dup of #1 (drops at gate);
+    //   wave2: #20 near-dup of #10 — drops ONLY because the loop appended
+    //   wave 1's survivor — and #21 novel.
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val indexed = df(1L -> "red fox jumps over lazy dog tonight")
+    val w1 = df(10L -> "alpha beta gamma delta epsilon zeta",
+                11L -> "red fox jumps over lazy dog today")
+    val w2 = df(20L -> "alpha beta gamma delta epsilon eta",
+                21L -> "one two three four five six")
+
+    def runWaves(compactEvery: Int): (Set[Long], Int) = {
+      val idx = graft.core.SessionCache.newTempDir("spec-jgatem-idx")
+      val arrival = graft.core.SessionCache.newTempDir("spec-jgatem-src")
+      val ckpt = graft.core.SessionCache.newTempDir("spec-jgatem-ckpt")
+      val out = graft.core.SessionCache.newTempDir("spec-jgatem-out") + "/surv"
+      Dedup.buildPostingsIndex(indexed, "doc_id", "text", n = 2, idx)
+      for (w <- Seq(w1, w2)) {
+        // two sequential AvailableNow drains over one checkpoint: the
+        // second run processes ONLY the new files — a deterministic
+        // two-micro-batch arrival (the daily-drop resume shape)
+        w.coalesce(1).write.mode("append").parquet(arrival)
+        Streams.jaccardGateMaintainAvailableNow(
+          spark.readStream.schema(w.schema).parquet(arrival),
+          "doc_id", "text", n = 2, threshold = 0.2, idx, out,
+          checkpoint = Some(ckpt), compactEvery = compactEvery)
+      }
+      (spark.read.parquet(out).select("doc_id").as[Long].collect().toSet,
+        graft.store.EpochCommit.committedCount(spark, idx))
+    }
+
+    val (got, epochs) = runWaves(compactEvery = 0)
+    assert(got == Set(10L, 21L), s"closed-loop survivors: $got")
+    assert(epochs == 3, s"build + 2 appends expected, saw $epochs epochs")
+
+    // the OPEN loop (plain gate, index never maintained) admits #20 —
+    // the exact daily-pipeline gap this closes
+    val openGate = Dedup.jaccardGate(w2, "doc_id", "text", n = 2,
+      threshold = 0.2, Dedup.shinglePostings(indexed, "doc_id", "text", 2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(openGate == Set(20L, 21L), s"open gate admitted: $openGate")
+
+    // batch incremental chain over the same waves == the stream
+    val idxB = graft.core.SessionCache.newTempDir("spec-jgatem-idxb")
+    Dedup.buildPostingsIndex(indexed, "doc_id", "text", n = 2, idxB)
+    val s1 = Dedup.jaccardIncremental(w1, "doc_id", "text", 2, 0.2,
+      Dedup.readPostingsIndex(spark, idxB)).localCheckpoint()
+    Dedup.appendPostingsIndex(s1, "doc_id", "text", 2, idxB)
+    val s2 = Dedup.jaccardIncremental(w2, "doc_id", "text", 2, 0.2,
+      Dedup.readPostingsIndex(spark, idxB))
+    val chain = (s1.select("doc_id").as[Long].collect() ++
+      s2.select("doc_id").as[Long].collect()).toSet
+    assert(chain == got, s"batch chain $chain vs stream $got")
+
+    // with the epoch governor on, the fan-in folds back to 1 and the
+    // admitted set is unchanged (compact is a no-op semantically)
+    val (gotC, epochsC) = runWaves(compactEvery = 2)
+    assert(gotC == got && epochsC == 1,
+      s"compactEvery=2: survivors $gotC, epochs $epochsC")
+  }
+
+  test("streaming packed-IVF maintenance: drained index == batch build; governor compacts (r17)") {
+    import graft.operators.{IvfIndex, IvfPackedIndex}
+    val emb = Seq.tabulate(40) { i =>
+      (i.toLong, (0 until 8).map(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = IvfIndex.fit(emb, "embedding", k = 4)
+    val q = (0 until 8).map(j => math.cos(j * 0.3).toFloat).toArray
+
+    val root = graft.core.SessionCache.newTempDir("spec-ivfpm-root")
+    val arrival = graft.core.SessionCache.newTempDir("spec-ivfpm-src")
+    val ckpt = graft.core.SessionCache.newTempDir("spec-ivfpm-ckpt")
+    for (w <- Seq(emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20))) {
+      w.coalesce(1).write.mode("append").parquet(arrival)
+      // works from an EMPTY root: the stream is the builder
+      Streams.ivfPackedMaintainAvailableNow(
+        spark.readStream.schema(emb.schema).parquet(arrival),
+        "vec_id", "embedding", model, root,
+        compactEvery = 2, checkpoint = Some(ckpt))
+    }
+    def probed(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.select(col("id").cast("long"), round(col("score"), 9).as("s"))
+        .as[(Long, Double)].collect().toSeq
+    val served = probed(IvfPackedIndex.queryTopK(spark, root, model, q, 5, 2))
+    val assigned = IvfIndex.buildIndex(emb, "vec_id", "embedding", model)
+    val fresh = probed(IvfIndex.queryTopKPackedRerank(
+      IvfIndex.quantizeIndexPacked(assigned), assigned, model, q, 5, 2))
+    assert(served == fresh, s"stream-maintained $served vs batch rebuild $fresh")
+    assert(IvfPackedIndex.readFloat(spark, root).count() == 40)
+    assert(graft.store.EpochCommit.committedCount(spark, root) == 1,
+      "compactEvery=2 governor did not fold the epoch fan-in")
+  }
 }
