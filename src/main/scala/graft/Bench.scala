@@ -165,6 +165,16 @@ object Bench {
     }
     val ivfBenchNProbe =
       operators.IvfIndex.defaultNProbe(ivfBenchModel.centroids.length)
+    // Round-17: the persisted two-form packed index, built once — the
+    // bench-only row below times the BATCH quantized probe per iteration
+    // (the declared ivf_batch_topk_quantized row is a cached parity
+    // constant, the ivf_batch_topk precedent).
+    val ivfBenchPackedRoot = {
+      val p = java.nio.file.Files.createTempDirectory("graft-bench-ivfp").toString + "/idx"
+      operators.IvfPackedIndex.build(core.Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", ivfBenchModel, p)
+      p
+    }
     // The flagship query vector, fetched once — the per-iteration rows
     // below time PROBING, not this lookup.
     val benchQueryVec = core.Tables.embeddings(spark, sfDir)
@@ -229,11 +239,20 @@ object Bench {
         streaming.Streams.awaitOrAbort(sq, "bench stream_ivf_probe")
         ()
       }
+      // Round-17: the quantized BATCH serving path, live per iteration
+      // against the persisted packed artifact.
+      val ivfPackedBatchVolume = timed { () =>
+        operators.IvfPackedIndex.queryTopKBatch(spark, ivfBenchPackedRoot,
+          ivfBenchModel, core.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 20),
+          "vec_id", "embedding", 10, ivfBenchNProbe).count()
+        ()
+      }
       (results +
         ("bench_sim_join_volume_500q" -> simVolume) +
         ("bench_ivf_batch_topk_20q" -> ivfBatchVolume) +
         ("bench_ivf_topk_single" -> ivfSingleVolume) +
-        ("bench_stream_ivf_probe_20q" -> ivfStreamVolume),
+        ("bench_stream_ivf_probe_20q" -> ivfStreamVolume) +
+        ("bench_ivf_packed_batch_20q" -> ivfPackedBatchVolume),
         canarySeconds(), canaryParSeconds(parThreads))
     }
 

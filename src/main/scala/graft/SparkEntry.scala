@@ -294,6 +294,7 @@ object SparkEntry {
     streamIvfParity(s, dir)
     streamIvfQuantParity(s, dir)
     streamIvfPackedMaintain(s, dir)
+    ivfBatchQuantParity(s, dir)
     incrementalNearDedupFlags(s, dir)
     jaccardIndexAppendParity(s, dir)
     dailyDropRehearsal(s, dir)
@@ -316,7 +317,7 @@ object SparkEntry {
     "ann_append_parity", "ann_batch_topk", "ivf_batch_topk",
     "ivf_topk", "ivf_topk_quantized", "ivf_packed_lifecycle",
     "stream_ivf_probe", "stream_ivf_probe_quantized",
-    "stream_ivf_packed_maintain",
+    "stream_ivf_packed_maintain", "ivf_batch_topk_quantized",
     "incremental_near_dedup", "jaccard_index_append_parity")
 
   /** Append-path parity for BOTH persisted indexes (round-9): build each
@@ -437,6 +438,45 @@ object SparkEntry {
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
         .map { case (q, v) =>
           q -> IvfIndex.queryTopK(idx, model, v, RecallK, nProbe)
+            .select(col("id").cast("long"), round(col("score"), 6).as("score"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
+      val parity = batch.keySet.subsetOf(singles.keySet) &&
+        singles.keys.forall(q => batch.getOrElse(q, Seq.empty) == singles(q))
+      import s.implicits._
+      Seq((20L, RecallK.toLong, if (parity) 1L else 0L))
+        .toDF("n_queries", "k", "parity")
+    }
+
+  /** Invariant flags of the BATCH QUANTIZED probe (round-17 — completes
+    * the quantized serving family: single [[IvfPackedIndex.queryTopK]],
+    * streaming `ivfProbeStreamQuantized`, batch here): N standing
+    * queries served from the PERSISTED packed artifact in ONE plan
+    * (union-cluster pruned int8 candidate pass, per-query k-bounded
+    * pool, union-pool `id IN` pushdown re-rank, exact float scores)
+    * must equal, id-for-id and rounded-score-for-score, the per-query
+    * persisted probe over the same artifact — the ivf_batch_topk
+    * pattern applied to the quantized path. Constant row → constant
+    * oracle. Cached: the builds are offline artifacts.
+    */
+  private def ivfBatchQuantParity(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrCreate(s"ivf_batch_quant_parity:$dir") {
+      val (model, _) = ivfIndex(s, dir)
+      val root = ivfPackedIdx(s, dir)
+      val nProbe = IvfIndex.defaultNProbe(model.centroids.length)
+      val queries = embs(s, dir).filter(col("vec_id") < 20)
+      val batch = IvfPackedIndex.queryTopKBatch(s, root, model, queries,
+          "vec_id", "embedding", RecallK, nProbe)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("score"), 6).as("score"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+        }
+      val singles = queries.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        .map { case (q, v) =>
+          q -> IvfPackedIndex.queryTopK(s, root, model, v, RecallK, nProbe)
             .select(col("id").cast("long"), round(col("score"), 6).as("score"))
             .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         }
@@ -2389,6 +2429,13 @@ object SparkEntry {
     // each so no dedup stage. Declared (round-10) as batch==single-probe
     // PARITY over the 20 queries — the ann_batch_topk argument, IVF twin.
     "ivf_batch_topk" -> ((s, dir) => ivfBatchParity(s, dir)),
+
+    // E2/E3 (round-17): the BATCH face of the QUANTIZED serving path —
+    // N standing queries against the PERSISTED packed artifact in one
+    // plan (union-cluster pruned int8 candidate pass, per-query
+    // k-bounded pool, union-pool id-pushdown float re-rank, exact float
+    // scores); declared as batch == per-query persisted-probe parity.
+    "ivf_batch_topk_quantized" -> ((s, dir) => ivfBatchQuantParity(s, dir)),
 
     // Training-pipeline decontamination: corpus docs sharing ≥3 distinct
     // bigram shingles with any "benchmark" doc (docs 0-9 stand in for an
@@ -4829,6 +4876,12 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS parity""".stripMargin,
 
     "ivf_batch_topk" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        |  CAST(1 AS BIGINT) AS parity""".stripMargin,
+
+    // Round-17: batch quantized probe == per-query persisted packed
+    // probe, the only acceptable outcome.
+    "ivf_batch_topk_quantized" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS parity""".stripMargin,
 

@@ -256,7 +256,9 @@ object IvfIndex {
     * served scores are EXACT float cosines; quantization can only cost
     * recall by dropping a true top-k id out of the pool, which the pool
     * factor makes vanishingly rare (the `ivf_topk_quantized` row pins a
-    * recall floor vs the float probe). Both ranking cuts go through
+    * recall floor vs the float probe). The pool lands on the float side
+    * as a pushed `id IN (…)` under the cluster prune ([[rerankPool]] —
+    * round-17). Both ranking cuts go through
     * [[Similarity.topK]]'s deterministic rounded-score + id tie-break.
     * A zero vector quantizes to all-zero codes, and the 0-norm guard
     * scores both forms 0 — the invariance holds there too.
@@ -269,12 +271,31 @@ object IvfIndex {
     val cands = qIndex.filter(col("cluster").isin(probes: _*))
       .select(col("id"), col("q_embedding").cast("array<float>").as("embedding"))
     val pool = Similarity.topK(cands, "embedding", "id", queryVec, k * poolFactor)
-    // the pool's ids come only from the probed clusters, so the re-rank
-    // side prunes to the SAME cluster partitions — without this the id
-    // join is broadcast (no shuffle) but the float scan reads the whole
-    // corpus per probe (round-17; caught by the PlanShapeSpec pin)
-    val rerank = floatIndex.filter(col("cluster").isin(probes: _*))
-      .join(broadcast(pool.select(col("id"))), Seq("id"))
+    rerankPool(floatIndex, probes,
+      pool.select(col("id")).collect().map(_.getLong(0)), queryVec, k)
+  }
+
+  /** Float re-rank of a ≤ poolFactor·k id pool: the ids collect driver-
+    * side (bounded scalars by construction — the pool IS k-bounded) and
+    * push down as `id IN (…)` UNDER the cluster+epoch partition prune.
+    * Round-17 shape, twice corrected by the PlanShapeSpec pin: the first
+    * draft broadcast-joined the pool against the WHOLE float index (no
+    * shuffle, but a full-corpus scan per probe); the second pruned the
+    * clusters but still scanned every float byte of the probed clusters.
+    * With the IN pushdown and [[IvfPackedIndex]]'s sorted-by-id layout,
+    * parquet row-group/page statistics skip everything but the groups
+    * holding pool ids — the re-rank reads O(pool) at scale, never
+    * O(probed clusters). Job count is unchanged (the pool cut was
+    * always its own job; it now ends in the collect).
+    */
+  private def rerankPool(floatIndex: DataFrame, probes: Seq[Int],
+                         poolIds: Array[Long], queryVec: Array[Float],
+                         k: Int): DataFrame = {
+    val rerank = floatIndex
+      .filter(
+        if (poolIds.isEmpty) lit(false) // empty probed clusters → empty top-k
+        else col("cluster").isin(probes: _*) &&
+          col("id").isin(poolIds.map(Long.box).toSeq: _*))
       .select(col("id"), col("embedding"))
     Similarity.topK(rerank, "embedding", "id", queryVec, k)
   }
@@ -321,14 +342,8 @@ object IvfIndex {
           graft.functions.VectorFunctions
             .cosine_sim_i8(col("codes"), typedlit(queryVec.toSeq)).as("score")),
       "id", k * poolFactor)
-    // cluster-prune the re-rank side too: the pool can only contain ids
-    // from the probed clusters, and without the predicate the broadcast
-    // id join still SCANS the whole float index per probe (round-17;
-    // caught by the PlanShapeSpec pin)
-    val rerank = floatIndex.filter(col("cluster").isin(probes: _*))
-      .join(broadcast(pool.select(col("id"))), Seq("id"))
-      .select(col("id"), col("embedding"))
-    Similarity.topK(rerank, "embedding", "id", queryVec, k)
+    rerankPool(floatIndex, probes,
+      pool.select(col("id")).collect().map(_.getLong(0)), queryVec, k)
   }
 
   /** BATCH probe (round-9) — the IVF twin of
@@ -369,5 +384,76 @@ object IvfIndex {
         graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("q_emb")).as("score"))
       .as[SimJoin.Scored]
     SimJoin.rankTopK(scored, k)
+  }
+
+  /** BATCH probe of the QUANTIZED two-form index (round-17) — N standing
+    * queries served from the persisted byte-packed artifact in ONE plan,
+    * completing the quantized serving family (single probe
+    * [[queryTopKPackedRerank]], streaming
+    * [[graft.streaming.Streams.ivfProbeStreamQuantized]], batch here):
+    *
+    *  1. per-query probe clusters via the broadcast model UDF; the
+    *     batch's UNION cluster set pushes as the partition prune over
+    *     the PACKED side ([[queryTopKBatch]]'s touched-set discipline) —
+    *     the candidate pass reads int8 codes only, ~4× fewer bytes than
+    *     the float batch probe at the same coverage;
+    *  2. per-(q_id, id) code-space cosine (codegen `cosine_sim_i8`),
+    *     per-query `k·poolFactor` pool through [[SimJoin.rankTopK]]'s
+    *     k-bounded reduction — never a per-q_id window;
+    *  3. the union pool ids collect driver-side (≤ |queries|·k·poolFactor
+    *     scalars, bounded by construction) and push as `id IN (…)` under
+    *     the union-cluster prune on the FLOAT side — the [[rerankPool]]
+    *     discipline batch-wise, so the re-rank reads O(pools), never
+    *     O(probed clusters);
+    *  4. exact float cosine per surviving (q_id, id) with the query
+    *     table broadcast back on, final k-cut via [[SimJoin.rankTopK]].
+    *
+    * Served scores are EXACT float cosines; per query this equals
+    * [[queryTopKPackedRerank]] over the same two frames (the
+    * `ivf_batch_topk_quantized` row pins it on the persisted artifact).
+    */
+  def queryTopKBatchPackedRerank(pIndex: DataFrame, floatIndex: DataFrame,
+                                 model: Model, queries: DataFrame,
+                                 qIdCol: String, qEmbCol: String, k: Int,
+                                 nProbe: Int, poolFactor: Int = 4): DataFrame = {
+    graft.core.Validate.positiveTopK(k)
+    require(poolFactor >= 1, s"poolFactor must be >= 1, got $poolFactor")
+    val spark = pIndex.sparkSession
+    import spark.implicits._
+    val probesUdf = udf { (v: Seq[Float]) =>
+      model.nearestClusters(v.toArray, nProbe).toArray
+    }
+    val q0 = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(qEmbCol).as("q_emb"))
+      .localCheckpoint(eager = false) // one evaluation: probes + the re-rank broadcast
+    val qb = q0.withColumn("cluster", explode(probesUdf(col("q_emb"))))
+      .localCheckpoint(eager = false) // pin before the touched-set collect
+    val touched = qb.select(col("cluster")).distinct().collect().map(_.getInt(0))
+    def pruneClusters(df: DataFrame): DataFrame =
+      if (touched.nonEmpty) df.filter(col("cluster").isin(touched.map(Integer.valueOf): _*))
+      else df
+    val pool = SimJoin.rankTopK(
+        pruneClusters(pIndex).join(qb, Seq("cluster"))
+          .select(col("q_id"), col("id").as("c_id"),
+            graft.functions.VectorFunctions
+              .cosine_sim_i8(col("codes"), col("q_emb")).as("score"))
+          .as[SimJoin.Scored],
+        k * poolFactor)
+      .select(col("q_id"), col("c_id"))
+      .localCheckpoint(eager = false) // consumed by the id collect AND the re-rank join
+    val poolIds = pool.select(col("c_id")).distinct().as[Long].collect()
+    val floats =
+      if (poolIds.isEmpty) return pool.select(col("q_id"), col("c_id"),
+        lit(0d).as("score"), lit(1L).as("rank")).limit(0)
+      else pruneClusters(floatIndex)
+        .filter(col("id").isin(poolIds.map(Long.box).toSeq: _*))
+        .select(col("id").as("c_id"), col("embedding"))
+    val rescored = pool.join(floats, Seq("c_id"))
+      .join(broadcast(q0), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorFunctions
+          .cosine_sim(col("embedding"), col("q_emb")).as("score"))
+      .as[SimJoin.Scored]
+    SimJoin.rankTopK(rescored, k)
   }
 }

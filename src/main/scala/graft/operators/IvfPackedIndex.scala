@@ -45,8 +45,10 @@ import graft.store.EpochCommit
   * reads: int8 candidate pass (codegen `cosine_sim_i8`, cosine is
   * invariant under each vector's positive quantization scale), pool cut
   * and final cut through the one shared (score desc, id asc) total
-  * order, broadcast k-bounded float re-rank — served scores are EXACT
-  * float cosines. The reference's search surface is the brute-force scan
+  * order, k-bounded float re-rank via a pushed `id IN (pool)` under the
+  * cluster prune (the sorted-by-id row groups make the pushdown skip
+  * real IO) — served scores are EXACT float cosines. The reference's
+  * search surface is the brute-force scan
   * (`/root/reference/vectolite.py:118-174`); this index is extension
   * surface for serving it at corpus scales the scan can't reach.
   */
@@ -68,11 +70,17 @@ object IvfPackedIndex {
     val e = EpochCommit.newEpochId()
     val assigned = IvfIndex.buildIndex(newRows, idCol, embCol, model)
       .localCheckpoint(eager = false)
+    // sortWithinPartitions(cluster, id): each output file carries tight
+    // per-row-group id ranges, so the re-rank's `id IN (pool)` pushdown
+    // (IvfIndex.rerankPool) skips every row group without a pool id —
+    // the in-task sort is the whole cost, paid once at build/append
     assigned.repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("id"))
       .write.partitionBy("cluster")
       .parquet(EpochCommit.stagePath(floatDir(root), e))
     IvfIndex.quantizeIndexPacked(assigned)
       .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("id"))
       .write.partitionBy("cluster")
       .parquet(EpochCommit.stagePath(packedDir(root), e))
     e
@@ -152,9 +160,11 @@ object IvfPackedIndex {
     graft.store.DocStore.swapDirContents(spark, root) { tmp =>
       val e = EpochCommit.newEpochId()
       readFloat(spark, root).repartition(col("cluster"))
+        .sortWithinPartitions(col("cluster"), col("id"))
         .write.partitionBy("cluster")
         .parquet(EpochCommit.stagePath(floatDir(tmp), e))
       readPacked(spark, root).repartition(col("cluster"))
+        .sortWithinPartitions(col("cluster"), col("id"))
         .write.partitionBy("cluster")
         .parquet(EpochCommit.stagePath(packedDir(tmp), e))
       EpochCommit.commit(spark, tmp, e)
@@ -170,4 +180,15 @@ object IvfPackedIndex {
     IvfIndex.queryTopKPackedRerank(
       readPacked(spark, root), readFloat(spark, root),
       model, queryVec, k, nProbe, poolFactor)
+
+  /** BATCH probe: N standing queries served from the persisted artifact
+    * in one plan — see [[IvfIndex.queryTopKBatchPackedRerank]] for the
+    * plan contract. Output `(q_id, c_id, score, rank)`.
+    */
+  def queryTopKBatch(spark: SparkSession, root: String, model: IvfIndex.Model,
+                     queries: DataFrame, qIdCol: String, qEmbCol: String,
+                     k: Int, nProbe: Int, poolFactor: Int = 4): DataFrame =
+    IvfIndex.queryTopKBatchPackedRerank(
+      readPacked(spark, root), readFloat(spark, root),
+      model, queries, qIdCol, qEmbCol, k, nProbe, poolFactor)
 }

@@ -411,6 +411,16 @@ object Streams {
     * because foreachBatch serializes the appender and the compactor.
     * Empty batches and all-dropped batches touch neither the sink nor
     * the index (no no-op epochs, no footer-less delta dirs).
+    *
+    * Scale note: the index is re-read COMMITTED-ONLY inside each batch
+    * closure (freshness is the point — the previous batch's append must
+    * be visible), so the bucketed catalog registration the NIGHTLY chain
+    * uses (paid once, invalidated by appends) doesn't apply; the gate
+    * join instead relies on the batch side being broadcast-sized BY
+    * DEFINITION (a micro-batch's exploded postings), so the corpus
+    * postings side stays scan-only — no corpus-side Exchange, exactly
+    * the [[graft.operators.Dedup.dupIdsVsIndex]] contract. The index
+    * listing per batch is one bounded `epochs/` read.
     */
   def jaccardGateMaintainAvailableNow(stream: DataFrame, idCol: String,
                                       textCol: String, n: Int, threshold: Double,

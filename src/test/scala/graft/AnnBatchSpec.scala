@@ -133,4 +133,38 @@ class AnnBatchSpec extends SparkSpec {
     assert(batch.keySet == singles.keySet)
     batch.foreach { case (qid, hits) => assert(hits == singles(qid), s"query $qid differs") }
   }
+
+  test("QUANTIZED batch probe equals per-query packed reranks; empty query set is empty (r17)") {
+    import graft.operators.IvfIndex
+    val model = IvfIndex.fit(embs, "embedding", k = 8)
+    val index = IvfIndex.buildIndex(embs, "vec_id", "embedding", model)
+    val packed = IvfIndex.quantizeIndexPacked(index)
+    val nProbe = IvfIndex.defaultNProbe(8)
+    val queries = embs.filter(col("vec_id") < 10)
+    val batch = IvfIndex.queryTopKBatchPackedRerank(
+        packed, index, model, queries, "vec_id", "embedding", 5, nProbe)
+      .select(col("q_id"), col("c_id"), round(col("score"), 9).as("score"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    val singles = queries.select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      .map { case (qid, vec) =>
+        qid -> IvfIndex.queryTopKPackedRerank(packed, index, model, vec, 5, nProbe)
+          .select(col("id").cast("long"), round(col("score"), 9).as("score"))
+          .as[(Long, Double)].collect().toSeq
+      }
+    assert(batch.keySet == singles.keySet)
+    batch.foreach { case (qid, hits) => assert(hits == singles(qid), s"query $qid differs") }
+    // exact float scores: every served score is the direct float cosine
+    val direct = embs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    val q0 = queries.filter(col("vec_id") === 0L).head.getSeq[Float](1).toArray
+    singles(0L).foreach { case (id, sc) =>
+      val exact = graft.functions.VectorOps.cosine(direct(id).toArray, q0)
+      assert(math.abs(sc - exact) < 1e-6, s"id $id served $sc vs float $exact")
+    }
+    // empty standing set → empty result, correct schema, no failure
+    assert(IvfIndex.queryTopKBatchPackedRerank(packed, index, model,
+      queries.filter(col("vec_id") < 0), "vec_id", "embedding", 5, nProbe).count() == 0L)
+  }
 }

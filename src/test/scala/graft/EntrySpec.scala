@@ -15,10 +15,10 @@ class EntrySpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
     // a typo'd key silently downgrades a query to rows-only — pin the floor
-    // at the round-17 surface (134 oracles / 134 queries: every declared
+    // at the round-17 surface (135 oracles / 135 queries: every declared
     // query has an oracle twin)
-    assert(SparkEntry.oracleSql.size >= 134, s"oracle count ${SparkEntry.oracleSql.size}")
-    assert(SparkEntry.queries.size >= 134, s"query count ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= 135, s"oracle count ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size >= 135, s"query count ${SparkEntry.queries.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"queries without oracles (rows-only): $rowsOnly")
   }

@@ -286,16 +286,20 @@ class PlanShapeSpec extends SparkSpec {
       s"postings scan not pruned on (pt, epoch):\n$scanLine")
   }
 
-  test("persisted packed-IVF probe: epoch+cluster pruned scans, broadcast tombstone fold, broadcast re-rank") {
+  test("persisted packed-IVF probe: epoch+cluster pruned scans, id-pushdown re-rank, broadcast tombstone fold") {
     // Round-17 (VERDICT r16 "missing" #2b): the serving plan of the
     // persisted byte-packed index. The contract at 100 TB: BOTH data
     // scans prune on (epoch IN committed, cluster IN probes) at file
     // listing; the tombstone fold is a broadcast LEFT ANTI above the
     // pruned scan (bounded by deletions-since-compact, never a corpus
-    // shuffle); the float re-rank joins a BROADCAST k-bounded pool; the
-    // ranking cuts are TakeOrderedAndProject — no window, no sort-merge
-    // join, no corpus-side Exchange anywhere.
-    import graft.operators.{IvfIndex, IvfPackedIndex}
+    // shuffle); the float re-rank PUSHES the collected pool ids as an
+    // `id IN (…)` parquet filter under the prune (the sorted-by-id
+    // layout lets row-group stats skip everything but pool groups) —
+    // the first two drafts scanned the whole float index / the whole
+    // probed clusters respectively, and this pin is what caught both;
+    // the ranking cuts are TakeOrderedAndProject — no window, no
+    // sort-merge join, no corpus-side Exchange anywhere.
+    import graft.operators.{IvfIndex, IvfPackedIndex, Similarity}
     import spark.implicits._
     val emb = Seq.tabulate(40) { i =>
       (i.toLong, (0 until 8).map(j => math.sin(i * 0.7 + j).toFloat))
@@ -305,36 +309,59 @@ class PlanShapeSpec extends SparkSpec {
     IvfPackedIndex.build(emb, "vec_id", "embedding", model, root)
     IvfPackedIndex.delete(spark, root, Seq(1L, 2L))
     val q = (0 until 8).map(j => math.cos(j * 0.3).toFloat).toArray
-    val plan = physical(IvfPackedIndex.queryTopK(spark, root, model, q, 5, 2))
 
-    val scans = plan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.output.exists(_.name == "codes") || f.output.exists(_.name == "embedding") => f
-    }
-    assert(scans.size >= 2, s"expected packed + float scans in:\n$plan")
-    scans.foreach { f =>
+    def checkPrune(f: org.apache.spark.sql.execution.FileSourceScanExec): Unit = {
       val pf = f.partitionFilters.map(_.sql).mkString(" ")
       assert(pf.contains("epoch") && pf.contains("cluster"),
-        s"index scan not pruned on (epoch, cluster): $pf\n$plan")
+        s"index scan not pruned on (epoch, cluster): $pf")
     }
-    // packed candidate scan never reads the float column and vice versa
-    val packedScan = scans.find(_.output.exists(_.name == "codes")).get
-    assert(!packedScan.output.exists(_.name == "embedding"),
-      "packed candidate scan reads the float embedding")
 
-    val bjoins = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    // (a) the candidate pass: packed scan only — codes, never embedding
+    val probes = model.nearestClusters(q, 2)
+    val candPlan = physical(Similarity.cutTopK(
+      IvfPackedIndex.readPacked(spark, root)
+        .filter(col("cluster").isin(probes.map(Int.box): _*))
+        .select(col("id"), graft.functions.VectorFunctions
+          .cosine_sim_i8(col("codes"), typedlit(q.toSeq)).as("score")),
+      "id", 20))
+    val packedScans = candPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "codes") => f
     }
-    assert(bjoins.exists(_.joinType.sql == "LEFT ANTI"),
-      s"tombstone fold is not a broadcast left anti:\n$plan")
-    assert(bjoins.exists(_.joinType.sql == "INNER"),
-      s"float re-rank pool join is not broadcast:\n$plan")
+    assert(packedScans.nonEmpty, s"no packed scan in candidate plan:\n$candPlan")
+    packedScans.foreach { f =>
+      checkPrune(f)
+      assert(!f.output.exists(_.name == "embedding"),
+        "packed candidate scan reads the float embedding")
+    }
+
+    // (b) the served probe: the pool collected at construction, so the
+    // returned plan IS the re-rank — float scan with the In(id) pushdown
+    val plan = physical(IvfPackedIndex.queryTopK(spark, root, model, q, 5, 2))
+    val floatScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "embedding") => f
+    }
+    assert(floatScans.nonEmpty, s"no float re-rank scan in:\n$plan")
+    floatScans.foreach { f =>
+      checkPrune(f)
+      assert(!f.output.exists(_.name == "codes"), "re-rank scan reads the codes")
+      assert(f.metadata.get("PushedFilters").exists(_.contains("In(id")),
+        s"pool ids not pushed to the float scan: ${f.metadata.get("PushedFilters")}")
+    }
     assert(plan.collect {
-      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
-    }.isEmpty, s"sort-merge join in the packed probe (index-side shuffle):\n$plan")
-    assert(plan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.isEmpty, s"rank window in the packed probe:\n$plan")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.sql == "LEFT ANTI" => j
+    }.nonEmpty, s"tombstone fold is not a broadcast left anti:\n$plan")
+
+    for (p <- Seq(candPlan, plan)) {
+      assert(p.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }.isEmpty, s"sort-merge join in the packed probe (index-side shuffle):\n$p")
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"rank window in the packed probe:\n$p")
+    }
     assert(plan.collect {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }.nonEmpty, s"no k-bounded TakeOrderedAndProject cut:\n$plan")
