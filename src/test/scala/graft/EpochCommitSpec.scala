@@ -237,4 +237,21 @@ class EpochCommitSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(hot == Set(("shared", 2L)))
   }
+
+  test("compactIfNeeded: fires at the threshold, not below; rejects a degenerate threshold (r17)") {
+    val path = tmp("graft-epoch-governor")
+    var fired = 0
+    def tryCompact(threshold: Int): Boolean =
+      graft.store.EpochCommit.compactIfNeeded(spark, path, threshold) { fired += 1 }
+    intercept[IllegalArgumentException](tryCompact(1)) // 1-epoch index is already compact
+    assert(!tryCompact(2) && fired == 0, "fired on an empty index")
+    val e1 = graft.store.EpochCommit.newEpochId()
+    graft.store.EpochCommit.commit(spark, path, e1)
+    assert(!tryCompact(2) && fired == 0, "fired below the threshold")
+    graft.store.EpochCommit.commit(spark, path, graft.store.EpochCommit.newEpochId())
+    assert(tryCompact(2) && fired == 1, "did not fire at the threshold")
+    // the helper reports; the caller's compactFn owns the actual fold —
+    // the count is unchanged here because the test's fn is a counter
+    assert(graft.store.EpochCommit.committedCount(spark, path) == 2)
+  }
 }
