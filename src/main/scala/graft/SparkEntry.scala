@@ -2541,9 +2541,24 @@ object SparkEntry {
     "stream_jaccard_gate_append" -> ((s, dir) => {
       jaccardCapGuard(s, dir)
       val d = docs(s, dir)
-      val idx = SessionCache.newTempDir("graft-jgatea-idx")
-      Dedup.buildPostingsIndex(d.filter(col("doc_id") < 250),
-        "doc_id", "text", n = 2, idx)
+      // the INITIAL index is setup, not serving — built once per session
+      // (the pipeline_daily_drop precedent: only builds are cached) and
+      // FS-copied per call, because the gate-append stream MUTATES its
+      // index and each run must start from the same committed state
+      val baseIdx = SessionCache.getOrCreate(s"jgatea_base_idx:$dir") {
+        val p = SessionCache.newTempDir("graft-jgatea-base")
+        Dedup.buildPostingsIndex(d.filter(col("doc_id") < 250),
+          "doc_id", "text", n = 2, p)
+        p
+      }
+      val idx = SessionCache.newTempDir("graft-jgatea-idx") + "/idx"
+      locally {
+        val conf = s.sparkContext.hadoopConfiguration
+        val src = new org.apache.hadoop.fs.Path(baseIdx)
+        val fs = src.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(idx), false, conf)
+      }
       val arrival = SessionCache.newTempDir("graft-jgatea-src")
       val ckpt = SessionCache.newTempDir("graft-jgatea-ckpt")
       val out = SessionCache.newTempDir("graft-jgatea-out") + "/surv"
