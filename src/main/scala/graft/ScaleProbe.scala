@@ -932,6 +932,22 @@ object ScaleProbe {
         IvfPackedIndex.compact(spark, root)
       }
       timed("packed-ivf probe, post-compact (1 epoch)") { persistedProbe() }
+
+      // Batch quantized serving at query volume (round-17): N standing
+      // queries in ONE plan vs N single persisted probes — the gap that
+      // motivated queryTopKBatchPackedRerank (each single probe pays its
+      // own listing + two jobs; the batch pays them once).
+      val batchQ = emb.filter(col("vec_id") < 100)
+      timed("packed-ivf BATCH probe, 100 queries (one plan)") {
+        IvfPackedIndex.queryTopKBatch(spark, root, model, batchQ,
+          "vec_id", "embedding", 10, nProbe).count()
+      }
+      val qVecs = batchQ.collect()
+        .map(r => r.getSeq[Float](1).toArray).take(10)
+      timed("packed-ivf SINGLE probe x10 (10 plans — scale to 100: x10)") {
+        qVecs.foreach(v =>
+          IvfPackedIndex.queryTopK(spark, root, model, v, 10, nProbe).count())
+      }
     }
     spark.stop()
   }

@@ -365,5 +365,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.collect {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }.nonEmpty, s"no k-bounded TakeOrderedAndProject cut:\n$plan")
+
+    // (c) the BATCH quantized probe (round-17): returned plan re-ranks
+    // the union pool — float scan carries the In(id) pushdown under the
+    // epoch+cluster prune, ranking is the k-bounded partial_topkagg,
+    // never a per-q_id window
+    val queries = Seq.tabulate(5) { i =>
+      (i.toLong, (0 until 8).map(j => math.cos(i + j * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val bplan = physical(IvfPackedIndex.queryTopKBatch(
+      spark, root, model, queries, "vec_id", "embedding", 5, 2))
+    val bFloatScans = bplan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "embedding") => f
+    }
+    assert(bFloatScans.nonEmpty, s"no float re-rank scan in batch plan:\n$bplan")
+    bFloatScans.foreach { f =>
+      checkPrune(f)
+      assert(f.metadata.get("PushedFilters").exists(_.contains("In(id")),
+        s"union pool ids not pushed in the batch re-rank: ${f.metadata.get("PushedFilters")}")
+    }
+    assert(bplan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"per-q_id rank window in the batch quantized probe:\n$bplan")
+    assert(bplan.toString.toLowerCase.contains("partial_topkagg"),
+      s"partial_topkagg marker missing from the batch quantized probe:\n$bplan")
   }
 }
