@@ -2460,6 +2460,40 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    // E7/E2 (round-17): DIVERSITY-capped sampling — at most `cap` docs
+    // per semantic cluster of the embedding space, the curation pass
+    // that stops the densest regions (template clones, over-crawled
+    // topics) from dominating a training mix while sparse clusters keep
+    // everything. Designed invariants (cluster assignment is seeded-
+    // k-means territory, so the membership stays spec-pinned):
+    // exact_counts — every cluster contributes exactly min(size, cap);
+    // subset_ok — sampled ids ⊆ corpus, caps never exceeded;
+    // deterministic — two runs emit the identical set (salted-md5
+    // priority, never an RNG). Constant row → constant oracle.
+    "diversity_sample" -> ((s, dir) => {
+      val (model, idx) = ivfIndex(s, dir)
+      val cap = 20
+      val e = embs(s, dir)
+      def run(): Set[(Int, Long)] =
+        Splits.diversitySample(e, "vec_id", "embedding", model, cap)
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val sample = run()
+      val byCluster = sample.groupBy(_._1).view.mapValues(_.size).toMap
+      val clusterSizes = idx.groupBy("cluster").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val exactCounts = clusterSizes.forall { case (c, n) =>
+        byCluster.getOrElse(c, 0) == math.min(n, cap.toLong) } &&
+        byCluster.keySet.subsetOf(clusterSizes.keySet)
+      val corpusIds = e.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val subsetOk = byCluster.values.forall(_ <= cap) &&
+        sample.forall { case (_, id) => corpusIds(id) }
+      val deterministic = sample == run()
+      import s.implicits._
+      Seq((cap.toLong, if (exactCounts) 1L else 0L,
+        if (subsetOk) 1L else 0L, if (deterministic) 1L else 0L))
+        .toDF("cap", "exact_counts", "subset_ok", "deterministic")
+    }),
+
     // E4/E7: incremental ingest dedup — the daily-batch shape. The
     // "historical corpus" is docs<300 represented ONLY by its content-hash
     // index; the incoming batch (docs>=250) first dedups within itself
@@ -4531,6 +4565,14 @@ object SparkEntry {
         |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // Diversity-capped sample: the four designed invariants are the only
+    // acceptable outcome (membership is seeded-k-means territory and
+    // stays spec-pinned).
+    "diversity_sample" ->
+      """SELECT CAST(20 AS BIGINT) AS cap, CAST(1 AS BIGINT) AS exact_counts,
+        |  CAST(1 AS BIGINT) AS subset_ok,
+        |  CAST(1 AS BIGINT) AS deterministic""".stripMargin,
 
     // Incremental dedup: within-batch min-id survivor (row_number over
     // text) then NOT IN the corpus text set — sha equality ≡ text

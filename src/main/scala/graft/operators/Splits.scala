@@ -234,4 +234,44 @@ object Splits {
     df.filter(hashBucket(col(idCol), buckets, salt) <
       floor(rate * buckets).cast("long"))
   }
+
+  /** DIVERSITY-capped sampling (round-17): at most `perClusterCap` docs
+    * from each SEMANTIC cluster of the embedding space — the curation
+    * pass that stops a training mix from being dominated by its densest
+    * regions (boilerplate families, template clones, over-crawled
+    * topics) while never starving sparse ones: a cluster smaller than
+    * the cap keeps EVERYTHING, a bigger one keeps a deterministic
+    * pseudo-random `perClusterCap`-subset. The per-cluster keep-decision
+    * is the same salted-md5 id hash as every sampler here (stable under
+    * corpus growth ONLY within an unchanged cluster assignment — the
+    * centroid model is a parameter, frozen by the caller, so the sample
+    * is reproducible for a given (model, seed)).
+    *
+    * Scale contract: assignment is the broadcast-model projection
+    * ([[IvfIndex.buildIndex]] — one pass, no shuffle), and the
+    * per-cluster cut rides [[SimJoin.rankTopK]]'s k-bounded two-level
+    * reduction: each task forwards at most `perClusterCap` rows per
+    * cluster, so the one exchange carries ≤ tasks·clusters·cap rows —
+    * NEVER a per-cluster sort/window over the corpus, and never the
+    * corpus itself. Output: `(cluster, id, rank)` — join back on id for
+    * the sampled rows.
+    */
+  def diversitySample(emb: DataFrame, idCol: String, embCol: String,
+                      model: IvfIndex.Model, perClusterCap: Int,
+                      seed: String = "diversity"): DataFrame = {
+    require(perClusterCap > 0, s"perClusterCap must be positive, got $perClusterCap")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scored = IvfIndex.buildIndex(emb, idCol, embCol, model)
+      .select(col("cluster").cast("long").as("q_id"), col("id").as("c_id"),
+        // deterministic per-id priority (higher hash wins; ties by id via
+        // the shared total order) — a pure function of (seed, id), so the
+        // kept subset is reproducible across runs, engines, partitionings
+        hashBucket(col("id"), buckets = 1 << 30, salt = seed)
+          .cast("double").as("score"))
+      .as[SimJoin.Scored]
+    SimJoin.rankTopK(scored, perClusterCap)
+      .select(col("q_id").cast("int").as("cluster"), col("c_id").as("id"),
+        col("rank"))
+  }
 }

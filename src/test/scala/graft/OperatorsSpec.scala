@@ -792,6 +792,32 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("out of [0,1]"))
   }
 
+  test("diversitySample: min(size, cap) per semantic cluster, deterministic, partitioning-stable (r17)") {
+    import graft.operators.IvfIndex
+    // two well-separated directions: ids 0-5 point along e0 (6 docs),
+    // ids 10-11 along e1 (2 docs) — k=2 k-means must split them
+    val emb = (
+      (0 to 5).map(i => (i.toLong, Seq(1f, 0.01f * i, 0f, 0f))) ++
+      (10 to 11).map(i => (i.toLong, Seq(0.01f * (i - 10), 1f, 0f, 0f)))
+    ).toDF("vec_id", "embedding")
+    val model = IvfIndex.fit(emb, "embedding", k = 2)
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      Splits.diversitySample(df, "vec_id", "embedding", model, perClusterCap = 3)
+        .select(col("cluster"), col("id"))
+        .as[(Int, Long)].collect().toSet
+    val sample = run(emb)
+    val byCluster = sample.groupBy(_._1).view.mapValues(_.size).toMap
+    // the big cluster is capped at 3, the small one keeps BOTH members
+    assert(byCluster.values.toSeq.sorted == Seq(2, 3), s"per-cluster counts: $byCluster")
+    val smallClusterIds = sample.groupBy(_._1).values.find(_.size == 2).get.map(_._2)
+    assert(smallClusterIds == Set(10L, 11L), s"sparse cluster not fully kept: $smallClusterIds")
+    // deterministic and invariant under physical partitioning
+    assert(run(emb) == sample)
+    assert(run(emb.repartition(7)) == sample, "sample changed under repartition")
+    intercept[IllegalArgumentException](
+      Splits.diversitySample(emb, "vec_id", "embedding", model, 0))
+  }
+
   test("ngramCounts: counts, prune, and tie-break match brute force") {
     val got = TextAnalysis.ngramCounts(docs, "text", n = 2, minCount = 2L, topN = 10)
       .as[(String, Long)].collect().toSeq
