@@ -243,13 +243,17 @@ object Dedup {
     */
   private[graft] def stagePostingsBatch(batch: DataFrame, idCol: String,
                                         textCol: String, n: Int, path: String,
-                                        maxDocFreq: Long): String = {
-    val e = graft.store.EpochCommit.newEpochId()
+                                        maxDocFreq: Long,
+                                        epoch: Option[String] = None): String = {
+    val e = epoch.getOrElse(graft.store.EpochCommit.newEpochId())
+    // deterministic (replayed) epochs stage in OVERWRITE mode: a retry
+    // must replace a crashed attempt's partial files, never error on them
+    val mode = if (epoch.isDefined) "overwrite" else "errorifexists"
     shinglePostings(batch, idCol, textCol, n, maxDocFreq)
       .repartition(col("shingle"))
-      .write.parquet(graft.store.EpochCommit.stagePath(postingsDir(path), e))
+      .write.mode(mode).parquet(graft.store.EpochCommit.stagePath(postingsDir(path), e))
     shingleFreqs(batch, idCol, textCol, n)
-      .write.parquet(graft.store.EpochCommit.stagePath(freqsDir(path), e))
+      .write.mode(mode).parquet(graft.store.EpochCommit.stagePath(freqsDir(path), e))
     e
   }
 
@@ -265,14 +269,33 @@ object Dedup {
     * with [[AnnIndex.appendToIndex]].
     */
   def appendPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
-                          n: Int, path: String, maxDocFreq: Long = 1000L): Unit = {
+                          n: Int, path: String, maxDocFreq: Long = 1000L,
+                          idempotencyTag: Option[String] = None): Unit = {
     // SINGLE-COMMIT (round-15; VERDICT r14 "wrong" #1): postings and the
     // freqs sidecar stage under one uncommitted epoch and become visible
     // in ONE atomic marker create — a crash between the two data writes
     // can no longer leave postings visible without the frequencies that
     // compactPostingsIndex's global re-cap needs.
-    val e = stagePostingsBatch(batch, idCol, textCol, n, path, maxDocFreq)
-    graft.store.EpochCommit.commit(batch.sparkSession, path, e)
+    //
+    // `idempotencyTag` (round-17): an at-least-once caller (foreachBatch
+    // maintenance) passes a (run, batchId)-scoped tag; the epoch id is
+    // then DETERMINISTIC, a replayed batch whose marker already exists
+    // is a no-op, and a replay of a crashed attempt overwrites its
+    // partial stage — the append becomes exactly-once (see
+    // [[graft.store.EpochCommit.deterministicEpochId]] for the one
+    // compact-window caveat).
+    val s = batch.sparkSession
+    idempotencyTag match {
+      case Some(tag) =>
+        val e = graft.store.EpochCommit.deterministicEpochId(tag)
+        if (!graft.store.EpochCommit.committed(s, path).contains(e)) {
+          stagePostingsBatch(batch, idCol, textCol, n, path, maxDocFreq, Some(e))
+          graft.store.EpochCommit.commit(s, path, e)
+        }
+      case None =>
+        val e = stagePostingsBatch(batch, idCol, textCol, n, path, maxDocFreq)
+        graft.store.EpochCommit.commit(s, path, e)
+    }
   }
 
   /** The postings frame of a persisted index — feed directly to

@@ -43,14 +43,41 @@ object HotLinesIndex {
       .groupBy("line").agg(count(lit(1)).as("n_docs"))
 
   /** Stage one batch's delta under an uncommitted epoch (crash-injection
-    * seam — `private[graft]` like the other staged lifecycles).
+    * seam — `private[graft]` like the other staged lifecycles). A
+    * deterministic (replay) epoch stages in overwrite mode so a retry
+    * replaces a crashed attempt's partial files.
     */
   private[graft] def stageBatch(batch: DataFrame, textCol: String,
-                                path: String): String = {
-    val e = graft.store.EpochCommit.newEpochId()
-    lineFreqs(batch, textCol)
-      .write.parquet(graft.store.EpochCommit.stagePath(freqsDir(path), e))
+                                path: String,
+                                epoch: Option[String] = None,
+                                negated: Boolean = false): String = {
+    val e = epoch.getOrElse(graft.store.EpochCommit.newEpochId())
+    val delta = lineFreqs(batch, textCol)
+    (if (negated) delta.select(col("line"), negate(col("n_docs")).as("n_docs"))
+     else delta)
+      .write.mode(if (epoch.isDefined) "overwrite" else "errorifexists")
+      .parquet(graft.store.EpochCommit.stagePath(freqsDir(path), e))
     e
+  }
+
+  /** Idempotent single-commit append/delete core shared by [[append]]
+    * and [[delete]] — see
+    * [[graft.operators.Dedup.appendPostingsIndex]]'s tag contract.
+    */
+  private def commitDelta(batch: DataFrame, textCol: String, path: String,
+                          negated: Boolean, tag: Option[String]): Unit = {
+    val s = batch.sparkSession
+    tag match {
+      case Some(t) =>
+        val e = graft.store.EpochCommit.deterministicEpochId(t)
+        if (!graft.store.EpochCommit.committed(s, path).contains(e)) {
+          stageBatch(batch, textCol, path, Some(e), negated)
+          graft.store.EpochCommit.commit(s, path, e)
+        }
+      case None =>
+        val e = stageBatch(batch, textCol, path, negated = negated)
+        graft.store.EpochCommit.commit(s, path, e)
+    }
   }
 
   def build(corpus: DataFrame, textCol: String, path: String): Unit = {
@@ -69,12 +96,16 @@ object HotLinesIndex {
     * despite the committed check passing (streaming maintenance can
     * legitimately deliver empty micro-batches). The emptiness probe is
     * one limit-1 job over the batch — trivial next to the aggregation.
+    *
+    * `idempotencyTag` (round-17): at-least-once callers (foreachBatch
+    * maintenance) pass a (run, batchId)-scoped tag and the append
+    * becomes exactly-once under micro-batch replay — the
+    * [[graft.operators.Dedup.appendPostingsIndex]] contract.
     */
-  def append(batch: DataFrame, textCol: String, path: String): Unit =
-    if (!batch.isEmpty) {
-      val e = stageBatch(batch, textCol, path)
-      graft.store.EpochCommit.commit(batch.sparkSession, path, e)
-    }
+  def append(batch: DataFrame, textCol: String, path: String,
+             idempotencyTag: Option[String] = None): Unit =
+    if (!batch.isEmpty)
+      commitDelta(batch, textCol, path, negated = false, idempotencyTag)
 
   /** DELETE a batch's contribution (retention/takedown): append the
     * NEGATED line-frequency delta — the count-table discipline (integer
@@ -86,14 +117,10 @@ object HotLinesIndex {
     * positive cap). Deleting a batch that was never ingested corrupts
     * the table — the same caller contract as double-append.
     */
-  def delete(batch: DataFrame, textCol: String, path: String): Unit =
-    if (!batch.isEmpty) { // empty-batch no-op — same rationale as append
-      val e = graft.store.EpochCommit.newEpochId()
-      lineFreqs(batch, textCol)
-        .select(col("line"), negate(col("n_docs")).as("n_docs"))
-        .write.parquet(graft.store.EpochCommit.stagePath(freqsDir(path), e))
-      graft.store.EpochCommit.commit(batch.sparkSession, path, e)
-    }
+  def delete(batch: DataFrame, textCol: String, path: String,
+             idempotencyTag: Option[String] = None): Unit =
+    if (!batch.isEmpty) // empty-batch no-op — same rationale as append
+      commitDelta(batch, textCol, path, negated = true, idempotencyTag)
 
   /** The served hot-line table `(line, n_docs)`: lines whose summed
     * document frequency exceeds `maxDocFreq`. Drop-in for

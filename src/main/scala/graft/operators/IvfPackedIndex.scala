@@ -66,8 +66,11 @@ object IvfPackedIndex {
     * write materializes it).
     */
   private[graft] def stageBatch(newRows: DataFrame, idCol: String, embCol: String,
-                                model: IvfIndex.Model, root: String): String = {
-    val e = EpochCommit.newEpochId()
+                                model: IvfIndex.Model, root: String,
+                                epoch: Option[String] = None): String = {
+    val e = epoch.getOrElse(EpochCommit.newEpochId())
+    // a deterministic (replay) epoch overwrites its crashed attempt
+    val mode = if (epoch.isDefined) "overwrite" else "errorifexists"
     val assigned = IvfIndex.buildIndex(newRows, idCol, embCol, model)
       .localCheckpoint(eager = false)
     // sortWithinPartitions(cluster, id): each output file carries tight
@@ -76,12 +79,12 @@ object IvfPackedIndex {
     // the in-task sort is the whole cost, paid once at build/append
     assigned.repartition(col("cluster"))
       .sortWithinPartitions(col("cluster"), col("id"))
-      .write.partitionBy("cluster")
+      .write.mode(mode).partitionBy("cluster")
       .parquet(EpochCommit.stagePath(floatDir(root), e))
     IvfIndex.quantizeIndexPacked(assigned)
       .repartition(col("cluster"))
       .sortWithinPartitions(col("cluster"), col("id"))
-      .write.partitionBy("cluster")
+      .write.mode(mode).partitionBy("cluster")
       .parquet(EpochCommit.stagePath(packedDir(root), e))
     e
   }
@@ -109,12 +112,28 @@ object IvfPackedIndex {
     * discipline): a first empty streaming micro-batch must neither
     * commit a footer-less epoch nor inflate `committedCount` with no-op
     * epochs.
+    *
+    * `idempotencyTag` (round-17): at-least-once callers (foreachBatch
+    * maintenance) pass a (run, batchId)-scoped tag and the append
+    * becomes exactly-once under micro-batch replay — the
+    * [[Dedup.appendPostingsIndex]] contract.
     */
   def append(newRows: DataFrame, idCol: String, embCol: String,
-             model: IvfIndex.Model, root: String): Unit =
+             model: IvfIndex.Model, root: String,
+             idempotencyTag: Option[String] = None): Unit =
     if (!newRows.isEmpty) {
-      val e = stageBatch(newRows, idCol, embCol, model, root)
-      EpochCommit.commit(newRows.sparkSession, root, e)
+      val s = newRows.sparkSession
+      idempotencyTag match {
+        case Some(tag) =>
+          val e = EpochCommit.deterministicEpochId(tag)
+          if (!EpochCommit.committed(s, root).contains(e)) {
+            stageBatch(newRows, idCol, embCol, model, root, Some(e))
+            EpochCommit.commit(s, root, e)
+          }
+        case None =>
+          val e = stageBatch(newRows, idCol, embCol, model, root)
+          EpochCommit.commit(s, root, e)
+      }
     }
 
   /** DELETE ids — one tombstone write hides them from BOTH precision

@@ -88,6 +88,29 @@ object EpochCommit {
   def newEpochId(): String =
     "e" + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** DETERMINISTIC epoch id for IDEMPOTENT appends (round-17): 'e' +
+    * md5(tag) — the [[newEpochId]] shape as a pure function of the
+    * caller's tag. foreachBatch maintenance is AT-LEAST-ONCE (a crashed
+    * micro-batch replays with the SAME batchId), so a maintainer that
+    * minted a random epoch per attempt would duplicate the batch's
+    * postings/deltas/codes on replay — corrupting summed frequencies and
+    * jaccard overlap counts, not just wasting space. With the epoch
+    * derived from (stream run, batchId): a replay stages the SAME epoch
+    * (staging overwrites the crashed attempt's partial files) and a
+    * batch whose marker already exists is skipped outright — the append
+    * is exactly-once. CAVEAT: a compact FOLDS committed epochs into a
+    * fresh random one, erasing the markers a replay would check — so a
+    * crash in the narrow window after a governor compact but before the
+    * stream commits that batch's offsets degrades that one batch to
+    * at-least-once. Pipelines needing strict exactly-once run the
+    * governor out-of-band instead of inside the maintainer (the
+    * maintainers' scaladoc says the same).
+    */
+  def deterministicEpochId(tag: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "e" + md.digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Staging path for one data dir of one epoch. */
   def stagePath(dataDir: String, epoch: String): String =
     s"$dataDir/$Col=$epoch"

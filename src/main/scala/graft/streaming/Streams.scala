@@ -404,11 +404,22 @@ object Streams {
     *
     * `checkpoint` makes the drain RESUMABLE (a second AvailableNow run
     * over the same source processes only new files — the daily-drop
-    * deployment shape). `compactEvery` (opt-in, >= 2) folds the epoch
-    * fan-in back via [[graft.operators.Dedup.compactPostingsIndex]]
-    * whenever the committed count reaches it — the
+    * deployment shape) and scopes the EXACTLY-ONCE machinery (round-17):
+    * foreachBatch is at-least-once, so each batch's survivors land in
+    * an overwritten `outDir/batch=<run>-<batchId>` partition and the
+    * postings append under a deterministic per-batch epoch
+    * ([[graft.operators.Dedup.appendPostingsIndex]]'s `idempotencyTag`)
+    * — a replayed micro-batch replaces itself instead of duplicating
+    * survivors and overlap counts. `compactEvery` (opt-in, >= 2) folds
+    * the epoch fan-in back via
+    * [[graft.operators.Dedup.compactPostingsIndex]] whenever the
+    * committed count reaches it — the
     * [[graft.store.EpochCommit.compactIfNeeded]] governor, safe here
-    * because foreachBatch serializes the appender and the compactor.
+    * because foreachBatch serializes the appender and the compactor
+    * (note the one replay caveat in
+    * [[graft.store.EpochCommit.deterministicEpochId]]: a crash between
+    * a governor compact and that batch's offset commit degrades THAT
+    * batch to at-least-once — strict pipelines compact out-of-band).
     * Empty batches and all-dropped batches touch neither the sink nor
     * the index (no no-op epochs, no footer-less delta dirs).
     *
@@ -429,8 +440,9 @@ object Streams {
                                       checkpoint: Option[String] = None,
                                       compactEvery: Int = 0,
                                       timeoutMs: Long = 300000): Unit = {
+    val runTag = maintainerRunTag(checkpoint)
     val w0 = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // committed-only read INSIDE the batch closure: each micro-batch
         // sees every earlier batch's append — the whole point of the loop
@@ -439,9 +451,17 @@ object Streams {
             graft.operators.Dedup.readPostingsIndex(s, indexPath), maxDocFreq)
           .localCheckpoint() // eager: ONE evaluation feeds emptiness check, sink, and append
         if (!survivors.isEmpty) {
-          survivors.write.mode("append").parquet(outDir)
+          // IDEMPOTENT under micro-batch replay (round-17): the sink
+          // lands each batch in its own overwritten partition dir and
+          // the index append uses a deterministic per-batch epoch — a
+          // replayed batch replaces itself on both sides instead of
+          // duplicating survivors/postings (foreachBatch is
+          // at-least-once by contract).
+          survivors.write.mode("overwrite")
+            .parquet(s"$outDir/batch=$runTag-$batchId")
           graft.operators.Dedup.appendPostingsIndex(
-            survivors, idCol, textCol, n, indexPath, maxDocFreq)
+            survivors, idCol, textCol, n, indexPath, maxDocFreq,
+            idempotencyTag = Some(s"jgate:$runTag:$batchId"))
           if (compactEvery > 0)
             graft.store.EpochCommit.compactIfNeeded(s, indexPath, compactEvery)(
               graft.operators.Dedup.compactPostingsIndex(s, indexPath, maxDocFreq))
@@ -452,6 +472,18 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     awaitOrAbort(sq, "jaccardGateMaintainAvailableNow", timeoutMs)
   }
+
+  /** Per-stream-run scope for idempotency tags and sink partitions: with
+    * a checkpoint, a STABLE function of it (a restart resumes the same
+    * run, so a replayed batchId maps to the same tag — the whole point);
+    * without one the query can never replay, so a fresh random scope
+    * keeps two unrelated runs over one index/sink from colliding on
+    * batch ids.
+    */
+  private def maintainerRunTag(checkpoint: Option[String]): String =
+    checkpoint
+      .map(c => graft.store.EpochCommit.deterministicEpochId("run:" + c).substring(1, 9))
+      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
 
   /** STREAMING maintenance of the persisted HOT-LINES table (round-15):
     * each arriving micro-batch appends its line-frequency delta via the
@@ -466,10 +498,16 @@ object Streams {
   def hotLinesMaintainAvailableNow(stream: DataFrame, textCol: String,
                                    path: String,
                                    compactEvery: Int = 0,
+                                   checkpoint: Option[String] = None,
                                    timeoutMs: Long = 300000): Unit = {
-    val sq = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.HotLinesIndex.append(batch, textCol, path)
+    val runTag = maintainerRunTag(checkpoint)
+    val w0 = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // deterministic per-batch epoch: a replayed micro-batch lands its
+        // delta ONCE (round-17 — summed document frequencies would double
+        // under at-least-once replay otherwise)
+        graft.operators.HotLinesIndex.append(batch, textCol, path,
+          idempotencyTag = Some(s"hotlines:$runTag:$batchId"))
         // opt-in epoch governor (round-17; VERDICT r16 next #8): a
         // forever-appending maintainer must not grow the listing
         // unboundedly — foreachBatch serializes appends and the compact
@@ -478,6 +516,7 @@ object Streams {
             graft.operators.HotLinesIndex.compact(batch.sparkSession, path))
         ()
       }
+    val sq = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     awaitOrAbort(sq, "hotLinesMaintainAvailableNow", timeoutMs)
   }
@@ -506,9 +545,12 @@ object Streams {
                                     compactEvery: Int = 0,
                                     checkpoint: Option[String] = None,
                                     timeoutMs: Long = 300000): Unit = {
+    val runTag = maintainerRunTag(checkpoint)
     val w0 = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.IvfPackedIndex.append(batch, idCol, embCol, model, root)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // deterministic per-batch epoch → exactly-once under replay
+        graft.operators.IvfPackedIndex.append(batch, idCol, embCol, model, root,
+          idempotencyTag = Some(s"ivfpacked:$runTag:$batchId"))
         if (compactEvery > 0)
           graft.store.EpochCommit.compactIfNeeded(batch.sparkSession, root, compactEvery)(
             graft.operators.IvfPackedIndex.compact(batch.sparkSession, root))

@@ -238,6 +238,48 @@ class EpochCommitSpec extends SparkSpec {
     assert(hot == Set(("shared", 2L)))
   }
 
+  test("idempotent appends: a replayed micro-batch lands its delta exactly once (r17)") {
+    import spark.implicits._
+    val path = tmp("graft-epoch-idem")
+    val d = Seq((1L, "shared line\nalpha"), (2L, "shared line\nbeta")).toDF("doc_id", "text")
+    HotLinesIndex.build(d, "text", path)
+    val batch = Seq((3L, "shared line\ngamma")).toDF("doc_id", "text")
+    def served: Set[(String, Long)] =
+      HotLinesIndex.hotLines(spark, path, maxDocFreq = 1L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // same tag twice == once: the deterministic epoch's marker dedups
+    HotLinesIndex.append(batch, "text", path, idempotencyTag = Some("run:b1"))
+    val after = served
+    assert(after == Set(("shared line", 3L)), s"first append wrong: $after")
+    HotLinesIndex.append(batch, "text", path, idempotencyTag = Some("run:b1"))
+    assert(served == after, "replayed append doubled the delta")
+    assert(graft.store.EpochCommit.committedCount(spark, path) == 2)
+
+    // crashed-attempt replay: a PARTIAL stage under the deterministic
+    // epoch (no marker) is overwritten by the retry, never duplicated
+    // and never error-on-exists
+    val e = graft.store.EpochCommit.deterministicEpochId("run:b2")
+    HotLinesIndex.stageBatch(batch, "text", path, Some(e)) // crash before commit
+    assert(served == after, "uncommitted stage leaked")
+    HotLinesIndex.append(batch, "text", path, idempotencyTag = Some("run:b2"))
+    // b2 re-ingests the same doc (caller-contract violation, deliberate):
+    // the point is the delta lands ONCE — shared 3+1, gamma 1+1, exactly
+    assert(served == Set(("shared line", 4L), ("gamma", 2L)),
+      s"retry after crash wrong: $served")
+
+    // deterministic ids have the canonical shape and are stable
+    assert(e.matches("^e[0-9a-f]{32}$") &&
+      e == graft.store.EpochCommit.deterministicEpochId("run:b2") &&
+      e != graft.store.EpochCommit.deterministicEpochId("run:b3"))
+
+    // the delete face shares the contract: one batch retired once
+    // (shared 4-1, gamma 2-1 → at or under the cap → out of the hot set)
+    HotLinesIndex.delete(batch, "text", path, idempotencyTag = Some("run:del1"))
+    HotLinesIndex.delete(batch, "text", path, idempotencyTag = Some("run:del1"))
+    assert(served == Set(("shared line", 3L)), s"replayed delete double-subtracted: $served")
+  }
+
   test("compactIfNeeded: fires at the threshold, not below; rejects a degenerate threshold (r17)") {
     val path = tmp("graft-epoch-governor")
     var fired = 0

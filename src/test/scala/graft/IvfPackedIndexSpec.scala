@@ -107,6 +107,35 @@ class IvfPackedIndexSpec extends SparkSpec {
     assert(IvfPackedIndex.readFloat(spark, root).count() == 30)
   }
 
+  test("idempotent append: a replayed batch lands once in BOTH precision forms (r17)") {
+    val root = tmp("graft-ivfp-idem")
+    IvfPackedIndex.build(embAll.filter(col("vec_id") < 30), "vec_id", "embedding", model, root)
+    val batch = embAll.filter(col("vec_id") >= 30)
+    IvfPackedIndex.append(batch, "vec_id", "embedding", model, root,
+      idempotencyTag = Some("run:b1"))
+    val after = served(root)
+    assert(after == fresh(embAll))
+    // replay: same tag → no-op (both forms unchanged, no extra epoch)
+    IvfPackedIndex.append(batch, "vec_id", "embedding", model, root,
+      idempotencyTag = Some("run:b1"))
+    assert(served(root) == after, "replayed append changed the served ranking")
+    assert(IvfPackedIndex.readFloat(spark, root).count() == 40)
+    assert(IvfPackedIndex.readPacked(spark, root).count() == 40)
+    assert(graft.store.EpochCommit.committedCount(spark, root) == 2)
+    // crashed-attempt replay: partial deterministic stage, then retry
+    val e = graft.store.EpochCommit.deterministicEpochId("run:b2")
+    IvfPackedIndex.stageBatch(
+      embAll.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", model, root, Some(e)) // crash before commit
+    IvfPackedIndex.append(
+      embAll.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", model, root, idempotencyTag = Some("run:b2"))
+    assert(IvfPackedIndex.readFloat(spark, root).count() == 45,
+      "crashed-stage retry duplicated or lost rows")
+  }
+
   test("served scores are EXACT float cosines of the served ids") {
     val root = tmp("graft-ivfp-exact")
     IvfPackedIndex.build(embAll, "vec_id", "embedding", model, root)
