@@ -370,12 +370,17 @@ object Streams {
                               corpusPostings: DataFrame, outDir: String,
                               maxDocFreq: Long = 1000L,
                               timeoutMs: Long = 300000): Unit = {
+    // per-batch overwritten partitions, not mode("append") (round-17):
+    // the foreachBatch at-least-once contract means a replayed batch
+    // must REPLACE its own output, never re-append it — the same sink
+    // discipline as the gate-then-append maintainer
+    val runTag = maintainerRunTag(None)
     val sq = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup
           .jaccardGate(batch, idCol, textCol, n, threshold,
             corpusPostings, maxDocFreq)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$runTag-$batchId")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     awaitOrAbort(sq, "jaccardGateAvailableNow", timeoutMs)
