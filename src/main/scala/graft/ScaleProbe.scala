@@ -90,9 +90,12 @@ object ScaleProbe {
     // phrase/proximity probe vs N single probes, persisted hot-lines
     // serving vs recompute, quantized IVF probe + float re-rank, and the
     // committed-epoch read overhead across many appends + compact).
-    // SPARK_GRAFT_ONLY_R17=1 probes only the round-17 addition (the
-    // PERSISTED packed-IVF lifecycle + probe at index scale).
-    val onlyR17 = sys.env.contains("SPARK_GRAFT_ONLY_R17")
+    // SPARK_GRAFT_ONLY_R17=1 probes only the round-17 additions (the
+    // PERSISTED packed-IVF lifecycle + probe at index scale, plus the
+    // gate-then-append maintainer); SPARK_GRAFT_ONLY_R17B=1 probes only
+    // the gate-then-append part.
+    val onlyR17b = sys.env.contains("SPARK_GRAFT_ONLY_R17B")
+    val onlyR17 = onlyR17b || sys.env.contains("SPARK_GRAFT_ONLY_R17")
     val onlyR15 = onlyR17 || sys.env.contains("SPARK_GRAFT_ONLY_R15")
     val onlyR14c = onlyR15 || sys.env.contains("SPARK_GRAFT_ONLY_R14C")
     val onlyR14b = onlyR14c || sys.env.contains("SPARK_GRAFT_ONLY_R14B")
@@ -869,7 +872,7 @@ object ScaleProbe {
     // the engine now maintains — build, probe time AND actual bytes read
     // (the 4× candidate-IO claim, on disk), single-commit append,
     // tombstone fold, governor compact.
-    locally {
+    if (!onlyR17b) locally {
       /** Wall-clock + total task input bytes for one action (listener
         * events drain async — the bounded sleep is generous for a probe).
         */
@@ -948,6 +951,44 @@ object ScaleProbe {
         qVecs.foreach(v =>
           IvfPackedIndex.queryTopK(spark, root, model, v, 10, nProbe).count())
       }
+    }
+
+    // ---- Round-17b: the CLOSED ingest loop at corpus scale ------------
+    // The gate-then-append maintainer over the amplified documents:
+    // postings index over 99%, then the 1% daily drop arrives as TWO
+    // waves through jaccardGateMaintainAvailableNow — each wave gates
+    // against the index SO FAR (wave 2 sees wave 1's survivors) and
+    // appends its survivors' postings single-commit. NOTE on the
+    // amplified corpus the hot-shingle cap BINDS hard (500 near-copies
+    // share every shingle), which is exactly the designed behavior at
+    // this corpus shape — the numbers measure the pipeline's fixed
+    // machinery (explode, cap, postings join, append, epoch commit), a
+    // floor for the real-corpus cost where the cap is mostly idle.
+    locally {
+      val cut = nDocs * 99L / 100L
+      val idxPath = graft.core.SessionCache.newTempDir("graft-scale-jgatem") + "/idx"
+      timed(s"shingle postings BUILD ($cut docs)") {
+        Dedup.buildPostingsIndex(docs.filter(col("doc_id") < cut),
+          "doc_id", "text", n = 2, idxPath)
+      }
+      val arrival = graft.core.SessionCache.newTempDir("graft-scale-jgatem-src")
+      val ckpt = graft.core.SessionCache.newTempDir("graft-scale-jgatem-ckpt")
+      val out = graft.core.SessionCache.newTempDir("graft-scale-jgatem-out") + "/surv"
+      val half = cut + (nDocs - cut) / 2
+      def wave(name: String, lo: Long, hi: Long): Unit = {
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .write.mode("append").parquet(arrival)
+        timed(name) {
+          graft.streaming.Streams.jaccardGateMaintainAvailableNow(
+            spark.readStream.schema(docs.schema).parquet(arrival),
+            "doc_id", "text", n = 2, threshold = 0.2, idxPath, out,
+            checkpoint = Some(ckpt), timeoutMs = 1800000)
+        }
+      }
+      wave(s"gate+append wave 1 (${half - cut} docs vs $cut-doc index)", cut, half)
+      wave(s"gate+append wave 2 (${nDocs - half} docs, incl. wave-1 survivors)", half, nDocs)
+      println(s"[scale] gate-append survivors: ${spark.read.parquet(out).count()}; " +
+        s"committed epochs: ${graft.store.EpochCommit.committedCount(spark, idxPath)}")
     }
     spark.stop()
   }
