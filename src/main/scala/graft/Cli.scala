@@ -40,6 +40,8 @@ object Cli {
       .appName("graft-cli")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // exact id-set parquet pushdown for the rerank pools (IvfIndex.MaxInPushdownIds)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

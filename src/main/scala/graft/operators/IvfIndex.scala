@@ -288,14 +288,35 @@ object IvfIndex {
     * O(probed clusters). Job count is unchanged (the pool cut was
     * always its own job; it now ends in the collect).
     */
+  /** Largest pool pushed as a literal `id IN (…)`; bigger pools re-rank
+    * via a broadcast semi-join instead (one In node is cheap — Catalyst
+    * folds it to an InSet — but a multi-thousand-literal task closure
+    * and parquet or-chain stop paying for themselves around here).
+    * NOTE the engine's session builders raise
+    * `spark.sql.parquet.pushdown.inFilterThreshold` to this value: at
+    * Spark's default (10) an In above the threshold reaches parquet as
+    * a [min, max] RANGE, and a pseudo-random pool's range spans the
+    * whole corpus — no row-group pruning at all. With the threshold
+    * covering the pool, parquet evaluates the exact id set against
+    * row-group/page statistics, which the sorted-(cluster, id) layout
+    * makes tight. Library users embedding these operators should set
+    * the same conf.
+    */
+  val MaxInPushdownIds = 1024
+
   private def rerankPool(floatIndex: DataFrame, probes: Seq[Int],
                          poolIds: Array[Long], queryVec: Array[Float],
                          k: Int): DataFrame = {
-    val rerank = floatIndex
-      .filter(
-        if (poolIds.isEmpty) lit(false) // empty probed clusters → empty top-k
-        else col("cluster").isin(probes: _*) &&
-          col("id").isin(poolIds.map(Long.box).toSeq: _*))
+    val pruned = floatIndex.filter(col("cluster").isin(probes: _*))
+    val rerank =
+      (if (poolIds.isEmpty) pruned.filter(lit(false)) // empty probed clusters
+       else if (poolIds.length <= MaxInPushdownIds)
+         pruned.filter(col("id").isin(poolIds.map(Long.box).toSeq: _*))
+       else {
+         val spark = floatIndex.sparkSession
+         import spark.implicits._
+         pruned.join(broadcast(poolIds.toSeq.toDF("id")), Seq("id"), "left_semi")
+       })
       .select(col("id"), col("embedding"))
     Similarity.topK(rerank, "embedding", "id", queryVec, k)
   }
@@ -445,9 +466,14 @@ object IvfIndex {
     val floats =
       if (poolIds.isEmpty) return pool.select(col("q_id"), col("c_id"),
         lit(0d).as("score"), lit(1L).as("rank")).limit(0)
-      else pruneClusters(floatIndex)
-        .filter(col("id").isin(poolIds.map(Long.box).toSeq: _*))
-        .select(col("id").as("c_id"), col("embedding"))
+      else if (poolIds.length <= MaxInPushdownIds)
+        pruneClusters(floatIndex)
+          .filter(col("id").isin(poolIds.map(Long.box).toSeq: _*))
+          .select(col("id").as("c_id"), col("embedding"))
+      else // huge standing workloads: broadcast semi-join, no literal list
+        pruneClusters(floatIndex)
+          .join(broadcast(poolIds.toSeq.toDF("id")), Seq("id"), "left_semi")
+          .select(col("id").as("c_id"), col("embedding"))
     val rescored = pool.join(floats, Seq("c_id"))
       .join(broadcast(q0), Seq("q_id"))
       .select(col("q_id"), col("c_id"),
