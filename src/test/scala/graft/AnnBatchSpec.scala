@@ -167,4 +167,36 @@ class AnnBatchSpec extends SparkSpec {
     assert(IvfIndex.queryTopKBatchPackedRerank(packed, index, model,
       queries.filter(col("vec_id") < 0), "vec_id", "embedding", 5, nProbe).count() == 0L)
   }
+
+  test("batch quantized probe: the huge-pool broadcast fallback ranks like the In path (r17)") {
+    import graft.operators.IvfIndex
+    // 1500 corpus vectors, ALL of them standing queries: each query's own
+    // id tops its pool (self-cosine 1), so the union pool holds >= 1500
+    // distinct ids — past MaxInPushdownIds (1024), forcing the broadcast
+    // left-semi re-rank branch a literal In list would bloat the plan for
+    assert(IvfIndex.MaxInPushdownIds < 1500)
+    val emb2 = Seq.tabulate(1500) { i =>
+      (i.toLong, (0 until 8).map(j => math.sin(i * 0.37 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = IvfIndex.fit(emb2, "embedding", k = 8)
+    val index = IvfIndex.buildIndex(emb2, "vec_id", "embedding", model)
+    val packed = IvfIndex.quantizeIndexPacked(index)
+    val batch = IvfIndex.queryTopKBatchPackedRerank(
+        packed, index, model, emb2, "vec_id", "embedding", 5, 2)
+      .select(col("q_id"), col("c_id"), round(col("score"), 9).as("score"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(batch.size == 1500, s"queries served: ${batch.size}")
+    // every query finds itself at rank 1 with exact float score 1.0
+    assert(batch.forall { case (q, hits) => hits.head == (q, 1.0) },
+      "a query lost its own vector through the fallback re-rank")
+    // spot-parity vs the small-pool single probes (which take the In path)
+    emb2.filter(col("vec_id") % 250 === 0).collect().foreach { r =>
+      val (qid, v) = (r.getLong(0), r.getSeq[Float](1).toArray)
+      val single = IvfIndex.queryTopKPackedRerank(packed, index, model, v, 5, 2)
+        .select(col("id").cast("long"), round(col("score"), 9).as("score"))
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"q$qid: ${batch(qid)} vs $single")
+    }
+  }
 }
