@@ -2437,6 +2437,30 @@ object SparkEntry {
     // scores); declared as batch == per-query persisted-probe parity.
     "ivf_batch_topk_quantized" -> ((s, dir) => ivfBatchQuantParity(s, dir)),
 
+    // E2 monitoring (round-17): per-cluster size + cohesion over the
+    // flagship IVF model — the read that sizes diversity caps and flags
+    // drift regions. n_vectors is DuckDB-derived (every vector assigned
+    // to exactly one cluster); the flags pin cluster-count sanity,
+    // cohesion in range with a positive weighted mean (cosine-trained
+    // k-means must resemble its members), and bounded skew (more than
+    // one non-empty cluster).
+    "ivf_cluster_stats" -> ((s, dir) => {
+      val (model, _) = ivfIndex(s, dir)
+      val stats = IvfIndex.clusterStats(embs(s, dir), "vec_id", "embedding", model)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      val total = stats.map(_._2).sum
+      val clustersOk = stats.nonEmpty &&
+        stats.length <= model.centroids.length && stats.forall(_._2 > 0)
+      val cohesionOk =
+        stats.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 } &&
+        stats.map { case (_, n, c) => c * n }.sum / total > 0
+      val skewBounded = stats.map(_._2).max < total
+      import s.implicits._
+      Seq((total, if (clustersOk) 1L else 0L, if (cohesionOk) 1L else 0L,
+        if (skewBounded) 1L else 0L))
+        .toDF("n_vectors", "clusters_ok", "cohesion_ok", "skew_bounded")
+    }),
+
     // Training-pipeline decontamination: corpus docs sharing ≥3 distinct
     // bigram shingles with any "benchmark" doc (docs 0-9 stand in for an
     // eval set). Probe postings broadcast; the corpus never shuffles for
@@ -4941,6 +4965,15 @@ object SparkEntry {
     "ivf_batch_topk_quantized" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         |  CAST(1 AS BIGINT) AS parity""".stripMargin,
+
+    // Cluster stats: every vector lands in exactly one cluster, so the
+    // per-cluster counts SUM to the corpus size — DuckDB re-derives it;
+    // the flags pin the only acceptable outcome.
+    "ivf_cluster_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(1 AS BIGINT) AS clusters_ok, CAST(1 AS BIGINT) AS cohesion_ok,
+        |  CAST(1 AS BIGINT) AS skew_bounded
+        |FROM embeddings""".stripMargin,
 
     // Round-13: the last two rows-only queries become invariant rows.
     // ivf_topk: the Spark side probes the persisted index for real and

@@ -407,6 +407,32 @@ object IvfIndex {
     SimJoin.rankTopK(scored, k)
   }
 
+  /** Per-cluster assignment statistics (round-17) — the monitoring read
+    * an operator checks before picking diversity caps
+    * ([[Splits.diversitySample]]), nProbe, a compaction cadence, or a
+    * re-fit ([[driftCheck]]'s coarse per-cluster companion): one row per
+    * non-empty cluster with its member count and COHESION (mean cosine
+    * of members to their centroid — low values flag regions the frozen
+    * model no longer explains; wildly skewed counts flag the dense
+    * regions that motivate capped sampling). One assignment pass + a
+    * k-bounded aggregation; the centroid table rides a broadcast
+    * (k ≤ 4096 by [[autoK]], a few hundred KB). Output
+    * `(cluster, n, mean_cos)`.
+    */
+  def clusterStats(emb: DataFrame, idCol: String, embCol: String,
+                   model: Model): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "__centroid")
+    buildIndex(emb, idCol, embCol, model)
+      .join(broadcast(centroids), Seq("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        avg(graft.functions.VectorFunctions
+          .cosine_sim(col("embedding"), col("__centroid"))).as("mean_cos"))
+  }
+
   /** BATCH probe of the QUANTIZED two-form index (round-17) — N standing
     * queries served from the persisted byte-packed artifact in ONE plan,
     * completing the quantized serving family (single probe

@@ -818,6 +818,22 @@ class OperatorsSpec extends SparkSpec {
       Splits.diversitySample(emb, "vec_id", "embedding", model, 0))
   }
 
+  test("clusterStats: exact per-cluster counts; cohesion 1.0 for identical members (r17)") {
+    import graft.operators.IvfIndex
+    // two axis-aligned groups whose members EQUAL their direction —
+    // k-means centroids land on the directions, so mean_cos is exactly 1
+    val emb = (
+      (0 to 4).map(i => (i.toLong, Seq(1f, 0f, 0f, 0f))) ++
+      (10 to 11).map(i => (i.toLong, Seq(0f, 1f, 0f, 0f)))
+    ).toDF("vec_id", "embedding")
+    val model = IvfIndex.fit(emb, "embedding", k = 2)
+    val stats = IvfIndex.clusterStats(emb, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(stats.map(_._1) == Seq(2L, 5L), s"cluster sizes: $stats")
+    assert(stats.forall { case (_, c) => math.abs(c - 1.0) < 1e-6 },
+      s"cohesion of identical members must be 1: $stats")
+  }
+
   test("ngramCounts: counts, prune, and tie-break match brute force") {
     val got = TextAnalysis.ngramCounts(docs, "text", n = 2, minCount = 2L, topN = 10)
       .as[(String, Long)].collect().toSeq
