@@ -264,6 +264,22 @@ object Streams {
                               threshold: Double, nProbe: Int,
                               margin: Double = 0.05): DataFrame = {
     require(margin >= 0, s"margin must be >= 0, got $margin")
+    // Pre-r17 packed artifacts lack the build-time `code_norm` column
+    // (round-18; ADVICE r17: an unconditional read failed analysis on a
+    // maintained index persisted by an older build, and compact copies
+    // without re-quantizing, so the column never backfills). Fall back
+    // to the legacy margin-only prescreen there — but then `margin` IS
+    // the only slack, so a zero margin would reintroduce the silent
+    // false-drop the per-row bound exists to prevent: refuse it.
+    val hasCodeNorm = packedIndex.columns.contains("code_norm")
+    if (!hasCodeNorm) require(margin > 0,
+      "packed index has no code_norm column (pre-r17 artifact): the margin-only " +
+      "prescreen needs margin > 0, or rebuild the index to carry the per-row bound")
+    val slack =
+      if (hasCodeNorm)
+        greatest(lit(margin), graft.operators.Quantize.cosineErrorBound(
+          octet_length(col("codes")), col("code_norm")))
+      else lit(margin)
     val probesUdf = udf { (v: Seq[Float]) =>
       model.nearestClusters(v.toArray, nProbe).toArray
     }
@@ -274,10 +290,9 @@ object Streams {
       .select(col("q_id"), col("id").as("c_id"), col("q_emb"),
         graft.functions.VectorFunctions
           .cosine_sim_i8(col("codes"), col("q_emb")).as("i8_score"),
-        graft.operators.Quantize.cosineErrorBound(
-          octet_length(col("codes")), col("code_norm")).as("__bound"))
-      .filter(col("i8_score") > lit(threshold) - greatest(lit(margin), col("__bound")))
-      .drop("i8_score", "__bound")
+        slack.as("__slack"))
+      .filter(col("i8_score") > lit(threshold) - col("__slack"))
+      .drop("i8_score", "__slack")
     cands
       .join(floatIndex.select(col("id").as("c_id"), col("embedding")), Seq("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -373,8 +388,15 @@ object Streams {
     // per-batch overwritten partitions, not mode("append") (round-17):
     // the foreachBatch at-least-once contract means a replayed batch
     // must REPLACE its own output, never re-append it — the same sink
-    // discipline as the gate-then-append maintainer
-    val runTag = maintainerRunTag(None)
+    // discipline as the gate-then-append maintainer.
+    // LAYOUT NOTE (round-18; ADVICE r17): `outDir` is therefore a
+    // PARTITIONED dir (`batch=<run>-<batchId>/…`) — a plain read of it
+    // carries an extra `batch` string column, and pointing a run at a
+    // pre-r17 FLAT outDir mixes layouts (partition discovery fails).
+    // Start from an empty/partitioned outDir and read the survivors
+    // back through [[readGateOutput]], which drops the bookkeeping
+    // column.
+    lazy val runTag = maintainerRunTag(stream.sparkSession, None)
     val sq = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup
@@ -445,7 +467,9 @@ object Streams {
                                       checkpoint: Option[String] = None,
                                       compactEvery: Int = 0,
                                       timeoutMs: Long = 300000): Unit = {
-    val runTag = maintainerRunTag(checkpoint)
+    // lazy: resolved to the checkpoint's persisted query id at FIRST
+    // BATCH, inside the closure — see maintainerRunTag
+    lazy val runTag = maintainerRunTag(stream.sparkSession, checkpoint)
     val w0 = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -478,17 +502,56 @@ object Streams {
     awaitOrAbort(sq, "jaccardGateMaintainAvailableNow", timeoutMs)
   }
 
-  /** Per-stream-run scope for idempotency tags and sink partitions: with
-    * a checkpoint, a STABLE function of it (a restart resumes the same
-    * run, so a replayed batchId maps to the same tag — the whole point);
-    * without one the query can never replay, so a fresh random scope
-    * keeps two unrelated runs over one index/sink from colliding on
-    * batch ids.
+  /** Read a gate/maintainer sink directory back as plain survivor rows.
+    * The streaming gates land each micro-batch in its own overwritten
+    * `batch=<run>-<batchId>/` partition (the at-least-once replay
+    * discipline), so a raw `spark.read.parquet(outDir)` surfaces the
+    * bookkeeping `batch` string column; this helper drops it — the one
+    * documented way to consume the sink (round-18; ADVICE r17).
     */
-  private def maintainerRunTag(checkpoint: Option[String]): String =
-    checkpoint
-      .map(c => graft.store.EpochCommit.deterministicEpochId("run:" + c).substring(1, 9))
-      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+  def readGateOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch")
+
+  /** Per-stream-run scope for idempotency tags and sink partitions.
+    * With a checkpoint: the checkpoint's PERSISTED streaming-query id
+    * (`<checkpoint>/metadata`, written by Spark when the query first
+    * starts) — stable across restarts of the SAME checkpoint, so a
+    * replayed batchId maps to the same tag (the exactly-once point),
+    * but FRESH when an operator deletes and recreates the checkpoint
+    * (round-18; ADVICE r17 medium: the old PATH-derived tag made a
+    * "start fresh" run inherit the dead run's scope — batchIds restart
+    * at 0, the appender sees the old run's markers already committed
+    * and silently SKIPS the new batches' index appends, and the new
+    * run overwrites the old run's sink partitions; a reset checkpoint
+    * mints a new query id, so the new scope is disjoint by
+    * construction). Callers bind this as a `lazy val` captured by the
+    * foreachBatch closure: the metadata file exists from query start,
+    * before any batch runs, so first-batch evaluation always finds it
+    * — evaluating EAGERLY before `.start()` would race a fresh
+    * checkpoint's creation. Without a checkpoint the query can never
+    * replay, so a fresh random scope keeps two unrelated runs over one
+    * index/sink from colliding on batch ids.
+    */
+  private def maintainerRunTag(spark: SparkSession, checkpoint: Option[String]): String =
+    checkpoint.map { c =>
+      val p = new org.apache.hadoop.fs.Path(c, "metadata")
+      val body =
+        try {
+          val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        } catch { case e: java.io.IOException =>
+          throw new graft.core.EngineError(
+            s"maintainer run tag: cannot read streaming-query metadata at $p " +
+            s"(${e.getMessage}) — the exactly-once scope must come from the " +
+            "checkpoint's persisted query id, never from the path")
+        }
+      // StreamMetadata is `{"id":"<uuid>"}` (stable since Spark 2.1); a
+      // loud failure beats silently minting a colliding scope
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+        .map(_.group(1).replace("-", "").take(12))
+        .getOrElse(throw new graft.core.EngineError(
+          s"maintainer run tag: no query id in $p — unrecognized checkpoint metadata"))
+    }.getOrElse(java.util.UUID.randomUUID().toString.take(8))
 
   /** STREAMING maintenance of the persisted HOT-LINES table (round-15):
     * each arriving micro-batch appends its line-frequency delta via the
@@ -505,7 +568,7 @@ object Streams {
                                    compactEvery: Int = 0,
                                    checkpoint: Option[String] = None,
                                    timeoutMs: Long = 300000): Unit = {
-    val runTag = maintainerRunTag(checkpoint)
+    lazy val runTag = maintainerRunTag(stream.sparkSession, checkpoint)
     val w0 = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // deterministic per-batch epoch: a replayed micro-batch lands its
@@ -550,7 +613,7 @@ object Streams {
                                     compactEvery: Int = 0,
                                     checkpoint: Option[String] = None,
                                     timeoutMs: Long = 300000): Unit = {
-    val runTag = maintainerRunTag(checkpoint)
+    lazy val runTag = maintainerRunTag(stream.sparkSession, checkpoint)
     val w0 = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // deterministic per-batch epoch → exactly-once under replay

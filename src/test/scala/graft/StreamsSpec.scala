@@ -381,6 +381,47 @@ class StreamsSpec extends SparkSpec {
       s"stream-maintained $maintained vs recomputed $recomputed")
   }
 
+  test("checkpoint RESET mints a fresh exactly-once scope: appends land, never silently skipped (r18)") {
+    // ADVICE r17 medium: a PATH-derived run tag made a deleted-and-
+    // recreated checkpoint replay batchIds onto the dead run's epochs —
+    // the appender saw those markers committed and silently DROPPED the
+    // new run's deltas. The tag now comes from the checkpoint's
+    // persisted query id, which a reset regenerates; reprocessed data
+    // must land VISIBLY (honest at-least-once on reset), never vanish.
+    import graft.operators.HotLinesIndex
+    val path = graft.core.SessionCache.newTempDir("spec-ckptreset-idx")
+    val arrival = graft.core.SessionCache.newTempDir("spec-ckptreset-src")
+    val ckpt = graft.core.SessionCache.newTempDir("spec-ckptreset-ckpt")
+    val docs = Seq((1L, "shared line\nonly one"), (2L, "shared line\nonly two"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("append").parquet(arrival)
+    def drain(): Unit = Streams.hotLinesMaintainAvailableNow(
+      spark.readStream.schema(docs.schema).parquet(arrival), "text", path,
+      checkpoint = Some(ckpt))
+    def sharedFreq(): Long = HotLinesIndex.hotLines(spark, path, maxDocFreq = 1L)
+      .filter(col("line") === "shared line").select("n_docs")
+      .as[Long].collect().headOption.getOrElse(0L)
+
+    drain()
+    assert(graft.store.EpochCommit.committedCount(spark, path) == 1)
+    assert(sharedFreq() == 2L, s"first drain: freq ${sharedFreq()}")
+
+    // restart over the INTACT checkpoint, no new files: same scope, no
+    // new batch — exactly-once across restarts still holds
+    drain()
+    assert(graft.store.EpochCommit.committedCount(spark, path) == 1,
+      "intact-checkpoint restart must not re-append")
+
+    // "start fresh": delete the checkpoint, keep index + path. The new
+    // query id scopes batch 0's epoch away from the dead run's — the
+    // reprocessed delta must LAND (doubled freq), not be skipped.
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    drain()
+    assert(graft.store.EpochCommit.committedCount(spark, path) == 2,
+      "reset-checkpoint drain was silently skipped (stale exactly-once scope)")
+    assert(sharedFreq() == 4L, s"post-reset: freq ${sharedFreq()} (expected honest double-count)")
+  }
+
   test("streaming jaccard gate equals the batch gate against the same persisted index") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
