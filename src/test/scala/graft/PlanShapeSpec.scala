@@ -311,16 +311,22 @@ class PlanShapeSpec extends SparkSpec {
     val q = (0 until 8).map(j => math.cos(j * 0.3).toFloat).toArray
 
     def checkPrune(f: org.apache.spark.sql.execution.FileSourceScanExec): Unit = {
+      // round-18 bucketed layout: partition dirs prune on (epoch IN
+      // committed, bucket IN probed%B) — the listing never scales in k —
+      // and the per-cluster prune reaches PARQUET as an In(cluster)
+      // pushed filter, where the (bucket, cluster, id)-sorted row groups
+      // make it tight
       val pf = f.partitionFilters.map(_.sql).mkString(" ")
-      assert(pf.contains("epoch") && pf.contains("cluster"),
-        s"index scan not pruned on (epoch, cluster): $pf")
+      assert(pf.contains("epoch") && pf.contains("bucket"),
+        s"index scan not pruned on (epoch, bucket): $pf")
+      assert(f.metadata.get("PushedFilters").exists(_.contains("In(cluster")),
+        s"cluster IN-list not pushed to parquet: ${f.metadata.get("PushedFilters")}")
     }
 
     // (a) the candidate pass: packed scan only — codes, never embedding
     val probes = model.nearestClusters(q, 2)
     val candPlan = physical(Similarity.cutTopK(
-      IvfPackedIndex.readPacked(spark, root)
-        .filter(col("cluster").isin(probes.map(Int.box): _*))
+      IvfIndex.pruneProbes(IvfPackedIndex.readPacked(spark, root), probes)
         .select(col("id"), graft.functions.VectorFunctions
           .cosine_sim_i8(col("codes"), typedlit(q.toSeq)).as("score")),
       "id", 20))
