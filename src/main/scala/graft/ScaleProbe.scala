@@ -915,8 +915,7 @@ object ScaleProbe {
       measured("packed candidate pass ALONE (int8 scan, probed clusters)") {
         val probes = model.nearestClusters(q, nProbe)
         Similarity.cutTopK(
-          IvfPackedIndex.readPacked(spark, root)
-            .filter(col("cluster").isin(probes.map(Int.box): _*))
+          IvfIndex.pruneProbes(IvfPackedIndex.readPacked(spark, root), probes)
             .select(col("id"),
               graft.functions.VectorFunctions
                 .cosine_sim_i8(col("codes"), typedlit(q.toSeq)).as("score")),

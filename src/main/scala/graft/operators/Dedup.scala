@@ -564,14 +564,22 @@ object Dedup {
     * radius/volume trade.)
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol).cast("long").as("id"),
+      simhashUdf(col(textCol)).as("sig")), maxHamming)
+
+  /** Hamming-banded near-dup pairs over ANY precomputed 64-bit
+    * signature frame `(id LONG, sig LONG)` — the banding core of
+    * [[simhashPairs]], shared with the perceptual image-hash family
+    * ([[imageNearDupPairs]], round-18). Complete by pigeonhole, exact
+    * popcount verify, no cross join (see [[simhashPairs]]).
+    */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     // width = floor(64 / (maxHamming+1)) ensures at least maxHamming+1
     // bands, the pigeonhole requirement; the last band may be narrower.
     val width = math.max(1, 64 / math.min(maxHamming + 1, 64))
     val nBands = (64 + width - 1) / width
-    val sigs = df.select(col(idCol).cast("long").as("id"),
-                         simhashUdf(col(textCol)).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until nBands).map { b =>
@@ -594,6 +602,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Near-duplicate IMAGE pairs: perceptual dHash
+    * ([[Multimodal.dHash64]] — 64 horizontal-gradient bits over a 9×8
+    * grayscale grid) + the [[hammingPairs]] banding (round-18; VERDICT
+    * r17 "missing" #2: byte-identical image dups fall out of the exact
+    * sha family, but a re-encode, format change, or mild
+    * brightness/resize shift changes every byte while moving only a few
+    * gradient bits — nothing caught them). Same scale contract as
+    * [[simhashPairs]]: one signature pass over the binary column, band
+    * self-join, exact popcount verify — never an all-pairs pixel
+    * compare. Pairs resolve to groups/survivors through the shared
+    * [[nearDupGroups]]/[[dedupNear]] machinery, so a multimodal corpus
+    * dedups with the same composition as text. Output
+    * `(a_id, b_id, hamming)`.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+                        maxHamming: Int = 6): DataFrame =
+    hammingPairs(df.select(col(idCol).cast("long").as("id"),
+      Multimodal.dHashCol(col(bytesCol)).as("sig")), maxHamming)
 
   // ------------------------------------------------ pairs → duplicate groups
   /** Resolve near-duplicate PAIRS into duplicate GROUPS: connected

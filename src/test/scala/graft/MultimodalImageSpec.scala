@@ -78,6 +78,75 @@ class MultimodalImageSpec extends SparkSpec {
       "within-budget non-image payload must pass through unchanged")
   }
 
+  test("dHash + banding near-dup: recall floor vs exact pixel distance; banding complete on real images (r18)") {
+    import graft.operators.Dedup
+    // 12 distinct block-noise patterns (4×4 blocks of seeded noise — no
+    // cross-seed gradient-sign correlation, unlike smooth sin fields,
+    // where phase-shifted patterns share every gradient SIGN and
+    // legitimately collide under a gradient hash); each gets a
+    // near-copy (+6 uniform brightness, clip-free by construction —
+    // every BYTE of the re-encoded PNG changes, the exact near-dup the
+    // sha family can never see)
+    def pattern(seed: Int, delta: Int): Array[Byte] = png(32, 32) { (x, y) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, x >> 2, y >> 2))
+      val v = math.max(0, math.min(255, math.floorMod(h, 200) + 28 + delta))
+      (v << 16) | (v << 8) | v
+    }
+    val images = ((0 until 12).map(s => (s.toLong, pattern(s, 0))) ++
+      (0 until 12).map(s => ((s + 100).toLong, pattern(s, 6)))).toMap
+    assert(images.values.toSeq.distinct.size == 24, "payloads must all be byte-distinct")
+
+    val found = Dedup.imageNearDupPairs(
+        images.toSeq.toDF("id", "bytes"), "id", "bytes", maxHamming = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    // (a) banding COMPLETENESS on real pixels: the banded pair set must
+    // equal the brute-force hamming filter over the same signatures
+    // NOTE .toSeq: a for-comprehension over a Map builds a Map and
+    // silently collapses the pairs per left key
+    val sigs = images.toSeq.map { case (id, b) => id -> Multimodal.dHash64(b) }
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (a, b)).toSet
+    assert(found == brute, s"banded $found vs brute-force $brute")
+
+    // (b) RECALL floor vs exact pixel distance: ground truth = pairs with
+    // mean |pixel luma delta| below 16 (the planted copies sit ~6, the
+    // cross-pattern pairs far above)
+    def lumas(b: Array[Byte]): Array[Int] = {
+      val img = Multimodal.decodeImage(b).get
+      (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) yield {
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      }).toArray
+    }
+    val lum = images.map { case (id, b) => id -> lumas(b) }
+    def meanDiff(a: Long, b: Long): Double = {
+      val (la, lb) = (lum(a), lum(b))
+      la.indices.map(i => math.abs(la(i) - lb(i))).sum.toDouble / la.length
+    }
+    val truth = (for {
+      a <- images.keys; b <- images.keys if a < b && meanDiff(a, b) < 16.0
+    } yield (a, b)).toSet
+    assert(truth.size >= 12, s"ground truth lost the planted copies: $truth")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs; found $found")
+    // (c) no hallucinated pair joins two genuinely different patterns
+    found.foreach { case (a, b) =>
+      assert(meanDiff(a, b) < 40.0,
+        s"pair ($a,$b) at mean pixel distance ${meanDiff(a, b)} — hash matched unrelated images")
+    }
+
+    // (d) pairs → groups → survivor through the SHARED dedup machinery:
+    // every near-copy drops, every min-id base survives
+    val df = images.toSeq.toDF("id", "bytes")
+    val survivors = Dedup.dedupNear(df, "id",
+        Dedup.imageNearDupPairs(df, "id", "bytes", maxHamming = 10))
+      .select("id").as[Long].collect().toSet
+    assert(survivors == (0L until 12L).toSet, s"survivors: $survivors")
+  }
+
   test("decodeImagesPartitioned: distributed mixed-media decode matches the scalar calls") {
     val imgBytes = png(8, 6)((x, _) => if (x < 4) Black else White)
     val txtBytes = "row two is text".getBytes("UTF-8")

@@ -511,6 +511,48 @@ class StreamsSpec extends SparkSpec {
       s"compactEvery=2: survivors $gotC, epochs $epochsC")
   }
 
+  test("maintainer drift signal: healthy wave stays silent, shifted wave fires refit-recommended (r18)") {
+    import graft.operators.{IvfIndex, IvfPackedIndex}
+    // model + OUT-OF-SAMPLE baseline on the sin-manifold geometry
+    def sinRows(ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 8).map(j => math.sin(i * 0.7 + j).toFloat))).toDF("vec_id", "embedding")
+    val model = IvfIndex.fit(sinRows(0 until 30), "embedding", k = 4)
+    val baseline = IvfIndex.meanAssignedCosine(sinRows(100 until 110), "embedding", model)
+    val w1 = sinRows(200 until 210) // same distribution — healthy
+    val w2 = Seq.tabulate(10) { i => // axis-aligned spikes — a geometry the model never saw
+      ((300 + i).toLong, (0 until 8).map(j => if (j == i % 8) 1f else 0.01f))
+    }.toDF("vec_id", "embedding")
+
+    val verdicts = scala.collection.mutable.ListBuffer.empty[IvfIndex.Drift]
+    val root = graft.core.SessionCache.newTempDir("spec-ivfdrift-root")
+    val arrival = graft.core.SessionCache.newTempDir("spec-ivfdrift-src")
+    val ckpt = graft.core.SessionCache.newTempDir("spec-ivfdrift-ckpt")
+    for (w <- Seq(w1, w2)) {
+      w.coalesce(1).write.mode("append").parquet(arrival)
+      Streams.ivfPackedMaintainAvailableNow(
+        spark.readStream.schema(w1.schema).parquet(arrival),
+        "vec_id", "embedding", model, root,
+        checkpoint = Some(ckpt),
+        driftBaseline = Some(baseline), onDrift = d => verdicts += d)
+    }
+    assert(verdicts.size == 2, s"expected one verdict per wave, got $verdicts")
+    assert(!verdicts(0).refitRecommended,
+      s"healthy wave flagged: ${verdicts(0)} (baseline $baseline)")
+    assert(verdicts(1).refitRecommended,
+      s"shifted wave not flagged: ${verdicts(1)} (baseline $baseline)")
+    // the signal NEVER gates: both waves' appends landed regardless
+    assert(IvfPackedIndex.readFloat(spark, root).count() == 20)
+
+    // the batch append path carries the same opt-in check
+    verdicts.clear()
+    IvfPackedIndex.append(w2.select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", model, root,
+      driftBaseline = Some(baseline), onDrift = d => verdicts += d)
+    assert(verdicts.size == 1 && verdicts(0).refitRecommended,
+      s"batch append drift check: $verdicts")
+    assert(IvfPackedIndex.readFloat(spark, root).count() == 30)
+  }
+
   test("streaming packed-IVF maintenance: drained index == batch build; governor compacts (r17)") {
     import graft.operators.{IvfIndex, IvfPackedIndex}
     val emb = Seq.tabulate(40) { i =>
