@@ -189,12 +189,22 @@ object Bench {
     // partial-agg sim-join plan at realistic query volume (500 queries ×
     // full corpus, k=5) — same operator as sim_join_topk, no second
     // oracle needed.
+    // dev-only (round-18; the SPARK_GRAFT_VERIFY_ONLY precedent): time
+    // just a comma-list of declared rows while iterating on one row's
+    // cost. The driver never sets it; a subset artifact is partial by
+    // construction (volume rows skipped too).
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var benchStreamSinkSeq = 0
     def runLoop(): (Map[String, Either[String, Double]], Double, Double) = {
       val results: Map[String, Either[String, Double]] =
-        SparkEntry.queries.map { case (name, fn) =>
-          name -> timed(() => { fn(spark, sfDir).count(); () })
-        }
+        SparkEntry.queries
+          .filter { case (name, _) => benchOnly.forall(_.contains(name)) }
+          .map { case (name, fn) =>
+            name -> timed(() => { fn(spark, sfDir).count(); () })
+          }
+      if (benchOnly.isDefined)
+        return (results, canarySeconds(), canaryParSeconds(parThreads))
       val simVolume = timed { () =>
         val e = core.Tables.embeddings(spark, sfDir)
         operators.SimJoin.topKPerQuery(

@@ -67,4 +67,27 @@ object SessionCache {
     tempDirs.add(dir)
     dir.toString
   }
+
+  /** HARDLINK a directory tree (fallback: plain copy when the
+    * filesystem refuses links, e.g. cross-device) — the cheap way to
+    * hand a MUTATING consumer its own view of a cached base artifact
+    * (round-18; the gate-append bench row byte-copied its base index
+    * per call). Safe for the engine's index trees because their
+    * protocol never modifies a data file in place: appends stage NEW
+    * epoch dirs + a new marker, compacts write a NEW tree and swap
+    * dirs — a linked file's bytes are immutable for its lifetime.
+    */
+  def linkTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else
+        try Files.createLink(t, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, t)
+        }
+    }
+  }
 }
