@@ -288,6 +288,35 @@ object Bench {
       val again = runLoop()
       all = again._1; canaryPost = again._2; canaryParPost = again._3
     }
+    // Round-18 (VERDICT r17 next #8): per-round tracked BYTES of the two
+    // batch serving forms at this sf. The packed probe's scale claim is
+    // candidate BYTES on cold storage (wall-clock is listing-bound
+    // locally — SCALE.md r17), so the artifact now carries the measured
+    // number every round instead of only the 1M rehearsal snapshot.
+    // Measured once, OUTSIDE the timed loop: the listener drains
+    // asynchronously and the settle sleep would pollute row timings.
+    def bytesOf(f: => Unit): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(1500) } finally spark.sparkContext.removeSparkListener(l)
+      bytes.get()
+    }
+    val bytesE20 = core.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 20)
+    val packedBatchBytes = if (benchOnly.isDefined) 0L else bytesOf {
+      operators.IvfPackedIndex.queryTopKBatch(spark, ivfBenchPackedRoot,
+        ivfBenchModel, bytesE20, "vec_id", "embedding", 10, ivfBenchNProbe).count()
+      ()
+    }
+    val floatBatchBytes = if (benchOnly.isDefined) 0L else bytesOf {
+      operators.IvfIndex.queryTopKBatch(ivfBenchIdx, ivfBenchModel,
+        bytesE20, "vec_id", "embedding", 10, ivfBenchNProbe).count()
+      ()
+    }
+
     val ok = all.collect { case (k, Right(v)) => k -> v }
     val errs = all.collect { case (k, Left(e)) => k -> e }
     val qs = ok.map { case (k, v) => s"\"" + jsonEscape(k) + "\":" + v }
@@ -314,6 +343,8 @@ object Bench {
       s""""canary_par_pre_sec":$canaryParPre,"canary_par_post_sec":$canaryParPost,""" +
       s""""canary_par_threads":$parThreads,"canary_retries":$canaryRetries,""" +
       s""""load_inflated":$loadInflated,"loop_retried":$loopRetried,""" +
+      s""""bytes":{"bench_ivf_packed_batch_20q":$packedBatchBytes,""" +
+      s""""bench_ivf_batch_topk_20q":$floatBatchBytes},""" +
       s""""canary_ref_sec":$CanaryRefSec,"canary_par_ref_sec":$CanaryParRefSec,""" +
       s""""canary_par_ref_threads":$CanaryParRefThreads,"sf":"${jsonEscape(sfDir)}"}"""
     // Durable artifact (round-13): the driver captures only a log TAIL of

@@ -96,7 +96,11 @@ object ScaleProbe {
     // PERSISTED packed-IVF lifecycle + probe at index scale, plus the
     // gate-then-append maintainer); SPARK_GRAFT_ONLY_R17B=1 probes only
     // the gate-then-append part.
-    val onlyR17b = sys.env.contains("SPARK_GRAFT_ONLY_R17B")
+    // SPARK_GRAFT_ONLY_R18=1 probes only the round-18 addition (the
+    // epoch governor at wave volume: 16-wave closed loop with vs
+    // without compactEvery).
+    val onlyR18 = sys.env.contains("SPARK_GRAFT_ONLY_R18")
+    val onlyR17b = onlyR18 || sys.env.contains("SPARK_GRAFT_ONLY_R17B")
     val onlyR17 = onlyR17b || sys.env.contains("SPARK_GRAFT_ONLY_R17")
     val onlyR15 = onlyR17 || sys.env.contains("SPARK_GRAFT_ONLY_R15")
     val onlyR14c = onlyR15 || sys.env.contains("SPARK_GRAFT_ONLY_R14C")
@@ -965,7 +969,7 @@ object ScaleProbe {
     // this corpus shape — the numbers measure the pipeline's fixed
     // machinery (explode, cap, postings join, append, epoch commit), a
     // floor for the real-corpus cost where the cap is mostly idle.
-    locally {
+    if (!onlyR18) locally {
       val cut = nDocs * 99L / 100L
       val idxPath = graft.core.SessionCache.newTempDir("graft-scale-jgatem") + "/idx"
       timed(s"shingle postings BUILD ($cut docs)") {
@@ -990,6 +994,63 @@ object ScaleProbe {
       wave(s"gate+append wave 2 (${nDocs - half} docs, incl. wave-1 survivors)", half, nDocs)
       println(s"[scale] gate-append survivors: ${spark.read.parquet(out).count()}; " +
         s"committed epochs: ${graft.store.EpochCommit.committedCount(spark, idxPath)}")
+    }
+
+    // ---- Round-18: the epoch GOVERNOR at wave volume ------------------
+    // VERDICT r17 next #7: the r17 loop rehearsal ran 2 waves / 3 epochs
+    // with compactEvery=0, so "wave-N cost stays flat under compaction"
+    // was extrapolated from N=2. Here the last 40% of the corpus arrives
+    // as 16 waves through the SAME closed loop, once with the governor
+    // off (epoch fan-in grows by one per non-empty wave) and once with
+    // compactEvery=4 (fan-in folds back whenever 4 epochs accumulate) —
+    // the two per-wave cost curves are the 100 TB property under test.
+    // Fan-in is a FILE-LISTING effect (each batch's committed-only index
+    // read lists and merges every epoch's files), so the amplified
+    // fixture exercises it at any corpus size. The waves are NOVEL
+    // synthetic docs (hex-word texts, jaccard ≈ 0 against everything):
+    // every wave must SURVIVE and append an epoch, or there is no
+    // fan-in to govern — amplified near-copy waves drop entirely at the
+    // gate and leave the epoch count at 1 forever (the r17b rehearsal
+    // covers that dropping path; this block isolates the append path).
+    if (onlyR18) locally {
+      val cut = nDocs * 3L / 5L
+      val waves = 16
+      val waveN = math.max(nDocs / 50L, 500L)
+      def waveDocs(w: Int): org.apache.spark.sql.DataFrame =
+        spark.range(waveN).select(
+          (lit(1000000L * (w + 1)) + col("id")).as("doc_id"),
+          concat_ws(" ", (0 until 8).map(j =>
+            md5(concat_ws(":", lit(w), col("id"), lit(j)))): _*).as("text"))
+      def run(compactEvery: Int): Seq[Double] = {
+        val idxPath = graft.core.SessionCache.newTempDir(
+          s"graft-scale-gov$compactEvery") + "/idx"
+        timed(s"governor run compactEvery=$compactEvery: postings BUILD ($cut docs)") {
+          Dedup.buildPostingsIndex(docs.filter(col("doc_id") < cut),
+            "doc_id", "text", n = 2, idxPath)
+        }
+        val arrival = graft.core.SessionCache.newTempDir("graft-scale-gov-src")
+        val ckpt = graft.core.SessionCache.newTempDir("graft-scale-gov-ckpt")
+        val out = graft.core.SessionCache.newTempDir("graft-scale-gov-out") + "/surv"
+        (0 until waves).map { w =>
+          waveDocs(w).write.mode("append").parquet(arrival)
+          val t0 = System.nanoTime()
+          graft.streaming.Streams.jaccardGateMaintainAvailableNow(
+            spark.readStream.schema(docs.schema).parquet(arrival),
+            "doc_id", "text", n = 2, threshold = 0.2, idxPath, out,
+            checkpoint = Some(ckpt), compactEvery = compactEvery,
+            timeoutMs = 1800000)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] governor ce=$compactEvery wave ${w + 1}%2d: $sec%7.2f s  " +
+            s"epochs=${graft.store.EpochCommit.committedCount(spark, idxPath)}")
+          sec
+        }
+      }
+      val without = run(0)
+      val withGov = run(4)
+      println("[scale] governor curve WITHOUT: " +
+        without.map(s => f"$s%.2f").mkString(", "))
+      println("[scale] governor curve ce=4:    " +
+        withGov.map(s => f"$s%.2f").mkString(", "))
     }
     spark.stop()
   }
