@@ -2332,6 +2332,44 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // E4: incremental IMAGE dedup (round-18) — the multimodal member of
+    // the incremental family (sha / jaccard / LSH / dHash): the daily
+    // image drop dedups within itself (banding pairs → groups → min-id
+    // survivor), then drops every survivor within Hamming 10 of ANY
+    // signature in the persisted 16-byte/row dHash index — the corpus
+    // participates ONLY through that table, never re-decoded. The batch
+    // is novel docs ∪ planted re-deliveries (every 9th indexed doc with
+    // its first character flipped — a "re-encoded" copy sha would miss;
+    // all must drop via the index). DuckDB replays everything from raw
+    // bytes: signatures both sides, within-batch transitive closure,
+    // survivor pick, cross-index Hamming gate.
+    "multimodal_dedup_incremental" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val idxPath = SessionCache.getOrCreate(s"mmdedup_idx:$dir") {
+        val p = SessionCache.newTempDir("graft-mmdedup-idx") + "/idx"
+        Dedup.buildDHashIndex(Multimodal.fakeAssets(base, "text"),
+          "doc_id", "asset_bytes", p)
+        p
+      }
+      val novel = docs(s, dir).filter(col("doc_id") >= 250 && col("doc_id") < 325)
+        .select(col("doc_id"), col("text"))
+      val redelivered = base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      // within-batch near-copies of NOVEL docs: the closure/survivor
+      // half must fire too (min-id keeps the novel doc, drops its twin)
+      val withinTwins = novel.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      Dedup.imageNearDupIncremental(
+          Multimodal.fakeAssets(
+            novel.unionByName(redelivered).unionByName(withinTwins), "text"),
+          "doc_id", "asset_bytes",
+          Dedup.readDHashIndex(s, idxPath), maxHamming = 10)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // E4/E2: LSH-bucketed embedding near-dup (corpus×corpus scale path)
     "near_dup_lsh" -> ((s, dir) =>
       AnnIndex.nearDupPairsLSH(embs(s, dir), "vec_id", "embedding",
@@ -3020,6 +3058,36 @@ object SparkEntry {
     * bit-for-bit up to the `ln` libm ulp that ROUND(…,6) absorbs.
     * WITHOUT a leading `WITH` so it can splice after other CTEs.
     */
+  /** DuckDB CTE chain deriving dHash signatures for a preceding CTE
+    * `b(doc_id, text)` — the stride-sampler fallback arithmetic of
+    * [[graft.operators.Multimodal.dHash64]] re-derived from the raw
+    * UTF-8 bytes (round-18): sample byte ⌊i·n/72⌋ into a 9×8 grid, set
+    * bit y·8+x iff grid(y,x+1) > grid(y,x), kept as two 32-bit halves
+    * (the simhash_pairs discipline — no bit-63 shift). WITHOUT a
+    * leading `WITH` so it splices after other CTEs; yields `sig(doc_id,
+    * sig_lo, sig_hi)`.
+    */
+  private val dhashSigsCte =
+    """raw AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |  FROM b),
+      |grid AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(0, 72), i ->
+      |      ('0x' || substr(hx, 2 * ((i * n) // 72) + 1, 2))::INT) AS g
+      |  FROM raw WHERE n > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |    COALESCE(list_sum(list_transform(range(0, 32), p ->
+      |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
+      |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_lo,
+      |    COALESCE(list_sum(list_transform(range(32, 64), p ->
+      |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
+      |        THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_hi
+      |  FROM grid
+      |  UNION ALL
+      |  SELECT doc_id, 0 AS sig_lo, 0 AS sig_hi FROM raw WHERE n = 0)""".stripMargin
+
   private def bm25CteFor(where: String) =
     s"""tok AS (
       |  SELECT doc_id,
@@ -3395,20 +3463,46 @@ object SparkEntry {
     // the popcount verify all hash-check against an engine sharing no
     // code with Spark.
     "multimodal_near_dup" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, 'Z' || substr(text, 2) AS text
         |  FROM documents WHERE doc_id < 300 AND doc_id % 7 = 0),
-        |raw AS (
+        |$dhashSigsCte,
+        |allp AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, hamming FROM allp
+        |WHERE hamming <= 10 ORDER BY a_id, b_id""".stripMargin,
+
+    // Incremental image dedup, INDEPENDENTLY re-derived (round-18): the
+    // corpus index's signatures, the batch's signatures (novel ∪
+    // first-char-flipped re-deliveries), the within-batch pair set, its
+    // transitive closure (the near_dedup_apply_lsh walk), the min-id
+    // survivor pick, and the cross-index Hamming gate — all from raw
+    // bytes in one statement. The emitted survivor id set must be
+    // byte-equal.
+    "multimodal_dedup_incremental" ->
+      s"""WITH RECURSIVE b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250 AND doc_id < 325
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, 'Z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id < 250 AND doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, 'Z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 325 AND doc_id % 11 = 0),
+        |$dhashSigsCte,
+        |cb AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |craw AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-        |  FROM b),
-        |grid AS (
+        |  FROM cb),
+        |cgrid AS (
         |  SELECT doc_id, n,
         |    list_transform(range(0, 72), i ->
         |      ('0x' || substr(hx, 2 * ((i * n) // 72) + 1, 2))::INT) AS g
-        |  FROM raw WHERE n > 0),
-        |sig AS (
+        |  FROM craw WHERE n > 0),
+        |csig AS (
         |  SELECT doc_id,
         |    COALESCE(list_sum(list_transform(range(0, 32), p ->
         |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
@@ -3416,15 +3510,29 @@ object SparkEntry {
         |    COALESCE(list_sum(list_transform(range(32, 64), p ->
         |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
         |        THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_hi
-        |  FROM grid
+        |  FROM cgrid
         |  UNION ALL
-        |  SELECT doc_id, 0 AS sig_lo, 0 AS sig_hi FROM raw WHERE n = 0),
-        |allp AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    CAST(bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, hamming FROM allp
-        |WHERE hamming <= 10 ORDER BY a_id, b_id""".stripMargin,
+        |  SELECT doc_id, 0 AS sig_lo, 0 AS sig_hi FROM craw WHERE n = 0),
+        |pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) <= 10),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION SELECT b_id, a_id FROM pr),
+        |walk AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+        |lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk GROUP BY src),
+        |surv AS (
+        |  SELECT s.doc_id, s.sig_lo, s.sig_hi FROM sig s
+        |  WHERE s.doc_id NOT IN (SELECT id FROM lab WHERE id <> group_id))
+        |SELECT s.doc_id FROM surv s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM csig c
+        |  WHERE bit_count(xor(s.sig_lo, c.sig_lo)) + bit_count(xor(s.sig_hi, c.sig_hi)) <= 10)
+        |ORDER BY doc_id""".stripMargin,
 
     // MinHash pairs, INDEPENDENTLY re-derived (round-11): the portable
     // variant's whole hash family is md5 — shingle base-hash = first 7

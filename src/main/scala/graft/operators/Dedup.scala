@@ -575,20 +575,7 @@ object Dedup {
     * popcount verify, no cross join (see [[simhashPairs]]).
     */
   def hammingPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
-    // width = floor(64 / (maxHamming+1)) ensures at least maxHamming+1
-    // bands, the pigeonhole requirement; the last band may be narrower.
-    val width = math.max(1, 64 / math.min(maxHamming + 1, 64))
-    val nBands = (64 + width - 1) / width
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      explode(array((0 until nBands).map { b =>
-        val lo = b * width
-        val w = math.min(width, 64 - lo)
-        val mask = if (w >= 64) -1L else (1L << w) - 1L
-        struct(lit(b).as("band"), (shiftright(col("sig"), lo) bitwiseAND lit(mask)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val banded = bandSigs(sigs, maxHamming)
     val a = banded.select(col("band"), col("key"), col("id").as("a_id"), col("sig").as("a_sig"))
     val b = banded.select(col("band"), col("key"), col("id").as("b_id"), col("sig").as("b_sig"))
     // Hamming is a pure function of the pair, so verifying BEFORE the
@@ -601,6 +588,28 @@ object Dedup {
         bit_count(col("a_sig") bitwiseXOR col("b_sig")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Pigeonhole band split shared by the self-join ([[hammingPairs]])
+    * and the cross-index gate ([[imageDupIdsVsIndex]]): the 64-bit
+    * signature splits into at least `maxHamming + 1` bands
+    * (`width = floor(64 / (maxHamming+1))`, last band may be narrower),
+    * so any pair within the radius agrees on at least one full band.
+    * Output: one (id, sig, band, key) row per band.
+    */
+  private def bandSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val width = math.max(1, 64 / math.min(maxHamming + 1, 64))
+    val nBands = (64 + width - 1) / width
+    sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until nBands).map { b =>
+        val lo = b * width
+        val w = math.min(width, 64 - lo)
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        struct(lit(b).as("band"), (shiftright(col("sig"), lo) bitwiseAND lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
   }
 
   /** Near-duplicate IMAGE pairs: perceptual dHash
@@ -621,6 +630,84 @@ object Dedup {
                         maxHamming: Int = 6): DataFrame =
     hammingPairs(df.select(col(idCol).cast("long").as("id"),
       Multimodal.dHashCol(col(bytesCol)).as("sig")), maxHamming)
+
+  // ------------------------------------- incremental image dedup (round-18)
+  /** Persisted dHash SIGNATURE index — the artifact the daily image
+    * drop gates against without ever re-decoding the corpus: one
+    * (id LONG, sig LONG) row per asset, 16 bytes — 10B images fit in
+    * ~160 GB, and the gate reads only the signature table, never a
+    * corpus byte. Single parquet dir with job-atomic appends (the
+    * [[AnnIndex.appendToIndex]] precedent — the multi-dir
+    * [[graft.store.EpochCommit]] protocol exists for indexes whose
+    * state spans several dirs; this one is one dir, one write).
+    */
+  def buildDHashIndex(df: DataFrame, idCol: String, bytesCol: String,
+                      path: String): Unit =
+    df.select(col(idCol).cast("long").as("id"),
+        Multimodal.dHashCol(col(bytesCol)).as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a batch's signatures — linear in the batch (decode+hash the
+    * arriving assets only); caller owns id-uniqueness, as with every
+    * index append in the engine.
+    */
+  def appendDHashIndex(df: DataFrame, idCol: String, bytesCol: String,
+                       path: String): Unit =
+    df.select(col(idCol).cast("long").as("id"),
+        Multimodal.dHashCol(col(bytesCol)).as("sig"))
+      .write.mode("append").parquet(path)
+
+  def readDHashIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Ids of `batch` assets within `maxHamming` of ANY indexed signature
+    * — the cross-index half of [[imageNearDupIncremental]], the
+    * [[dupIdsVsIndex]] shape in Hamming space: both sides band with the
+    * pigeonhole split, candidates equi-join on (band, key), and the
+    * exact popcount verifies — the shuffle is bounded by actual band
+    * collisions, never \|batch\| × \|corpus\|, and the corpus
+    * participates only through its 16-byte/row signature table.
+    * Per-doc and index-only (one asset's verdict never depends on the
+    * rest of the batch), so a streaming gate composes micro-batch-
+    * invariantly, exactly like the jaccard gate. Output: `__b_id`.
+    */
+  def imageDupIdsVsIndex(batch: DataFrame, idCol: String, bytesCol: String,
+                         indexSigs: DataFrame, maxHamming: Int): DataFrame = {
+    val b = bandSigs(batch.select(col(idCol).cast("long").as("id"),
+        Multimodal.dHashCol(col(bytesCol)).as("sig")), maxHamming)
+      .select(col("band"), col("key"),
+        col("id").as("__b_id"), col("sig").as("__b_sig"))
+    val i = bandSigs(indexSigs.select(col("id"), col("sig")), maxHamming)
+      .select(col("band"), col("key"), col("sig").as("__i_sig"))
+    b.join(i, Seq("band", "key"))
+      .filter(bit_count(col("__b_sig") bitwiseXOR col("__i_sig"))
+        .cast("long") <= maxHamming)
+      .select(col("__b_id")).distinct()
+  }
+
+  /** Incremental IMAGE near-dedup — the multimodal member of the
+    * incremental family (exact sha [[dedupIncremental]], n-gram text
+    * [[jaccardIncremental]], embedding [[AnnIndex.dedupIncrementalLSH]],
+    * perceptual-hash here; round-18): dedup the NEW batch within itself
+    * (dHash banding pairs → groups → min-id survivor), then drop every
+    * survivor within `maxHamming` of ANY indexed signature. Output is
+    * ready to append, and [[appendDHashIndex]] closes the daily loop.
+    * Same evaluation-pinning discipline as [[jaccardIncremental]] (lazy
+    * localCheckpoints: each batch-sized frame evaluates once across its
+    * two consumers).
+    */
+  def imageNearDupIncremental(newBatch: DataFrame, idCol: String,
+                              bytesCol: String, indexSigs: DataFrame,
+                              maxHamming: Int = 6): DataFrame = {
+    val nb = newBatch.localCheckpoint(eager = false)
+    val within = dedupNear(nb, idCol,
+      imageNearDupPairs(nb, idCol, bytesCol, maxHamming))
+      .localCheckpoint(eager = false)
+    within.join(
+      imageDupIdsVsIndex(within, idCol, bytesCol, indexSigs, maxHamming),
+      within(idCol).cast("long") === col("__b_id"), "left_anti")
+  }
 
   // ------------------------------------------------ pairs → duplicate groups
   /** Resolve near-duplicate PAIRS into duplicate GROUPS: connected

@@ -147,6 +147,38 @@ class MultimodalImageSpec extends SparkSpec {
     assert(survivors == (0L until 12L).toSet, s"survivors: $survivors")
   }
 
+  test("incremental image dedup: within-batch twin drops, indexed near-copy drops, append closes the loop (r18)") {
+    import graft.operators.Dedup
+    def pattern(seed: Int, delta: Int): Array[Byte] = png(32, 32) { (x, y) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, x >> 2, y >> 2))
+      val v = math.max(0, math.min(255, math.floorMod(h, 200) + 28 + delta))
+      (v << 16) | (v << 8) | v
+    }
+    val idxPath = graft.core.SessionCache.newTempDir("spec-mmdedup") + "/idx"
+    Dedup.buildDHashIndex(
+      (0 until 4).map(s => (s.toLong, pattern(s, 0))).toDF("id", "bytes"),
+      "id", "bytes", idxPath)
+    // batch: re-encoded copy of indexed #1 (drops via the index), novel
+    // #7 (survives), brightness-shifted twin of #7 (within-batch pair —
+    // min-id keeps 51, drops 52)
+    val batch = Seq(
+      (50L, pattern(1, 6)), (51L, pattern(7, 0)), (52L, pattern(7, 6))
+    ).toDF("id", "bytes")
+    val survivors = Dedup.imageNearDupIncremental(batch, "id", "bytes",
+        Dedup.readDHashIndex(spark, idxPath), maxHamming = 10)
+      .localCheckpoint() // consumed twice: assertion + the append below
+    assert(survivors.select("id").as[Long].collect().toSet == Set(51L),
+      s"survivors: ${survivors.collect().toSeq}")
+    // append the survivors' signatures: the NEXT drop's copy of #7 now
+    // gates against them — the closed daily loop
+    Dedup.appendDHashIndex(survivors, "id", "bytes", idxPath)
+    val next = Dedup.imageNearDupIncremental(
+        Seq((60L, pattern(7, 3))).toDF("id", "bytes"), "id", "bytes",
+        Dedup.readDHashIndex(spark, idxPath), maxHamming = 10)
+      .select("id").as[Long].collect()
+    assert(next.isEmpty, s"re-delivered #7 survived the appended index: ${next.toSeq}")
+  }
+
   test("decodeImagesPartitioned: distributed mixed-media decode matches the scalar calls") {
     val imgBytes = png(8, 6)((x, _) => if (x < 4) Black else White)
     val txtBytes = "row two is text".getBytes("UTF-8")
