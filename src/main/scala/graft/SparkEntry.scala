@@ -2370,6 +2370,68 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // E4×E6 (round-18): the CLOSED MULTIMODAL ingest loop — the dHash
+    // twin of stream_jaccard_gate_append. Two controlled waves arrive
+    // as sequential AvailableNow drains over one checkpoint; each
+    // micro-batch dedups within itself, gates against the signature
+    // index SO FAR, and appends its survivors' signatures — wave 2's
+    // planted twins of wave-1 NOVEL docs (+400000) drop ONLY because
+    // wave 1's survivors were appended, the closed-loop proof. Wave 1
+    // also carries re-deliveries of INDEXED docs (+200000, first char
+    // flipped) that the index gate must drop. DuckDB replays the
+    // two-wave chain from raw bytes: per-wave signatures, per-wave
+    // transitive closure + min-id survivor, then the Hamming gate vs
+    // corpus (wave 1) and corpus ∪ wave-1 survivors (wave 2).
+    "stream_image_gate_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val baseIdx = SessionCache.getOrCreate(s"imgate_base_idx:$dir") {
+        val p = SessionCache.newTempDir("graft-imgate-base") + "/idx"
+        Dedup.buildDHashIndex(
+          Multimodal.fakeAssets(
+            d.filter(col("doc_id") < 250).select(col("doc_id"), col("text")), "text"),
+          "doc_id", "asset_bytes", p)
+        p
+      }
+      val waveFiles = SessionCache.getOrCreate(s"imgate_waves:$dir") {
+        def flip(df: DataFrame, off: Long) = df.select(
+          (col("doc_id") + off).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+        val base = d.select(col("doc_id"), col("text"))
+        val w1 = base.filter(col("doc_id") >= 250 && col("doc_id") < 287)
+          .unionByName(flip(
+            base.filter(col("doc_id") < 250 && col("doc_id") % 9 === 0), 200000L))
+        val w2 = base.filter(col("doc_id") >= 287 && col("doc_id") < 325)
+          .unionByName(flip(
+            base.filter(col("doc_id") >= 250 && col("doc_id") < 287 &&
+              col("doc_id") % 5 === 0), 400000L))
+        Seq(w1, w2).zipWithIndex.map { case (w, i) =>
+          val p = SessionCache.newTempDir(s"graft-imgate-w$i")
+          Multimodal.fakeAssets(w, "text")
+            .select(col("doc_id"), col("asset_bytes"))
+            .coalesce(1).write.mode("overwrite").parquet(p + "/w")
+          java.nio.file.Files.list(java.nio.file.Paths.get(p, "w"))
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst.get.toString
+        }
+      }
+      // the stream MUTATES its index: fresh hardlink view per call
+      val idx = SessionCache.newTempDir("graft-imgate-idx") + "/idx"
+      SessionCache.linkTree(baseIdx, idx)
+      val arrival = SessionCache.newTempDir("graft-imgate-src")
+      val ckpt = SessionCache.newTempDir("graft-imgate-ckpt")
+      val out = SessionCache.newTempDir("graft-imgate-out") + "/surv"
+      val waveSchema = s.read.parquet(waveFiles.head).schema
+      for ((f, i) <- waveFiles.zipWithIndex) {
+        java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+          java.nio.file.Paths.get(arrival, s"arrival-$i.parquet"))
+        Streams.imageGateMaintainAvailableNow(
+          s.readStream.schema(waveSchema).parquet(arrival),
+          "doc_id", "asset_bytes", idx, out,
+          maxHamming = 10, checkpoint = Some(ckpt))
+      }
+      Streams.readGateOutput(s, out).select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // E4/E2: LSH-bucketed embedding near-dup (corpus×corpus scale path)
     "near_dup_lsh" -> ((s, dir) =>
       AnnIndex.nearDupPairsLSH(embs(s, dir), "vec_id", "embedding",
@@ -3532,6 +3594,80 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM csig c
         |  WHERE bit_count(xor(s.sig_lo, c.sig_lo)) + bit_count(xor(s.sig_hi, c.sig_hi)) <= 10)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The closed multimodal loop, INDEPENDENTLY re-derived (round-18):
+    // the two-wave chain — per-wave signatures, per-wave transitive
+    // closure + min-id survivor, wave-1 gate vs the corpus signatures,
+    // wave-2 gate vs corpus ∪ wave-1 survivors — replayed from raw
+    // bytes in one statement (two recursive walks, the
+    // stream_jaccard_gate_append precedent). Wave membership is
+    // id-range-derivable: wave 1 = [250,287) ∪ [200000,300000), wave 2
+    // = [287,325) ∪ [400000,∞).
+    "stream_image_gate_append" ->
+      s"""WITH RECURSIVE b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250 AND doc_id < 325
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, 'Z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id < 250 AND doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, 'Z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 287 AND doc_id % 5 = 0),
+        |$dhashSigsCte,
+        |cb AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |craw AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM cb),
+        |cgrid AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, 72), i ->
+        |      ('0x' || substr(hx, 2 * ((i * n) // 72) + 1, 2))::INT) AS g
+        |  FROM craw WHERE n > 0),
+        |csig AS (
+        |  SELECT doc_id,
+        |    COALESCE(list_sum(list_transform(range(0, 32), p ->
+        |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
+        |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_lo,
+        |    COALESCE(list_sum(list_transform(range(32, 64), p ->
+        |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
+        |        THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_hi
+        |  FROM cgrid
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS sig_lo, 0 AS sig_hi FROM craw WHERE n = 0),
+        |s1 AS (SELECT * FROM sig
+        |  WHERE (doc_id >= 250 AND doc_id < 287) OR (doc_id >= 200000 AND doc_id < 300000)),
+        |s2 AS (SELECT * FROM sig
+        |  WHERE (doc_id >= 287 AND doc_id < 325) OR doc_id >= 400000),
+        |pr1 AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) <= 10),
+        |e1 AS (SELECT a_id AS src, b_id AS dst FROM pr1 UNION SELECT b_id, a_id FROM pr1),
+        |walk1 AS (
+        |  SELECT src, dst FROM e1
+        |  UNION SELECT w.src, e.dst FROM walk1 w JOIN e1 e ON w.dst = e.src),
+        |lab1 AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk1 GROUP BY src),
+        |surv1 AS (
+        |  SELECT s.doc_id, s.sig_lo, s.sig_hi FROM s1 s
+        |  WHERE s.doc_id NOT IN (SELECT id FROM lab1 WHERE id <> group_id)
+        |    AND NOT EXISTS (SELECT 1 FROM csig c
+        |      WHERE bit_count(xor(s.sig_lo, c.sig_lo)) + bit_count(xor(s.sig_hi, c.sig_hi)) <= 10)),
+        |pr2 AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) <= 10),
+        |e2 AS (SELECT a_id AS src, b_id AS dst FROM pr2 UNION SELECT b_id, a_id FROM pr2),
+        |walk2 AS (
+        |  SELECT src, dst FROM e2
+        |  UNION SELECT w.src, e.dst FROM walk2 w JOIN e2 e ON w.dst = e.src),
+        |lab2 AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id FROM walk2 GROUP BY src),
+        |surv2 AS (
+        |  SELECT s.doc_id FROM s2 s
+        |  WHERE s.doc_id NOT IN (SELECT id FROM lab2 WHERE id <> group_id)
+        |    AND NOT EXISTS (SELECT 1 FROM csig c
+        |      WHERE bit_count(xor(s.sig_lo, c.sig_lo)) + bit_count(xor(s.sig_hi, c.sig_hi)) <= 10)
+        |    AND NOT EXISTS (SELECT 1 FROM surv1 v
+        |      WHERE bit_count(xor(s.sig_lo, v.sig_lo)) + bit_count(xor(s.sig_hi, v.sig_hi)) <= 10))
+        |SELECT doc_id FROM surv1
+        |UNION ALL SELECT doc_id FROM surv2
         |ORDER BY doc_id""".stripMargin,
 
     // MinHash pairs, INDEPENDENTLY re-derived (round-11): the portable

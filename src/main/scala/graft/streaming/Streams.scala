@@ -502,6 +502,57 @@ object Streams {
     awaitOrAbort(sq, "jaccardGateMaintainAvailableNow", timeoutMs)
   }
 
+  /** STREAMING IMAGE gate-then-append — the CLOSED MULTIMODAL ingest
+    * loop (round-18): the perceptual-hash twin of
+    * [[jaccardGateMaintainAvailableNow]]. Each micro-batch runs the
+    * full [[graft.operators.Dedup.imageNearDupIncremental]] discipline
+    * — dedup the batch within itself (dHash banding pairs → groups →
+    * min-id survivor), drop survivors within `maxHamming` of ANY
+    * indexed signature — writes survivors to `outDir` (overwritten
+    * `batch=<run>-<batchId>` partitions; read back via
+    * [[readGateOutput]]) and APPENDS their signatures via
+    * [[graft.operators.Dedup.appendDHashIndex]], so the next batch
+    * (and the next day) gates against them immediately. Same
+    * micro-batch-boundary semantics as the jaccard loop: per wave it
+    * equals the batch incremental chain (the declared row pins it).
+    *
+    * Exactly-once nuance — deliberately SIMPLER than the jaccard loop:
+    * the signature index appends with plain job-atomic writes, not
+    * deterministic epochs, because a replayed batch's duplicate
+    * signatures CANNOT change any future verdict (the gate is an
+    * exists-within-radius test — idempotent under duplicates) and only
+    * cost 16 bytes per duplicated row until the next rebuild. The sink
+    * stays replay-idempotent via its overwritten per-batch partitions.
+    * The corpus participates only through the 16-byte/row signature
+    * table re-read committed inside each batch closure — one bounded
+    * read, never a corpus re-decode.
+    */
+  def imageGateMaintainAvailableNow(stream: DataFrame, idCol: String,
+                                    bytesCol: String, indexPath: String,
+                                    outDir: String, maxHamming: Int = 6,
+                                    checkpoint: Option[String] = None,
+                                    timeoutMs: Long = 300000): Unit = {
+    lazy val runTag = maintainerRunTag(stream.sparkSession, checkpoint)
+    val w0 = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val survivors = graft.operators.Dedup.imageNearDupIncremental(
+            batch, idCol, bytesCol,
+            graft.operators.Dedup.readDHashIndex(s, indexPath), maxHamming)
+          .localCheckpoint() // ONE evaluation: emptiness check, sink, append
+        if (!survivors.isEmpty) {
+          survivors.write.mode("overwrite")
+            .parquet(s"$outDir/batch=$runTag-$batchId")
+          graft.operators.Dedup.appendDHashIndex(
+            survivors, idCol, bytesCol, indexPath)
+        }
+        ()
+      }
+    val sq = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    awaitOrAbort(sq, "imageGateMaintainAvailableNow", timeoutMs)
+  }
+
   /** Read a gate/maintainer sink directory back as plain survivor rows.
     * The streaming gates land each micro-batch in its own overwritten
     * `batch=<run>-<batchId>/` partition (the at-least-once replay

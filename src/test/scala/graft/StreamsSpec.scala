@@ -553,6 +553,43 @@ class StreamsSpec extends SparkSpec {
     assert(IvfPackedIndex.readFloat(spark, root).count() == 30)
   }
 
+  test("image gate-then-append CLOSES the multimodal loop: wave-2 copy of a wave-1 survivor drops (r18)") {
+    import graft.operators.Dedup
+    // deterministic distinct payloads: hex-word texts → stride-sampled
+    // dHash grids are pseudo-random, so unrelated payloads sit ~32 bits
+    // apart while a first-byte flip moves ≤ 1 bit
+    def bytesOf(seed: String): Array[Byte] =
+      (0 until 8).map(j => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .mkString(" ").getBytes("UTF-8")
+    def flip(b: Array[Byte]): Array[Byte] = { val c = b.clone(); c(0) = 'Z'.toByte; c }
+    val (a, c, dd) = (bytesOf("A"), bytesOf("C"), bytesOf("D"))
+
+    val idx = graft.core.SessionCache.newTempDir("spec-imgate-idx") + "/idx"
+    Dedup.buildDHashIndex(Seq((1L, a)).toDF("id", "bytes"), "id", "bytes", idx)
+    val arrival = graft.core.SessionCache.newTempDir("spec-imgate-src")
+    val ckpt = graft.core.SessionCache.newTempDir("spec-imgate-ckpt")
+    val out = graft.core.SessionCache.newTempDir("spec-imgate-out") + "/surv"
+    // wave 1: novel C survives, re-encoded copy of indexed A drops;
+    // wave 2: copy of C drops ONLY because wave 1 appended C's sig
+    val w1 = Seq((10L, c), (11L, flip(a))).toDF("id", "bytes")
+    val w2 = Seq((20L, flip(c)), (21L, dd)).toDF("id", "bytes")
+    for (w <- Seq(w1, w2)) {
+      w.coalesce(1).write.mode("append").parquet(arrival)
+      Streams.imageGateMaintainAvailableNow(
+        spark.readStream.schema(w1.schema).parquet(arrival),
+        "id", "bytes", idx, out, maxHamming = 10, checkpoint = Some(ckpt))
+    }
+    val got = Streams.readGateOutput(spark, out).select("id").as[Long].collect().toSet
+    assert(got == Set(10L, 21L), s"closed-loop survivors: $got")
+    // the OPEN loop (index never maintained) would admit #20
+    val open = Dedup.imageNearDupIncremental(w2, "id", "bytes",
+        Dedup.readDHashIndex(spark, idx).filter(col("id") === 1L), // A's sig only
+        maxHamming = 10)
+      .select("id").as[Long].collect().toSet
+    assert(open == Set(20L, 21L), s"open gate admitted: $open")
+  }
+
   test("streaming packed-IVF maintenance: drained index == batch build; governor compacts (r17)") {
     import graft.operators.{IvfIndex, IvfPackedIndex}
     val emb = Seq.tabulate(40) { i =>
