@@ -397,4 +397,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(bplan.toString.toLowerCase.contains("partial_topkagg"),
       s"partial_topkagg marker missing from the batch quantized probe:\n$bplan")
   }
+
+  test("image dedup family: banding equi-joins only — no cartesian, no nested-loop pixel compare (r18)") {
+    // The perceptual-hash family's scale contract: candidates come from
+    // (band, key) equi-joins, so a plan may never degrade to
+    // CartesianProduct/BroadcastNestedLoopJoin (an all-pairs compare at
+    // 100 TB). Pinned for both the self-join pairs and the cross-index
+    // incremental gate.
+    import graft.operators.Dedup
+    import spark.implicits._
+    val assets = Seq.tabulate(8)(i => (i.toLong, s"payload number $i".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    val idxSigs = Seq((100L, 42L), (101L, -7L)).toDF("id", "sig")
+    for ((what, plan) <- Seq(
+      "pairs" -> physical(Dedup.imageNearDupPairs(assets, "id", "bytes", 10)),
+      "gate" -> physical(Dedup.imageDupIdsVsIndex(assets, "id", "bytes", idxSigs, 10)))) {
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"cartesian product in the image-dedup $what plan:\n$plan")
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"nested-loop join in the image-dedup $what plan:\n$plan")
+    }
+  }
 }

@@ -553,6 +553,35 @@ class StreamsSpec extends SparkSpec {
     assert(IvfPackedIndex.readFloat(spark, root).count() == 30)
   }
 
+  test("quantized probe serves a pre-r17 packed index (no code_norm): margin-only fallback, zero margin refused (r18)") {
+    import graft.operators.IvfIndex
+    val emb = Seq.tabulate(30) { i =>
+      (i.toLong, (0 until 8).map(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = IvfIndex.fit(emb, "embedding", k = 4)
+    val assigned = IvfIndex.buildIndex(emb, "vec_id", "embedding", model)
+    // a pre-r18 maintained artifact: packed form without the build-time
+    // code_norm column (ADVICE r17 — the unconditional read failed
+    // analysis, and compact never backfills the column)
+    val legacyPacked = IvfIndex.quantizeIndexPacked(assigned).drop("code_norm")
+    val queries = emb.filter(col("vec_id") < 5)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("c_id"), round(col("score"), 6).as("s"))
+        .as[(Long, Long, Double)].collect().toSet
+    val got = sets(Streams.ivfProbeStreamQuantized(queries, "vec_id", "embedding",
+      legacyPacked, assigned, model, threshold = 0.5, nProbe = 2))
+    val expected = sets(Streams.ivfProbeStream(queries, "vec_id", "embedding",
+      assigned, model, threshold = 0.5, nProbe = 2))
+    assert(got == expected && got.nonEmpty,
+      s"margin-only fallback diverged: $got vs $expected")
+    // with no per-row bound, a zero margin would silently drop true
+    // matches — the degenerate config must be refused loudly
+    intercept[IllegalArgumentException] {
+      Streams.ivfProbeStreamQuantized(queries, "vec_id", "embedding",
+        legacyPacked, assigned, model, threshold = 0.5, nProbe = 2, margin = 0.0)
+    }
+  }
+
   test("image gate-then-append CLOSES the multimodal loop: wave-2 copy of a wave-1 survivor drops (r18)") {
     import graft.operators.Dedup
     // deterministic distinct payloads: hex-word texts → stride-sampled
