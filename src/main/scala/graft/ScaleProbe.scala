@@ -1012,13 +1012,19 @@ object ScaleProbe {
     // fan-in to govern — amplified near-copy waves drop entirely at the
     // gate and leave the epoch count at 1 forever (the r17b rehearsal
     // covers that dropping path; this block isolates the append path).
-    if (onlyR18) locally {
+    // runs in a FULL probe too (the ONLY_* convention: flags subset,
+    // never gate) — onlyR8 is the OR of the whole flag chain, so
+    // !onlyR8 means no subset flag is set
+    if (onlyR18 || !onlyR8) locally {
       val cut = nDocs * 3L / 5L
       val waves = 16
       val waveN = math.max(nDocs / 50L, 500L)
+      // wave ids start ABOVE the corpus id space (nDocs-based, not a
+      // fixed constant): a fixed base collides with corpus ids past 1M
+      // docs, and colliding postings would inflate overlap counts
       def waveDocs(w: Int): org.apache.spark.sql.DataFrame =
         spark.range(waveN).select(
-          (lit(1000000L * (w + 1)) + col("id")).as("doc_id"),
+          (lit(nDocs + w.toLong * waveN) + col("id")).as("doc_id"),
           concat_ws(" ", (0 until 8).map(j =>
             md5(concat_ws(":", lit(w), col("id"), lit(j)))): _*).as("text"))
       def run(compactEvery: Int): Seq[Double] = {

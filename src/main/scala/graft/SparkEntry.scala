@@ -3121,24 +3121,29 @@ object SparkEntry {
     * WITHOUT a leading `WITH` so it can splice after other CTEs.
     */
   /** DuckDB CTE chain deriving dHash signatures for a preceding CTE
-    * `b(doc_id, text)` — the stride-sampler fallback arithmetic of
+    * `src(doc_id, text)` — the stride-sampler fallback arithmetic of
     * [[graft.operators.Multimodal.dHash64]] re-derived from the raw
     * UTF-8 bytes (round-18): sample byte ⌊i·n/72⌋ into a 9×8 grid, set
     * bit y·8+x iff grid(y,x+1) > grid(y,x), kept as two 32-bit halves
-    * (the simhash_pairs discipline — no bit-63 shift). WITHOUT a
-    * leading `WITH` so it splices after other CTEs; yields `sig(doc_id,
-    * sig_lo, sig_hi)`.
+    * (the simhash_pairs discipline — no bit-63 shift). Parameterized
+    * like [[bm25CteFor]] so the batch and corpus sides of the
+    * incremental oracles splice the SAME arithmetic (one copy to edit,
+    * oracles can never desync); WITHOUT a leading `WITH`; yields
+    * `${p}sig(doc_id, sig_lo, sig_hi)`. NULL/empty text maps to
+    * signature 0 — exactly dHash64's null/empty-bytes early return
+    * (`n IS NULL OR n = 0` covers both; a WHERE n > 0 alone would
+    * silently DROP a null-text row the Spark side keeps).
     */
-  private val dhashSigsCte =
-    """raw AS (
+  private def dhashSigsCte(src: String, p: String): String =
+    s"""${p}raw AS (
       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-      |  FROM b),
-      |grid AS (
+      |  FROM $src),
+      |${p}grid AS (
       |  SELECT doc_id, n,
       |    list_transform(range(0, 72), i ->
       |      ('0x' || substr(hx, 2 * ((i * n) // 72) + 1, 2))::INT) AS g
-      |  FROM raw WHERE n > 0),
-      |sig AS (
+      |  FROM ${p}raw WHERE n > 0),
+      |${p}sig AS (
       |  SELECT doc_id,
       |    COALESCE(list_sum(list_transform(range(0, 32), p ->
       |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
@@ -3146,9 +3151,9 @@ object SparkEntry {
       |    COALESCE(list_sum(list_transform(range(32, 64), p ->
       |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
       |        THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_hi
-      |  FROM grid
+      |  FROM ${p}grid
       |  UNION ALL
-      |  SELECT doc_id, 0 AS sig_lo, 0 AS sig_hi FROM raw WHERE n = 0)""".stripMargin
+      |  SELECT doc_id, 0 AS sig_lo, 0 AS sig_hi FROM ${p}raw WHERE n IS NULL OR n = 0)""".stripMargin
 
   private def bm25CteFor(where: String) =
     s"""tok AS (
@@ -3530,7 +3535,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, 'Z' || substr(text, 2) AS text
         |  FROM documents WHERE doc_id < 300 AND doc_id % 7 = 0),
-        |$dhashSigsCte,
+        |${dhashSigsCte("b", "")},
         |allp AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    CAST(bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
@@ -3554,27 +3559,9 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 300000 AS doc_id, 'Z' || substr(text, 2) AS text
         |  FROM documents WHERE doc_id >= 250 AND doc_id < 325 AND doc_id % 11 = 0),
-        |$dhashSigsCte,
+        |${dhashSigsCte("b", "")},
         |cb AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
-        |craw AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-        |  FROM cb),
-        |cgrid AS (
-        |  SELECT doc_id, n,
-        |    list_transform(range(0, 72), i ->
-        |      ('0x' || substr(hx, 2 * ((i * n) // 72) + 1, 2))::INT) AS g
-        |  FROM craw WHERE n > 0),
-        |csig AS (
-        |  SELECT doc_id,
-        |    COALESCE(list_sum(list_transform(range(0, 32), p ->
-        |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
-        |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_lo,
-        |    COALESCE(list_sum(list_transform(range(32, 64), p ->
-        |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
-        |        THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_hi
-        |  FROM cgrid
-        |  UNION ALL
-        |  SELECT doc_id, 0 AS sig_lo, 0 AS sig_hi FROM craw WHERE n = 0),
+        |${dhashSigsCte("cb", "c")},
         |pr AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -3613,27 +3600,9 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 400000 AS doc_id, 'Z' || substr(text, 2) AS text
         |  FROM documents WHERE doc_id >= 250 AND doc_id < 287 AND doc_id % 5 = 0),
-        |$dhashSigsCte,
+        |${dhashSigsCte("b", "")},
         |cb AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
-        |craw AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-        |  FROM cb),
-        |cgrid AS (
-        |  SELECT doc_id, n,
-        |    list_transform(range(0, 72), i ->
-        |      ('0x' || substr(hx, 2 * ((i * n) // 72) + 1, 2))::INT) AS g
-        |  FROM craw WHERE n > 0),
-        |csig AS (
-        |  SELECT doc_id,
-        |    COALESCE(list_sum(list_transform(range(0, 32), p ->
-        |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
-        |        THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_lo,
-        |    COALESCE(list_sum(list_transform(range(32, 64), p ->
-        |      CASE WHEN g[(p // 8) * 9 + (p % 8) + 2] > g[(p // 8) * 9 + (p % 8) + 1]
-        |        THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE CAST(0 AS BIGINT) END)), 0) AS sig_hi
-        |  FROM cgrid
-        |  UNION ALL
-        |  SELECT doc_id, 0 AS sig_lo, 0 AS sig_hi FROM craw WHERE n = 0),
+        |${dhashSigsCte("cb", "c")},
         |s1 AS (SELECT * FROM sig
         |  WHERE (doc_id >= 250 AND doc_id < 287) OR (doc_id >= 200000 AND doc_id < 300000)),
         |s2 AS (SELECT * FROM sig

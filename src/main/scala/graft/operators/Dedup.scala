@@ -661,21 +661,21 @@ object Dedup {
                      path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Ids of `batch` assets within `maxHamming` of ANY indexed signature
-    * — the cross-index half of [[imageNearDupIncremental]], the
-    * [[dupIdsVsIndex]] shape in Hamming space: both sides band with the
-    * pigeonhole split, candidates equi-join on (band, key), and the
-    * exact popcount verifies — the shuffle is bounded by actual band
-    * collisions, never \|batch\| × \|corpus\|, and the corpus
-    * participates only through its 16-byte/row signature table.
-    * Per-doc and index-only (one asset's verdict never depends on the
-    * rest of the batch), so a streaming gate composes micro-batch-
-    * invariantly, exactly like the jaccard gate. Output: `__b_id`.
+  /** Ids of a `(id, sig)` signature frame within `maxHamming` of ANY
+    * indexed signature — the cross-index half of
+    * [[imageNearDupIncremental]], the [[dupIdsVsIndex]] shape in
+    * Hamming space: both sides band with the pigeonhole split,
+    * candidates equi-join on (band, key), and the exact popcount
+    * verifies — the shuffle is bounded by actual band collisions, never
+    * \|batch\| × \|corpus\|, and the corpus participates only through
+    * its 16-byte/row signature table. Per-doc and index-only (one
+    * asset's verdict never depends on the rest of the batch), so a
+    * streaming gate composes micro-batch-invariantly, exactly like the
+    * jaccard gate. Output: `__b_id`.
     */
-  def imageDupIdsVsIndex(batch: DataFrame, idCol: String, bytesCol: String,
-                         indexSigs: DataFrame, maxHamming: Int): DataFrame = {
-    val b = bandSigs(batch.select(col(idCol).cast("long").as("id"),
-        Multimodal.dHashCol(col(bytesCol)).as("sig")), maxHamming)
+  def sigDupIdsVsIndex(batchSigs: DataFrame, indexSigs: DataFrame,
+                       maxHamming: Int): DataFrame = {
+    val b = bandSigs(batchSigs, maxHamming)
       .select(col("band"), col("key"),
         col("id").as("__b_id"), col("sig").as("__b_sig"))
     val i = bandSigs(indexSigs.select(col("id"), col("sig")), maxHamming)
@@ -684,6 +684,45 @@ object Dedup {
       .filter(bit_count(col("__b_sig") bitwiseXOR col("__i_sig"))
         .cast("long") <= maxHamming)
       .select(col("__b_id")).distinct()
+  }
+
+  /** Byte-level face of [[sigDupIdsVsIndex]] — hashes the batch once
+    * and gates it against the index.
+    */
+  def imageDupIdsVsIndex(batch: DataFrame, idCol: String, bytesCol: String,
+                         indexSigs: DataFrame, maxHamming: Int): DataFrame =
+    sigDupIdsVsIndex(
+      batch.select(col(idCol).cast("long").as("id"),
+        Multimodal.dHashCol(col(bytesCol)).as("sig")),
+      indexSigs, maxHamming)
+
+  /** [[imageNearDupIncremental]] with the survivors' signatures riding
+    * along as `__sig` — the maintainer's form: the signature of each
+    * asset is computed EXACTLY ONCE per batch (for real images a
+    * signature is a full decode + rescale, the dominant per-asset cost;
+    * the first draft decoded three times — pairs, gate, append) and the
+    * caller appends the emitted `(id, __sig)` pairs via
+    * [[appendDHashSigs]] without re-hashing bytes.
+    */
+  private[graft] def imageNearDupIncrementalSigs(newBatch: DataFrame, idCol: String,
+                                                 bytesCol: String, indexSigs: DataFrame,
+                                                 maxHamming: Int): DataFrame = {
+    val nb = newBatch.localCheckpoint(eager = false)
+    // ONE signature pass over the batch; pairs, gate, and append reuse it
+    val sigs = nb.select(col(idCol).cast("long").as("__sid"),
+        Multimodal.dHashCol(col(bytesCol)).as("__sig"))
+      .localCheckpoint(eager = false)
+    val pairs = hammingPairs(
+      sigs.select(col("__sid").as("id"), col("__sig").as("sig")), maxHamming)
+    val withSigs = dedupNear(nb, idCol, pairs)
+      .join(sigs, col(idCol).cast("long") === col("__sid"))
+      .drop("__sid")
+      .localCheckpoint(eager = false)
+    withSigs.join(
+      sigDupIdsVsIndex(
+        withSigs.select(col(idCol).cast("long").as("id"), col("__sig").as("sig")),
+        indexSigs, maxHamming),
+      withSigs(idCol).cast("long") === col("__b_id"), "left_anti")
   }
 
   /** Incremental IMAGE near-dedup — the multimodal member of the
@@ -695,19 +734,21 @@ object Dedup {
     * ready to append, and [[appendDHashIndex]] closes the daily loop.
     * Same evaluation-pinning discipline as [[jaccardIncremental]] (lazy
     * localCheckpoints: each batch-sized frame evaluates once across its
-    * two consumers).
+    * consumers), and each asset is decoded+hashed exactly once.
     */
   def imageNearDupIncremental(newBatch: DataFrame, idCol: String,
                               bytesCol: String, indexSigs: DataFrame,
-                              maxHamming: Int = 6): DataFrame = {
-    val nb = newBatch.localCheckpoint(eager = false)
-    val within = dedupNear(nb, idCol,
-      imageNearDupPairs(nb, idCol, bytesCol, maxHamming))
-      .localCheckpoint(eager = false)
-    within.join(
-      imageDupIdsVsIndex(within, idCol, bytesCol, indexSigs, maxHamming),
-      within(idCol).cast("long") === col("__b_id"), "left_anti")
-  }
+                              maxHamming: Int = 6): DataFrame =
+    imageNearDupIncrementalSigs(newBatch, idCol, bytesCol, indexSigs, maxHamming)
+      .drop("__sig")
+
+  /** Append precomputed `(id, sig)` rows — the maintainer's append:
+    * signatures computed once by [[imageNearDupIncrementalSigs]] land
+    * without a second decode pass.
+    */
+  def appendDHashSigs(sigs: DataFrame, path: String): Unit =
+    sigs.select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig"))
+      .write.mode("append").parquet(path)
 
   // ------------------------------------------------ pairs → duplicate groups
   /** Resolve near-duplicate PAIRS into duplicate GROUPS: connected

@@ -14,8 +14,12 @@ import graft.functions.VectorOps
   *
   *  - BUILD: fit a coarse quantizer (MLlib KMeans, seeded → deterministic)
   *    on the corpus, assign every vector to its nearest centroid; the
-  *    index is `(cluster, id, embedding)`, written partitionBy("cluster")
-  *    so probes prune partitions.
+  *    index is `(cluster, id, embedding)`, written
+  *    partitionBy("bucket") with `bucket = cluster % ClusterBuckets`
+  *    and (bucket, cluster, id)-sorted files (round-18 — see
+  *    [[ClusterBuckets]] for the on-disk format contract), so probes
+  *    prune the dir listing on buckets and the scan on parquet
+  *    row-group cluster ranges.
   *  - PROBE: rank centroids by cosine to the query DRIVER-side (k tiny),
   *    scan only the `nProbe` nearest clusters, exact-rerank with the
   *    codegen cosine.

@@ -536,15 +536,18 @@ object Streams {
     val w0 = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val survivors = graft.operators.Dedup.imageNearDupIncremental(
+        // the Sigs form: each asset is decoded+hashed ONCE per batch —
+        // pairs, gate, and the index append all reuse the signature
+        val survivors = graft.operators.Dedup.imageNearDupIncrementalSigs(
             batch, idCol, bytesCol,
             graft.operators.Dedup.readDHashIndex(s, indexPath), maxHamming)
           .localCheckpoint() // ONE evaluation: emptiness check, sink, append
         if (!survivors.isEmpty) {
-          survivors.write.mode("overwrite")
+          survivors.drop("__sig").write.mode("overwrite")
             .parquet(s"$outDir/batch=$runTag-$batchId")
-          graft.operators.Dedup.appendDHashIndex(
-            survivors, idCol, bytesCol, indexPath)
+          graft.operators.Dedup.appendDHashSigs(
+            survivors.select(col(idCol).cast("long").as("id"),
+              col("__sig").as("sig")), indexPath)
         }
         ()
       }
