@@ -195,8 +195,11 @@ class EpochCommitSpec extends SparkSpec {
     // …but the filtered names are SURFACED, not swallowed (r16 advisor:
     // the shape filter must not turn a corrupt/foreign marker into
     // invisible data — an operator reads this next to committedCount)
+    // .sorted on the expectation too: `e` is a RANDOM epoch id, so the
+    // relative order of "e1" and e+"x" depends on e's first hex digit —
+    // the hand-ordered form flaked 1 run in 16 (caught round 18)
     assert(graft.store.EpochCommit.strayMarkers(spark, path)
-      == Seq(".e123.swp", "E" + "0" * 32, "_SUCCESS", "e1", e + "x"))
+      == Seq(".e123.swp", "E" + "0" * 32, "_SUCCESS", "e1", e + "x").sorted)
     assert(graft.store.EpochCommit.strayMarkers(spark, tmp("graft-epoch-nostray"))
       .isEmpty)
   }
