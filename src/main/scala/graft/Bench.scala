@@ -297,12 +297,39 @@ object Bench {
     // asynchronously and the settle sleep would pollute row timings.
     def bytesOf(f: => Unit): Long = {
       val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val started = new java.util.concurrent.atomic.AtomicLong(0)
+      val ended = new java.util.concurrent.atomic.AtomicLong(0)
       val l = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+          started.incrementAndGet(); ()
+        }
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+          ended.incrementAndGet(); ()
+        }
       }
       spark.sparkContext.addSparkListener(l)
-      try { f; Thread.sleep(1500) } finally spark.sparkContext.removeSparkListener(l)
+      try {
+        f
+        // The listener bus drains ASYNC. A fixed settle sleep silently
+        // undercounts on a loaded box (advisor, r18) — instead wait until
+        // every launched task's end event has been processed AND the
+        // count is stable across two polls (the bus is FIFO, so a start
+        // can't trail its own end), bounded so a lost event can't hang
+        // the bench; a non-settled exit is LOUD, never a quiet undercount.
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var prev = -1L
+        var stable = false
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val e = ended.get()
+          stable = e == started.get() && e == prev
+          prev = e
+        }
+        if (!stable)
+          System.err.println("[graft-bench] bytesOf listener did not settle in 15s: " +
+            s"started=${started.get()} ended=${ended.get()} — tracked bytes may undercount")
+      } finally spark.sparkContext.removeSparkListener(l)
       bytes.get()
     }
     val bytesE20 = core.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 20)

@@ -22,9 +22,10 @@ object SessionCache {
 
   sys.addShutdownHook {
     tempDirs.forEach { p =>
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.deleteIfExists(q))
+      if (Files.exists(p)) {
+        val st = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        try st.forEach(q => Files.deleteIfExists(q)) finally st.close()
+      }
     }
   }
 
@@ -80,7 +81,11 @@ object SessionCache {
   def linkTree(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val d = java.nio.file.Paths.get(dst)
-    Files.walk(s).forEach { p =>
+    // Files.walk streams hold directory handles until closed — and this
+    // runs once per bench-row invocation, so an unclosed stream leaks a
+    // handle per call (advisor, r18)
+    val st = Files.walk(s)
+    try st.forEach { p =>
       val t = d.resolve(s.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else
@@ -88,6 +93,6 @@ object SessionCache {
         catch { case _: UnsupportedOperationException | _: java.io.IOException =>
           Files.copy(p, t)
         }
-    }
+    } finally st.close()
   }
 }

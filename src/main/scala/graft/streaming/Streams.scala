@@ -447,8 +447,11 @@ object Streams {
     * [[graft.store.EpochCommit.deterministicEpochId]]: a crash between
     * a governor compact and that batch's offset commit degrades THAT
     * batch to at-least-once — strict pipelines compact out-of-band).
-    * Empty batches and all-dropped batches touch neither the sink nor
-    * the index (no no-op epochs, no footer-less delta dirs).
+    * Empty batches and all-dropped batches never touch the INDEX (no
+    * no-op epochs, no footer-less delta dirs) but still land their
+    * (empty) sink partition — its parquet footer is what keeps
+    * [[readGateOutput]] schema-readable on an all-duplicates day
+    * (round-19; ADVICE r18).
     *
     * Scale note: the index is re-read COMMITTED-ONLY inside each batch
     * closure (freshness is the point — the previous batch's append must
@@ -479,15 +482,19 @@ object Streams {
             batch, idCol, textCol, n, threshold,
             graft.operators.Dedup.readPostingsIndex(s, indexPath), maxDocFreq)
           .localCheckpoint() // eager: ONE evaluation feeds emptiness check, sink, and append
+        // The SINK write is UNCONDITIONAL (round-19; ADVICE r18): an
+        // all-dropped batch still lands its (empty-but-schema-carrying)
+        // partition, so [[readGateOutput]] works on the all-duplicates
+        // day — previously the dir appeared only on the first survivor
+        // write and the documented read path failed schema inference.
+        // IDEMPOTENT under micro-batch replay (round-17): each batch
+        // owns an overwritten partition dir and the index append uses a
+        // deterministic per-batch epoch — a replayed batch replaces
+        // itself on both sides instead of duplicating survivors/postings
+        // (foreachBatch is at-least-once by contract).
+        survivors.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$runTag-$batchId")
         if (!survivors.isEmpty) {
-          // IDEMPOTENT under micro-batch replay (round-17): the sink
-          // lands each batch in its own overwritten partition dir and
-          // the index append uses a deterministic per-batch epoch — a
-          // replayed batch replaces itself on both sides instead of
-          // duplicating survivors/postings (foreachBatch is
-          // at-least-once by contract).
-          survivors.write.mode("overwrite")
-            .parquet(s"$outDir/batch=$runTag-$batchId")
           graft.operators.Dedup.appendPostingsIndex(
             survivors, idCol, textCol, n, indexPath, maxDocFreq,
             idempotencyTag = Some(s"jgate:$runTag:$batchId"))
@@ -542,9 +549,11 @@ object Streams {
             batch, idCol, bytesCol,
             graft.operators.Dedup.readDHashIndex(s, indexPath), maxHamming)
           .localCheckpoint() // ONE evaluation: emptiness check, sink, append
+        // unconditional sink write — see the jaccard twin (round-19;
+        // ADVICE r18: readGateOutput must work on the all-duplicates day)
+        survivors.drop("__sig").write.mode("overwrite")
+          .parquet(s"$outDir/batch=$runTag-$batchId")
         if (!survivors.isEmpty) {
-          survivors.drop("__sig").write.mode("overwrite")
-            .parquet(s"$outDir/batch=$runTag-$batchId")
           graft.operators.Dedup.appendDHashSigs(
             survivors.select(col(idCol).cast("long").as("id"),
               col("__sig").as("sig")), indexPath)
@@ -563,8 +572,15 @@ object Streams {
     * bookkeeping `batch` string column; this helper drops it — the one
     * documented way to consume the sink (round-18; ADVICE r17).
     */
-  def readGateOutput(spark: SparkSession, outDir: String): DataFrame =
+  def readGateOutput(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      throw new graft.core.EngineError(
+        s"gate sink at $outDir does not exist — the maintainer has not processed " +
+        "any micro-batch yet (a drained run always creates the sink, even when " +
+        "every row was dropped as a duplicate)")
     spark.read.parquet(outDir).drop("batch")
+  }
 
   /** Per-stream-run scope for idempotency tags and sink partitions.
     * With a checkpoint: the checkpoint's PERSISTED streaming-query id

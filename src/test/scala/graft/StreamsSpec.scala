@@ -619,6 +619,38 @@ class StreamsSpec extends SparkSpec {
     assert(open == Set(20L, 21L), s"open gate admitted: $open")
   }
 
+  test("all-duplicates day: the gate sink stays schema-readable when every row drops (r19)") {
+    import graft.operators.Dedup
+    // the ADVICE r18 break: the sink dir appeared only on the first
+    // SURVIVOR write, so a run whose every batch gated away failed the
+    // documented readGateOutput with schema-inference AnalysisException
+    def bytesOf(seed: String): Array[Byte] =
+      (0 until 8).map(j => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .mkString(" ").getBytes("UTF-8")
+    val (a, b) = (bytesOf("AD1"), bytesOf("AD2"))
+    val idx = graft.core.SessionCache.newTempDir("spec-adup-idx") + "/idx"
+    Dedup.buildDHashIndex(Seq((1L, a), (2L, b)).toDF("id", "bytes"), "id", "bytes", idx)
+    val arrival = graft.core.SessionCache.newTempDir("spec-adup-src")
+    val ckpt = graft.core.SessionCache.newTempDir("spec-adup-ckpt")
+    val out = graft.core.SessionCache.newTempDir("spec-adup-out") + "/surv"
+    // exact copies of indexed assets: the whole wave drops
+    val w1 = Seq((10L, a), (11L, b)).toDF("id", "bytes")
+    w1.coalesce(1).write.mode("append").parquet(arrival)
+    Streams.imageGateMaintainAvailableNow(
+      spark.readStream.schema(w1.schema).parquet(arrival),
+      "id", "bytes", idx, out, maxHamming = 10, checkpoint = Some(ckpt))
+    val got = Streams.readGateOutput(spark, out)
+    assert(got.columns.toSeq == Seq("id", "bytes"), got.columns.toSeq.toString)
+    assert(got.count() == 0)
+    // and the index gained nothing (all-dropped batches never touch it)
+    assert(Dedup.readDHashIndex(spark, idx).count() == 2)
+    // a sink the maintainer never created at all is LOUD, not inference noise
+    val e = intercept[graft.core.EngineError](
+      Streams.readGateOutput(spark, out + "-never-ran"))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
   test("streaming packed-IVF maintenance: drained index == batch build; governor compacts (r17)") {
     import graft.operators.{IvfIndex, IvfPackedIndex}
     val emb = Seq.tabulate(40) { i =>
