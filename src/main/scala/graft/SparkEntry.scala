@@ -2336,8 +2336,9 @@ object SparkEntry {
     // the incremental family (sha / jaccard / LSH / dHash): the daily
     // image drop dedups within itself (banding pairs → groups → min-id
     // survivor), then drops every survivor within Hamming 10 of ANY
-    // signature in the persisted 16-byte/row dHash index — the corpus
-    // participates ONLY through that table, never re-decoded. The batch
+    // signature in the persisted BANDED dHash index (round-19: the gate
+    // reads only the batch's colliding (band, kb) buckets — the corpus
+    // is never re-banded, re-shuffled, or re-decoded per batch). The batch
     // is novel docs ∪ planted re-deliveries (every 9th indexed doc with
     // its first character flipped — a "re-encoded" copy sha would miss;
     // all must drop via the index). DuckDB replays everything from raw
@@ -2348,8 +2349,10 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val idxPath = SessionCache.getOrCreate(s"mmdedup_idx:$dir") {
         val p = SessionCache.newTempDir("graft-mmdedup-idx") + "/idx"
-        Dedup.buildDHashIndex(Multimodal.fakeAssets(base, "text"),
-          "doc_id", "asset_bytes", p)
+        // BANDED form (round-19): the gate prunes to colliding
+        // (band, kb) buckets instead of re-banding the whole table
+        Dedup.buildBandedDHashIndex(Multimodal.fakeAssets(base, "text"),
+          "doc_id", "asset_bytes", p, maxHamming = 10)
         p
       }
       val novel = docs(s, dir).filter(col("doc_id") >= 250 && col("doc_id") < 325)
@@ -2362,11 +2365,10 @@ object SparkEntry {
       val withinTwins = novel.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 300000L).as("doc_id"),
           concat(lit("Z"), expr("substring(text, 2)")).as("text"))
-      Dedup.imageNearDupIncremental(
+      Dedup.imageNearDupIncrementalBanded(
           Multimodal.fakeAssets(
             novel.unionByName(redelivered).unionByName(withinTwins), "text"),
-          "doc_id", "asset_bytes",
-          Dedup.readDHashIndex(s, idxPath), maxHamming = 10)
+          "doc_id", "asset_bytes", idxPath, maxHamming = 10)
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
@@ -2386,10 +2388,10 @@ object SparkEntry {
       val d = docs(s, dir)
       val baseIdx = SessionCache.getOrCreate(s"imgate_base_idx:$dir") {
         val p = SessionCache.newTempDir("graft-imgate-base") + "/idx"
-        Dedup.buildDHashIndex(
+        Dedup.buildBandedDHashIndex(
           Multimodal.fakeAssets(
             d.filter(col("doc_id") < 250).select(col("doc_id"), col("text")), "text"),
-          "doc_id", "asset_bytes", p)
+          "doc_id", "asset_bytes", p, maxHamming = 10)
         p
       }
       val waveFiles = SessionCache.getOrCreate(s"imgate_waves:$dir") {

@@ -149,52 +149,34 @@ object IvfIndex {
     */
   final case class LayoutMeta(formatVersion: Int, clusterBuckets: Int)
 
-  private def metaFilePath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_meta")
-
   private def fsOf(spark: org.apache.spark.sql.SparkSession,
                    p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Record THIS build's layout constants at the index root. The file
-    * name starts with '_' so parquet directory listings ignore it (the
-    * `_tombstones` convention). Written at build/append/compact —
-    * appends backfill it onto r18-era bucketed artifacts that predate
-    * the sidecar. Content is a two-line properties text (no parser
-    * dependency, trivially inspectable by hand).
+  /** Record THIS build's layout constants at the index root (shared
+    * [[graft.store.MetaSidecar]] format). Written at build/append/
+    * compact — appends backfill it onto r18-era bucketed artifacts that
+    * predate the sidecar.
     */
-  def writeLayoutMeta(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val p = metaFilePath(path)
-    val out = fsOf(spark, p).create(p, /* overwrite = */ true)
-    try out.write(
-      s"formatVersion=$FormatVersion\nclusterBuckets=$ClusterBuckets\n".getBytes("UTF-8"))
-    finally out.close()
-  }
+  def writeLayoutMeta(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.store.MetaSidecar.write(spark, path,
+      Seq("formatVersion" -> FormatVersion, "clusterBuckets" -> ClusterBuckets))
 
   /** The persisted layout descriptor, if the artifact carries one.
-    * A PRESENT-but-unparseable sidecar is loud (corruption must never
-    * read as "no metadata, assume compatible").
+    * A PRESENT-but-unparseable/incomplete sidecar is loud (corruption
+    * must never read as "no metadata, assume compatible").
     */
   def readLayoutMeta(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Option[LayoutMeta] = {
-    val p = metaFilePath(path)
-    val f = fsOf(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val kv = text.linesIterator.filter(_.contains("="))
-        .map { l => val Array(k, v) = l.split("=", 2); (k.trim, v.trim) }.toMap
-      try Some(LayoutMeta(kv("formatVersion").toInt, kv("clusterBuckets").toInt))
-      catch { case e: Exception =>
-        throw new graft.core.EngineError(
-          s"unparseable IVF layout sidecar at $p (content: ${text.trim}) — " +
-          "refusing to serve an index whose bucket modulus cannot be verified", e)
+                     path: String): Option[LayoutMeta] =
+    graft.store.MetaSidecar.read(spark, path, "IVF").map { kv =>
+      (kv.get("formatVersion"), kv.get("clusterBuckets")) match {
+        case (Some(f), Some(c)) => LayoutMeta(f, c)
+        case _ => throw new graft.core.EngineError(
+          s"IVF layout sidecar at $path/_meta is missing formatVersion/clusterBuckets " +
+          s"(found keys: ${kv.keys.mkString(", ")}) — refusing to serve an index whose " +
+          "bucket modulus cannot be verified")
       }
     }
-  }
 
   /** Loud mismatch check run by every path-based read and append: an
     * artifact written under a different [[ClusterBuckets]] (or an

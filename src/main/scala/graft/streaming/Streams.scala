@@ -518,7 +518,7 @@ object Streams {
     * indexed signature — writes survivors to `outDir` (overwritten
     * `batch=<run>-<batchId>` partitions; read back via
     * [[readGateOutput]]) and APPENDS their signatures via
-    * [[graft.operators.Dedup.appendDHashIndex]], so the next batch
+    * [[graft.operators.Dedup.appendBandedDHashSigs]], so the next batch
     * (and the next day) gates against them immediately. Same
     * micro-batch-boundary semantics as the jaccard loop: per wave it
     * equals the batch incremental chain (the declared row pins it).
@@ -528,11 +528,18 @@ object Streams {
     * deterministic epochs, because a replayed batch's duplicate
     * signatures CANNOT change any future verdict (the gate is an
     * exists-within-radius test — idempotent under duplicates) and only
-    * cost 16 bytes per duplicated row until the next rebuild. The sink
+    * cost a few duplicated rows until the next rebuild. The sink
     * stays replay-idempotent via its overwritten per-batch partitions.
-    * The corpus participates only through the 16-byte/row signature
-    * table re-read committed inside each batch closure — one bounded
-    * read, never a corpus re-decode.
+    *
+    * `indexPath` is a BANDED signature index (round-19; VERDICT r18
+    * "missing" #1 — [[graft.operators.Dedup.buildBandedDHashIndex]]):
+    * the r18 form re-banded the ENTIRE flat signature table inside
+    * every micro-batch closure (a nBands-way explode over the corpus
+    * per arriving wave); the banded artifact pays that banding once at
+    * build/append, and each batch's gate prunes the index listing to
+    * its colliding (band, kb) buckets — the corpus participates only
+    * through those buckets' signature rows, never a corpus re-band or
+    * re-decode.
     */
   def imageGateMaintainAvailableNow(stream: DataFrame, idCol: String,
                                     bytesCol: String, indexPath: String,
@@ -542,19 +549,17 @@ object Streams {
     lazy val runTag = maintainerRunTag(stream.sparkSession, checkpoint)
     val w0 = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
         // the Sigs form: each asset is decoded+hashed ONCE per batch —
         // pairs, gate, and the index append all reuse the signature
-        val survivors = graft.operators.Dedup.imageNearDupIncrementalSigs(
-            batch, idCol, bytesCol,
-            graft.operators.Dedup.readDHashIndex(s, indexPath), maxHamming)
+        val survivors = graft.operators.Dedup.imageNearDupIncrementalSigsBanded(
+            batch, idCol, bytesCol, indexPath, maxHamming)
           .localCheckpoint() // ONE evaluation: emptiness check, sink, append
         // unconditional sink write — see the jaccard twin (round-19;
         // ADVICE r18: readGateOutput must work on the all-duplicates day)
         survivors.drop("__sig").write.mode("overwrite")
           .parquet(s"$outDir/batch=$runTag-$batchId")
         if (!survivors.isEmpty) {
-          graft.operators.Dedup.appendDHashSigs(
+          graft.operators.Dedup.appendBandedDHashSigs(
             survivors.select(col(idCol).cast("long").as("id"),
               col("__sig").as("sig")), indexPath)
         }

@@ -179,6 +179,70 @@ class MultimodalImageSpec extends SparkSpec {
     assert(next.isEmpty, s"re-delivered #7 survived the appended index: ${next.toSeq}")
   }
 
+  test("BANDED dHash index: verdict parity with the flat form at every serving radius; guards are loud (r19)") {
+    import graft.operators.{Dedup, Multimodal}
+    // deterministic opaque payloads (stride-sampler fallback): parity is
+    // a property of the banding math, not the pixel decode
+    val corpus = (0 until 40).map(i => (i.toLong,
+      s"banded parity payload number $i with some trailing entropy $i$i".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    val bandedPath = graft.core.SessionCache.newTempDir("spec-banded") + "/bidx"
+    val flatPath = graft.core.SessionCache.newTempDir("spec-banded") + "/fidx"
+    Dedup.buildBandedDHashIndex(corpus, "id", "bytes", bandedPath, maxHamming = 10)
+    Dedup.buildDHashIndex(corpus, "id", "bytes", flatPath)
+
+    // the flat view of the banded tree == the flat index, exactly
+    val flatView = Dedup.readBandedDHashFlat(spark, bandedPath)
+      .as[(Long, Long)].collect().toSet
+    val flatIdx = Dedup.readDHashIndex(spark, flatPath)
+      .as[(Long, Long)].collect().toSet
+    assert(flatView == flatIdx && flatView.size == 40)
+
+    // batch: exact re-deliveries of every 3rd asset + novel payloads
+    val batch = ((0 until 40 by 3).map(i => (1000L + i,
+        s"banded parity payload number $i with some trailing entropy $i$i".getBytes("UTF-8"))) ++
+      (0 until 6).map(i => (2000L + i, s"genuinely novel payload $i".getBytes("UTF-8"))))
+      .toDF("id", "bytes")
+    val batchSigs = batch.select(col("id"),
+      Multimodal.dHashCol(col("bytes")).as("sig")).localCheckpoint()
+
+    // verdict parity at the built radius AND at tighter serving radii
+    // (banding at R is complete for every r <= R)
+    for (r <- Seq(10, 4, 0)) {
+      val viaBanded = Dedup.sigDupIdsVsBandedIndex(batchSigs, bandedPath, r)
+        .as[Long].collect().toSet
+      val viaFlat = Dedup.sigDupIdsVsIndex(batchSigs,
+          Dedup.readDHashIndex(spark, flatPath), r)
+        .as[Long].collect().toSet
+      assert(viaBanded == viaFlat, s"radius $r: banded $viaBanded vs flat $viaFlat")
+      if (r == 10) assert(viaBanded.size >= 10, s"re-deliveries not caught: $viaBanded")
+    }
+
+    // a WIDER serving radius than the build's would silently miss pairs
+    // that disagree on every band — refused loudly
+    val e = intercept[graft.core.EngineError](
+      Dedup.sigDupIdsVsBandedIndex(batchSigs, bandedPath, maxHamming = 11))
+    assert(e.getMessage.contains("radius"), e.getMessage)
+    // a non-banded artifact has no banding constants to validate — loud
+    intercept[graft.core.EngineError](
+      Dedup.sigDupIdsVsBandedIndex(batchSigs, flatPath, maxHamming = 10))
+    intercept[graft.core.EngineError](Dedup.readBandedDHashFlat(spark, flatPath))
+
+    // append parity: the same survivors land in both forms, verdicts stay equal
+    val novel = batch.filter(col("id") >= 2000L)
+    Dedup.appendBandedDHashIndex(novel, "id", "bytes", bandedPath)
+    Dedup.appendDHashIndex(novel, "id", "bytes", flatPath)
+    val reBatch = Seq((3000L, "genuinely novel payload 2".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    val gotB = Dedup.imageNearDupIncrementalBanded(reBatch, "id", "bytes",
+      bandedPath, maxHamming = 10).select("id").as[Long].collect().toSet
+    val gotF = Dedup.imageNearDupIncremental(reBatch, "id", "bytes",
+      Dedup.readDHashIndex(spark, flatPath), maxHamming = 10)
+      .select("id").as[Long].collect().toSet
+    assert(gotB == gotF && gotB.isEmpty,
+      s"appended novel payload did not gate its re-delivery: banded $gotB flat $gotF")
+  }
+
   test("decodeImagesPartitioned: distributed mixed-media decode matches the scalar calls") {
     val imgBytes = png(8, 6)((x, _) => if (x < 4) Black else White)
     val txtBytes = "row two is text".getBytes("UTF-8")

@@ -595,7 +595,8 @@ class StreamsSpec extends SparkSpec {
     val (a, c, dd) = (bytesOf("A"), bytesOf("C"), bytesOf("D"))
 
     val idx = graft.core.SessionCache.newTempDir("spec-imgate-idx") + "/idx"
-    Dedup.buildDHashIndex(Seq((1L, a)).toDF("id", "bytes"), "id", "bytes", idx)
+    Dedup.buildBandedDHashIndex(Seq((1L, a)).toDF("id", "bytes"), "id", "bytes", idx,
+      maxHamming = 10)
     val arrival = graft.core.SessionCache.newTempDir("spec-imgate-src")
     val ckpt = graft.core.SessionCache.newTempDir("spec-imgate-ckpt")
     val out = graft.core.SessionCache.newTempDir("spec-imgate-out") + "/surv"
@@ -613,7 +614,7 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set(10L, 21L), s"closed-loop survivors: $got")
     // the OPEN loop (index never maintained) would admit #20
     val open = Dedup.imageNearDupIncremental(w2, "id", "bytes",
-        Dedup.readDHashIndex(spark, idx).filter(col("id") === 1L), // A's sig only
+        Dedup.readBandedDHashFlat(spark, idx).filter(col("id") === 1L), // A's sig only
         maxHamming = 10)
       .select("id").as[Long].collect().toSet
     assert(open == Set(20L, 21L), s"open gate admitted: $open")
@@ -630,7 +631,8 @@ class StreamsSpec extends SparkSpec {
         .mkString(" ").getBytes("UTF-8")
     val (a, b) = (bytesOf("AD1"), bytesOf("AD2"))
     val idx = graft.core.SessionCache.newTempDir("spec-adup-idx") + "/idx"
-    Dedup.buildDHashIndex(Seq((1L, a), (2L, b)).toDF("id", "bytes"), "id", "bytes", idx)
+    Dedup.buildBandedDHashIndex(Seq((1L, a), (2L, b)).toDF("id", "bytes"),
+      "id", "bytes", idx, maxHamming = 10)
     val arrival = graft.core.SessionCache.newTempDir("spec-adup-src")
     val ckpt = graft.core.SessionCache.newTempDir("spec-adup-ckpt")
     val out = graft.core.SessionCache.newTempDir("spec-adup-out") + "/surv"
@@ -644,7 +646,7 @@ class StreamsSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "bytes"), got.columns.toSeq.toString)
     assert(got.count() == 0)
     // and the index gained nothing (all-dropped batches never touch it)
-    assert(Dedup.readDHashIndex(spark, idx).count() == 2)
+    assert(Dedup.readBandedDHashFlat(spark, idx).count() == 2)
     // a sink the maintainer never created at all is LOUD, not inference noise
     val e = intercept[graft.core.EngineError](
       Streams.readGateOutput(spark, out + "-never-ran"))
