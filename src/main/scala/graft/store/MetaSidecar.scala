@@ -18,14 +18,21 @@ import org.apache.spark.sql.SparkSession
   */
 object MetaSidecar {
 
-  private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+  /** Default sidecar file name; observability sidecars (e.g. the packed
+    * index's `_drift` health record) pass their own.
+    */
+  val DefaultName = "_meta"
+
+  private def metaPath(dir: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/$name")
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** (Over)write the sidecar — idempotent for a given constant set. */
-  def write(spark: SparkSession, dir: String, kv: Seq[(String, Int)]): Unit = {
-    val p = metaPath(dir)
+  def write(spark: SparkSession, dir: String, kv: Seq[(String, Int)],
+            name: String = DefaultName): Unit = {
+    val p = metaPath(dir, name)
     val out = fs(spark, p).create(p, /* overwrite = */ true)
     try out.write(kv.map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
     finally out.close()
@@ -35,8 +42,9 @@ object MetaSidecar {
     * sidecar. A PRESENT-but-unparseable file is LOUD — corruption must
     * never read as "no metadata, assume compatible".
     */
-  def read(spark: SparkSession, dir: String, what: String): Option[Map[String, Int]] = {
-    val p = metaPath(dir)
+  def read(spark: SparkSession, dir: String, what: String,
+           name: String = DefaultName): Option[Map[String, Int]] = {
+    val p = metaPath(dir, name)
     val f = fs(spark, p)
     if (!f.exists(p)) None
     else {

@@ -72,6 +72,51 @@ class CliReplSpec extends SparkSpec {
     assert(out2.contains("Index bm25: 2 committed epoch(s)  STRAY MARKERS: 1"), out2)
   }
 
+  test("stats surfaces the maintainer's persisted drift verdict; silent while healthy (r19)") {
+    import spark.implicits._
+    import graft.operators.{IvfIndex, IvfPackedIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-repl-drift")
+      .resolve("docs.parquet").toString
+    val store = new GraftStore(spark, dir, HashingEmbedder(16))
+    store.insert("one doc so stats has a store line")
+    // clustered corpus (the IndexAppendSpec drift recipe): 2 tight
+    // clusters around axes, deterministic arithmetic noise
+    def cluster(axis: Int, ids: Range): Seq[(Long, Seq[Float])] =
+      ids.map { i =>
+        (i.toLong, (0 until 16).map(d =>
+          (if (d == axis) 1.0f else 0.0f) + ((i * 31 + d * 7) % 11 - 5) / 100.0f))
+      }
+    val corpus = (cluster(0, 0 until 30) ++ cluster(1, 30 until 60))
+      .toDF("vec_id", "embedding")
+    val heldOut = cluster(0, 200 until 220).toDF("vec_id", "embedding")
+    val model = IvfIndex.fit(corpus, "embedding", k = 2)
+    val baseline = IvfIndex.meanAssignedCosine(heldOut, "embedding", model)
+    val root = s"${store.indexRoot}/ivfpacked"
+    IvfPackedIndex.build(corpus, "vec_id", "embedding", model, root)
+
+    // healthy checked wave: verdict recorded, NOTHING surfaced (no
+    // behavior change for an undegraded index)
+    IvfPackedIndex.append(cluster(1, 300 until 320).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", model, root, driftBaseline = Some(baseline))
+    val healthy = runScript("stats\nquit", store)
+    assert(healthy.contains("Index ivfpacked: 2 committed epoch(s)"), healthy)
+    assert(!healthy.contains("DRIFT"), healthy)
+
+    // shifted wave: the append still lands (signal-never-gate) AND the
+    // verdict reaches the operator surface beside the epoch health
+    IvfPackedIndex.append(cluster(9, 400 until 420).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", model, root, driftBaseline = Some(baseline))
+    assert(IvfPackedIndex.readFloat(spark, root).count() == 100)
+    val out = runScript("stats\nquit", store)
+    assert(out.contains("Index ivfpacked DRIFT: 1 degraded batch(es)"), out)
+    assert(out.contains("refit recommended"), out)
+
+    // the health record survives a compact's dir swap
+    IvfPackedIndex.compact(spark, root)
+    val out2 = runScript("stats\nquit", store)
+    assert(out2.contains("DRIFT: 1 degraded"), out2)
+  }
+
   test("error recovery: bad verbs and verb errors never end the session") {
     val dir = java.nio.file.Files.createTempDirectory("graft-repl2")
       .resolve("docs.parquet").toString
