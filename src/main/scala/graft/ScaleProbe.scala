@@ -15,6 +15,16 @@ import graft.operators._
   */
 object ScaleProbe {
 
+  /** Seq/par canary pair around long-run rehearsals (round-19; VERDICT
+    * r18 "wrong" #2: ScaleProbe long-runs carried no canary, so an
+    * out-of-band wave time — r18's 49 s wave 2 — could not be
+    * adjudicated against the drift rule). Same fixed-work loops and ref
+    * constants as Bench's artifact fields.
+    */
+  private def canaryPair(tag: String): Unit =
+    println(f"[scale] canary $tag: seq ${Bench.canarySeconds()}%.3f s (ref 0.65)  " +
+      f"par32 ${Bench.canaryParSeconds(32)}%.3f s (ref 0.70)")
+
   private def timed[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -99,7 +109,11 @@ object ScaleProbe {
     // SPARK_GRAFT_ONLY_R18=1 probes only the round-18 addition (the
     // epoch governor at wave volume: 16-wave closed loop with vs
     // without compactEvery).
-    val onlyR18 = sys.env.contains("SPARK_GRAFT_ONLY_R18")
+    // SPARK_GRAFT_ONLY_R19=1 probes only the round-19 additions (the
+    // banded dHash gate's bytes profile flat-vs-banded, and the packed-
+    // IVF intra-bucket row-group prune at multi-row-group file geometry).
+    val onlyR19 = sys.env.contains("SPARK_GRAFT_ONLY_R19")
+    val onlyR18 = onlyR19 || sys.env.contains("SPARK_GRAFT_ONLY_R18")
     val onlyR17b = onlyR18 || sys.env.contains("SPARK_GRAFT_ONLY_R17B")
     val onlyR17 = onlyR17b || sys.env.contains("SPARK_GRAFT_ONLY_R17")
     val onlyR15 = onlyR17 || sys.env.contains("SPARK_GRAFT_ONLY_R15")
@@ -990,8 +1004,13 @@ object ScaleProbe {
             checkpoint = Some(ckpt), timeoutMs = 1800000)
         }
       }
+      // canary around each wave (round-19; VERDICT r18 "wrong" #2): an
+      // out-of-band wave time is adjudicable only with load context
+      canaryPair("pre wave 1")
       wave(s"gate+append wave 1 (${half - cut} docs vs $cut-doc index)", cut, half)
+      canaryPair("pre wave 2")
       wave(s"gate+append wave 2 (${nDocs - half} docs, incl. wave-1 survivors)", half, nDocs)
+      canaryPair("post wave 2")
       println(s"[scale] gate-append survivors: ${spark.read.parquet(out).count()}; " +
         s"committed epochs: ${graft.store.EpochCommit.committedCount(spark, idxPath)}")
     }
@@ -1015,7 +1034,7 @@ object ScaleProbe {
     // runs in a FULL probe too (the ONLY_* convention: flags subset,
     // never gate) — onlyR8 is the OR of the whole flag chain, so
     // !onlyR8 means no subset flag is set
-    if (onlyR18 || !onlyR8) locally {
+    if ((onlyR18 && !onlyR19) || !onlyR8) locally {
       val cut = nDocs * 3L / 5L
       val waves = 16
       val waveN = math.max(nDocs / 50L, 500L)
@@ -1057,6 +1076,131 @@ object ScaleProbe {
         without.map(s => f"$s%.2f").mkString(", "))
       println("[scale] governor curve ce=4:    " +
         withGov.map(s => f"$s%.2f").mkString(", "))
+    }
+
+    // ---- Round-19a: banded dHash gate — bytes profile vs the flat gate
+    // (VERDICT r18 "missing" #1 done-criterion: size the per-batch index
+    // bytes before/after). Corpus signatures persisted both ways; gates
+    // run over PRE-HASHED batch sigs so the measurement isolates INDEX
+    // bytes, not the batch decode. Radius 6 (the operator default, 8
+    // bands × 512 keys = 4096 cells) exercises the pruned-main path for
+    // the small batch; the large batch and the radius-10 run exercise
+    // the cost-based flat-slice fallback.
+    if (onlyR19 || !onlyR8) locally {
+      def measured[T](name: String)(f: => T): T = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          val t0 = System.nanoTime()
+          val r = f
+          val s = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          println(f"[scale] $name%-58s $s%8.2f s  bytesRead ${bytes.get()}%,d")
+          r
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+      import graft.operators.{Dedup, Multimodal}
+      val assets = Multimodal.fakeAssets(docs, "text")
+      val sigsAll = assets.select(col("doc_id").cast("long").as("id"),
+          Multimodal.dHashCol(col("asset_bytes")).as("sig"))
+        .localCheckpoint() // hash the corpus ONCE; both forms persist from it
+      val flatP = graft.core.SessionCache.newTempDir("graft-scale-dhflat") + "/idx"
+      timed(s"dHash FLAT index build ($nDocs sigs)") {
+        sigsAll.write.parquet(flatP)
+      }
+      for (radius <- Seq(6, 10)) {
+        val bandedP = graft.core.SessionCache.newTempDir(s"graft-scale-dhband$radius") + "/idx"
+        timed(s"dHash BANDED index build (radius $radius)") {
+          // build from precomputed sigs: write the banded main directly
+          // via the append+compact path (one tail file, one fold)
+          Dedup.buildBandedDHashIndex(
+            assets.limit(1), "doc_id", "asset_bytes", bandedP, radius)
+          Dedup.appendBandedDHashSigs(sigsAll, bandedP)
+          Dedup.compactBandedDHashIndex(spark, bandedP)
+        }
+        def dirBytes(p: String): Long = {
+          val root = new java.io.File(p.stripPrefix("file:"))
+          def walk(f: java.io.File): Long =
+            if (f.isFile) f.length()
+            else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          walk(root)
+        }
+        println(f"[scale] dHash index bytes: flat ${dirBytes(flatP)}%,d  " +
+          f"banded(r$radius) ${dirBytes(bandedP)}%,d")
+        for (nBatch <- Seq(1, 100, 10000)) {
+          val batchSigs = sigsAll.limit(nBatch)
+            .select((col("id") + 10000000L).as("id"), col("sig")).localCheckpoint()
+          measured(s"gate FLAT form   radius=$radius batch=$nBatch") {
+            Dedup.sigDupIdsVsIndex(batchSigs,
+              spark.read.parquet(flatP), radius).count()
+          }
+          measured(s"gate BANDED form radius=$radius batch=$nBatch") {
+            Dedup.sigDupIdsVsBandedIndex(batchSigs, bandedP, radius).count()
+          }
+        }
+      }
+    }
+
+    // ---- Round-19b: the packed-IVF intra-bucket row-group prune,
+    // OBSERVED (VERDICT r18 "wrong" #3 / next #1: bucketing made each
+    // bucket file ≈ one row group at rehearsal geometry, so the
+    // In(cluster) pushdown could skip nothing and candidate bytesRead
+    // ROSE 9× — the claim that bytes track PROBED CLUSTERS once buckets
+    // span many row groups was extrapolated, never measured). Force the
+    // multi-row-group geometry at rehearsal scale with a small
+    // parquet.block.size at write, then sweep nProbe and record
+    // candidate bytes at BOTH geometries.
+    if (onlyR19 || !onlyR8) locally {
+      def measured[T](name: String)(f: => T): T = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          val t0 = System.nanoTime()
+          val r = f
+          val s = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          println(f"[scale] $name%-58s $s%8.2f s  bytesRead ${bytes.get()}%,d")
+          r
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+      val model = IvfIndex.fit(emb, "embedding")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val defaultBlock = hconf.getInt("parquet.block.size", 128 * 1024 * 1024)
+      val defaultPage = hconf.getInt("parquet.page.size", 1024 * 1024)
+      for ((geom, block, page) <- Seq(
+          ("DEFAULT-block", defaultBlock, defaultPage),
+          ("SMALL-block-256k", 256 * 1024, 16 * 1024))) {
+        hconf.setInt("parquet.block.size", block)
+        hconf.setInt("parquet.page.size", page)
+        val root = graft.core.SessionCache.newTempDir(s"graft-scale-rg-$geom") + "/idx"
+        timed(s"packed-ivf BUILD [$geom] ($nEmb vectors)") {
+          IvfPackedIndex.build(emb, "vec_id", "embedding", model, root)
+        }
+        // warm listings so the sweep isolates scan bytes
+        IvfPackedIndex.queryTopK(spark, root, model, q, 10, 16).collect()
+        val kAll = model.centroids.length
+        for (nProbe <- Seq(16, 62, 125, 250)) {
+          measured(s"packed candidate pass [$geom] nProbe=$nProbe/$kAll") {
+            val probes = model.nearestClusters(q, nProbe)
+            Similarity.cutTopK(
+              IvfIndex.pruneProbes(IvfPackedIndex.readPacked(spark, root), probes)
+                .select(col("id"),
+                  graft.functions.VectorFunctions
+                    .cosine_sim_i8(col("codes"), typedlit(q.toSeq)).as("score")),
+              "id", 40).collect()
+          }
+        }
+      }
+      hconf.setInt("parquet.block.size", defaultBlock)
+      hconf.setInt("parquet.page.size", defaultPage)
     }
     spark.stop()
   }

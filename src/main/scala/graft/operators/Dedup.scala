@@ -792,14 +792,32 @@ object Dedup {
       .write.mode("append").parquet(path)
 
   // --------------------------------- BANDED persisted dHash index (round-19)
-  /** Key-prefix bucket count of the banded layout's second partition
-    * axis (`kb = key % DHashKeyBuckets`) — like
+  /** Directory-bucket count of the banded layout's ONE partition axis
+    * (`gb = xxhash64(band, key) % DHashKeyBuckets`) — like
     * [[IvfIndex.ClusterBuckets]], part of the ON-DISK FORMAT, recorded
     * in the `_meta` sidecar together with the banding radius and
     * validated at every gate/append (a reader pruning under a different
     * modulus would silently skip colliding buckets).
+    *
+    * ONE hashed axis, not `band=<b>/kb=<prefix>` (the first draft): a
+    * two-axis layout is nBands × buckets ≈ 832 dirs at radius 10, and
+    * the r17 IVF rehearsal already measured exactly what that does —
+    * listing/file fan-out dominates every serving and append number
+    * (the fixture bench regressed 2.1 → 9.7 s on the stream row under
+    * the 832-dir draft: per-append ~400 tiny dir writes, per-gate
+    * ~700-dir discovery). 64 dirs caps the listing at the same constant
+    * the IVF layout standardized on; the per-dir (band, key, sig) sort
+    * keeps a SECOND pruning level inside each dir (row-group stats
+    * against the batch's pushed `key IN` list).
     */
   val DHashKeyBuckets = 64
+
+  /** The dir-bucket derivation — IDENTICAL expression on the write side
+    * and the gate's touched-set probe, which is what makes the partition
+    * prune a superset of the (band, key) join by construction.
+    */
+  private def dirBucket(band: Column, key: Column): Column =
+    pmod(xxhash64(band, key), lit(DHashKeyBuckets.toLong)).cast("int")
 
   private def bandedMeta(spark: org.apache.spark.sql.SparkSession,
                          path: String): Map[String, Int] =
@@ -809,13 +827,40 @@ object Dedup {
         "(build one with buildBandedDHashIndex; the flat (id, sig) form has " +
         "no banding constants to validate)"))
 
-  private def writeBanded(sigs: DataFrame, path: String, maxHamming: Int,
-                          mode: String): Unit =
+  private def mainDir(path: String) = s"$path/main"
+  private def tailDir(path: String) = s"$path/tail"
+
+  private def writeBandedMain(sigs: DataFrame, path: String, maxHamming: Int): Unit =
     bandSigs(sigs, maxHamming)
-      .withColumn("kb", pmod(col("key"), lit(DHashKeyBuckets.toLong)).cast("int"))
-      .repartition(col("band"), col("kb"))
-      .sortWithinPartitions(col("band"), col("kb"), col("key"), col("sig"))
-      .write.mode(mode).partitionBy("band", "kb").parquet(path)
+      .withColumn("gb", dirBucket(col("band"), col("key")))
+      .repartition(col("gb")) // one task — and so ONE file — per touched dir
+      .sortWithinPartitions(col("gb"), col("band"), col("key"), col("sig"))
+      .write.mode("overwrite").partitionBy("gb").parquet(mainDir(path))
+
+  /** The flat `(id, sig)` tail since the last compact — empty frame when
+    * no append has landed (the dir appears on the first append).
+    */
+  private def readTail(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tailDir(path))
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(tailDir(path))
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "sig")
+    }
+  }
+
+  /** Files currently in the tail — the compaction-cadence signal
+    * ([[compactBandedDHashIndex]] folds them into the banded main).
+    */
+  def bandedTailFileCount(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(tailDir(path))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
 
   /** Persisted BANDED dHash signature index (round-19; VERDICT r18
     * "missing" #1): the [[registerPostingsBucketed]] precedent applied
@@ -824,32 +869,55 @@ object Dedup {
     * `maxHamming+1`-way explode over the full corpus per arriving wave
     * (at the operator's own 10B-image sizing, ~terabytes of banded rows
     * re-materialized per batch). This form pays the banding shuffle
-    * ONCE at build/append: rows are `(key, id, sig)` under
-    * `band=<b>/kb=<key % DHashKeyBuckets>/` partition dirs, files
-    * sorted (key, sig), so a batch gate [[sigDupIdsVsBandedIndex]]
-    * prunes the listing to the batch's colliding (band, kb) buckets and
-    * equi-joins inside them — no corpus-side explode, no corpus-side
-    * shuffle (the batch side broadcasts).
+    * ONCE at build/compact — the MAIN+TAIL (LSM) shape:
     *
-    * Trades, recorded honestly: the pre-banded form stores each
+    *  - `main/gb=<xxhash64(band, key) % DHashKeyBuckets>/` — the banded
+    *    bulk, `(band, key, id, sig)` rows under [[DHashKeyBuckets]]
+    *    (64) partition dirs (the listing-fan-out lesson of the r17 IVF
+    *    rehearsal — a two-axis band×key-prefix draft made 832 dirs and
+    *    the fixture bench regressed 4.7× on pure FS fan-out), files
+    *    sorted (band, key, sig);
+    *  - `tail/` — flat `(id, sig)` rows appended since the last
+    *    compact, ONE file per append (a micro-batch append writing 64
+    *    bucket dirs per wave measured ~5× the flat write cost AND
+    *    accumulates a file per dir per append — the tail keeps appends
+    *    at the flat index's single-file cost, bounded re-banding of the
+    *    tail at gate time is the price, governed by the compaction
+    *    cadence);
+    *  - `_meta` — banding radius + bucket modulus (format constants).
+    *
+    * A batch gate [[sigDupIdsVsBandedIndex]] prunes the MAIN at two
+    * levels — the listing to the batch's colliding `gb` buckets, and
+    * the row groups inside them against the batch's pushed
+    * `key IN (…)` literal list (the sort gives each group a tight
+    * (band, key) range) — unions the banded-in-flight tail, then
+    * equi-joins on (band, key) with the exact popcount verify. No
+    * corpus-side explode, no corpus-side shuffle (the batch side
+    * broadcasts; only the tail — appends-since-compact, never the
+    * corpus — re-bands per gate).
+    *
+    * Trades, recorded honestly: the pre-banded main stores each
     * signature `nBands` times (~13× rows at radius 10, ~24 bytes each,
     * vs 16 bytes flat) — disk is the cheap axis at 100 TB, per-batch
-    * compute/IO the expensive one. Partition pruning is strongest for
-    * SMALL batches (a micro-batch touching k distinct keys per band
-    * reads ≈ k/2^width of each band, bounded by the coupon-collector
-    * curve as k approaches the key space); a batch large enough to
-    * touch every key bucket degrades to a full banded scan WITHOUT the
-    * explode — still never worse than the flat gate's per-batch
-    * re-banding, and the nightly rebuild path is the right tool at that
-    * batch size anyway.
+    * compute/IO the expensive one. Pruning selectivity is strongest for
+    * SMALL batches (a single asset touches ≤ nBands of the 64 dirs and
+    * ≤ nBands key literals); a batch large enough to touch every bucket
+    * and key degrades to a full banded scan WITHOUT the explode — still
+    * never worse than the flat gate's per-batch re-banding, and the
+    * nightly rebuild path is the right tool at that batch size anyway.
+    * The key-IN level is radius-dependent: wide radii mean narrow bands
+    * (2^width small), so few distinct key values exist and the IN list
+    * excludes little; tight radii (6 and under) give 9-bit+ keys where
+    * it bites.
     *
-    * The `band=0` slice holds every (id, sig) exactly once —
-    * [[readBandedDHashFlat]] serves the flat view from it with a
-    * one-partition-axis listing prune, so the banded artifact SUBSUMES
-    * the flat one and the maintainer persists a single tree with
-    * single-dir job-atomic appends (the same replay-idempotence
-    * argument as the flat index: duplicate signatures cannot change an
-    * exists-within-radius verdict).
+    * The main's `band = 0` slice holds every compacted (id, sig)
+    * exactly once — [[readBandedDHashFlat]] serves the flat view from
+    * it (a pushed `band = 0` filter over the leading rows of every
+    * file — row-group pruned by the sort) plus the tail, so the banded
+    * artifact SUBSUMES the flat one. Appends stay single-dir
+    * job-atomic (the same replay-idempotence argument as the flat
+    * index: duplicate signatures cannot change an exists-within-radius
+    * verdict).
     *
     * The banding radius is a FORMAT constant: serving is complete for
     * any radius ≤ the built radius (a pair within r ≤ R agrees on ≥1 of
@@ -863,10 +931,11 @@ object Dedup {
       s"banded dHash build at $path: corpus is empty — a partitioned write would " +
       "leave no parquet footers and every read would fail schema inference " +
       "(the IvfPackedIndex.build discipline)")
-    writeBanded(
+    graft.store.EpochCommit.wipe(df.sparkSession, path) // build-from-scratch
+    writeBandedMain(
       df.select(col(idCol).cast("long").as("id"),
         Multimodal.dHashCol(col(bytesCol)).as("sig")),
-      path, maxHamming, "overwrite")
+      path, maxHamming)
     graft.store.MetaSidecar.write(df.sparkSession, path,
       Seq("formatVersion" -> 1, "maxHamming" -> maxHamming,
         "keyBuckets" -> DHashKeyBuckets))
@@ -874,14 +943,32 @@ object Dedup {
 
   /** Append precomputed `(id, sig)` rows to a banded index — the
     * maintainer's append (signatures computed once per batch by
-    * [[imageNearDupIncrementalSigs]]); bands at the index's OWN
-    * persisted radius, one job-atomic write.
+    * [[imageNearDupIncrementalSigs]]): ONE flat file into `tail/`, the
+    * flat index's append cost; [[compactBandedDHashIndex]] folds the
+    * tail into the banded main on the operator's cadence.
     */
   def appendBandedDHashSigs(sigs: DataFrame, path: String): Unit = {
-    val meta = bandedMeta(sigs.sparkSession, path)
-    writeBanded(
-      sigs.select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig")),
-      path, meta("maxHamming"), "append")
+    bandedMeta(sigs.sparkSession, path) // loud on a non-banded artifact
+    sigs.select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig"))
+      .coalesce(1)
+      .write.mode("append").parquet(tailDir(path))
+  }
+
+  /** Fold the flat tail into the banded main (one rewrite of main ∪
+    * tail under the store's atomic dir swap) — run on the append-count
+    * cadence ([[bandedTailFileCount]] is the signal): the gate re-bands
+    * the TAIL per invocation, so an unbounded tail would slowly regrow
+    * the per-batch cost this index exists to remove.
+    */
+  def compactBandedDHashIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val meta = bandedMeta(spark, path)
+    graft.store.DocStore.swapDirContents(spark, path) { tmp =>
+      writeBandedMain(readBandedDHashFlat(spark, path), tmp, meta("maxHamming"))
+      graft.store.MetaSidecar.write(spark, tmp,
+        Seq("formatVersion" -> 1, "maxHamming" -> meta("maxHamming"),
+          "keyBuckets" -> meta("keyBuckets")))
+    }
   }
 
   /** Byte-level append: decode+hash the batch once, then
@@ -893,26 +980,46 @@ object Dedup {
       df.select(col(idCol).cast("long").as("id"),
         Multimodal.dHashCol(col(bytesCol)).as("sig")), path)
 
-  /** Flat `(id, sig)` view of a banded index: the `band=0` slice holds
-    * every signature exactly once, and the filter is a partition prune
-    * — the read touches 1/nBands of the tree, i.e. exactly the flat
-    * index's bytes.
+  /** Flat `(id, sig)` view of a banded index: the main's `band = 0`
+    * slice holds every compacted signature exactly once (the pushed
+    * `band = 0` predicate row-group-prunes to each file's leading rows
+    * — the (band, key, sig) sort), plus the flat tail. The read costs
+    * ≈ the flat index's bytes, not the banded tree's.
     */
   def readBandedDHashFlat(spark: org.apache.spark.sql.SparkSession,
                           path: String): DataFrame = {
     bandedMeta(spark, path) // loud on a non-banded/corrupt artifact
-    spark.read.parquet(path).filter(col("band") === 0).select("id", "sig")
+    spark.read.parquet(mainDir(path))
+      .filter(col("band") === 0).select("id", "sig")
+      .unionByName(readTail(spark, path))
   }
 
-  /** [[sigDupIdsVsIndex]] against a PERSISTED banded index: the batch
-    * bands at the index's persisted radius, its distinct (band, kb)
-    * pairs collect driver-side (bounded by nBands × [[DHashKeyBuckets]]
-    * ≤ ~1k scalars regardless of batch size) and prune the index
-    * LISTING as a literal partition predicate; candidates equi-join on
-    * (band, key) inside the colliding buckets only, and the exact
-    * popcount verifies at the SERVING radius. The corpus side is never
-    * exploded, shuffled, or scanned outside the colliding buckets.
-    * Output: `__b_id`.
+  /** [[sigDupIdsVsIndex]] against a PERSISTED banded index, with a
+    * COST-BASED read path (round-19): the batch bands at the index's
+    * persisted radius and its distinct (band, key, gb) cells collect
+    * driver-side (bounded by min(\|batch\| × nBands, the cell space) —
+    * the same scalars drive both the decision and the prune literals).
+    *
+    *  - PRUNED-MAIN path (few touched cells): the banded main scans
+    *    only the colliding `gb` dirs, row-group-pruned by the pushed
+    *    `key IN (…)` list (applied when it fits
+    *    [[IvfIndex.MaxInPushdownIds]] — always implied by the join, so
+    *    a skipped pushdown changes bytes, never verdicts).
+    *  - FLAT-SLICE path (many touched cells): the main's `band = 0`
+    *    slice + tail re-band in flight — the r18 flat gate, served
+    *    from the same artifact. Needed because the banding CELL space
+    *    is `nBands × 2^width`: at wide radii (10 → 13 × 32 = 416
+    *    cells) any realistic batch touches every cell, and a "pruned"
+    *    read of all nBands slices costs nBands× the flat slice's
+    *    bytes.
+    *
+    * The balance point: the pruned path reads ≈ (touched cells / cell
+    * space) × mainBytes, the flat slice reads mainBytes / nBands — so
+    * banded wins iff touched cells < cells-per-band (2^width). Either
+    * path ends in the same (band, key) equi-join + exact popcount
+    * verify at the SERVING radius — verdicts are path-independent; the
+    * corpus is never exploded, shuffled, or read outside its chosen
+    * slice. Output: `__b_id`.
     */
   def sigDupIdsVsBandedIndex(batchSigs: DataFrame, path: String,
                              maxHamming: Int): DataFrame = {
@@ -929,19 +1036,38 @@ object Dedup {
         s"banded dHash index at $path was written with keyBuckets=$kbN; this build " +
         s"expects $DHashKeyBuckets — pruning under the wrong modulus would silently " +
         "skip colliding buckets; rebuild the index")
-    // lazy pin: the touched-bucket collect and the join must see ONE
+    // lazy pin: the touched-cell collect and the join must see ONE
     // evaluation of the batch banding (the AnnIndex.probeBatch discipline)
     val b = bandSigs(batchSigs, builtR)
       .select(col("band"), col("key"),
         col("id").as("__b_id"), col("sig").as("__b_sig"))
-      .withColumn("kb", pmod(col("key"), lit(kbN.toLong)).cast("int"))
       .localCheckpoint(eager = false)
-    val touched = b.select((col("band") * kbN + col("kb")).cast("int"))
-      .distinct().collect().map(_.getInt(0))
-    val idx = spark.read.parquet(path)
-      .filter((col("band") * kbN + col("kb")).isin(touched.map(Int.box).toSeq: _*))
+    val cells = b.select(col("band"), col("key"),
+        dirBucket(col("band"), col("key")).as("gb"))
+      .distinct().collect()
+    val width = math.max(1, 64 / math.min(builtR + 1, 64))
+    val cellsPerBand = math.pow(2, width) // Double: width can reach 64
+    val idxMain: DataFrame =
+      if (cells.length < cellsPerBand) {
+        val gbs = cells.map(_.getInt(2)).distinct.toSeq
+        val keys = cells.map(_.getLong(1)).distinct.toSeq
+        val pruned = spark.read.parquet(mainDir(path))
+          .filter(col("gb").isin(gbs.map(Int.box): _*))
+        (if (keys.size <= IvfIndex.MaxInPushdownIds)
+           pruned.filter(col("key").isin(keys.map(Long.box): _*))
+         else pruned)
+          .select(col("band"), col("key"), col("sig").as("__i_sig"))
+      } else
+        bandSigs(
+          spark.read.parquet(mainDir(path))
+            .filter(col("band") === 0).select(col("id"), col("sig")),
+          builtR)
+          .select(col("band"), col("key"), col("sig").as("__i_sig"))
+    // the tail (appends since the last compact) bands in flight —
+    // bounded by the compaction cadence, never the corpus
+    val idxTail = bandSigs(readTail(spark, path), builtR)
       .select(col("band"), col("key"), col("sig").as("__i_sig"))
-    b.join(idx, Seq("band", "key"))
+    b.join(idxMain.unionByName(idxTail), Seq("band", "key"))
       .filter(bit_count(col("__b_sig") bitwiseXOR col("__i_sig"))
         .cast("long") <= maxHamming)
       .select(col("__b_id")).distinct()

@@ -535,20 +535,25 @@ object Streams {
     * "missing" #1 — [[graft.operators.Dedup.buildBandedDHashIndex]]):
     * the r18 form re-banded the ENTIRE flat signature table inside
     * every micro-batch closure (a nBands-way explode over the corpus
-    * per arriving wave); the banded artifact pays that banding once at
-    * build/append, and each batch's gate prunes the index listing to
-    * its colliding (band, kb) buckets — the corpus participates only
-    * through those buckets' signature rows, never a corpus re-band or
-    * re-decode.
+    * per arriving wave); the banded main pays that banding once at
+    * build/compact, each batch's gate prunes the main to its colliding
+    * `gb` buckets (+ the pushed key set), survivors append as one flat
+    * file into the index's tail, and only the TAIL — bounded by the
+    * compaction cadence, never the corpus — re-bands per batch.
+    * `compactEvery` (opt-in, ≥ 1): fold the tail into the banded main
+    * whenever its file count reaches the threshold — the
+    * jaccard loop's governor twin.
     */
   def imageGateMaintainAvailableNow(stream: DataFrame, idCol: String,
                                     bytesCol: String, indexPath: String,
                                     outDir: String, maxHamming: Int = 6,
                                     checkpoint: Option[String] = None,
+                                    compactEvery: Int = 0,
                                     timeoutMs: Long = 300000): Unit = {
     lazy val runTag = maintainerRunTag(stream.sparkSession, checkpoint)
     val w0 = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         // the Sigs form: each asset is decoded+hashed ONCE per batch —
         // pairs, gate, and the index append all reuse the signature
         val survivors = graft.operators.Dedup.imageNearDupIncrementalSigsBanded(
@@ -562,6 +567,12 @@ object Streams {
           graft.operators.Dedup.appendBandedDHashSigs(
             survivors.select(col(idCol).cast("long").as("id"),
               col("__sig").as("sig")), indexPath)
+          // opt-in tail governor (the jaccard loop's compactEvery twin,
+          // keyed on tail FILE count — the quantity the gate re-bands
+          // per batch); foreachBatch serializes appender and compactor
+          if (compactEvery > 0 &&
+              graft.operators.Dedup.bandedTailFileCount(s, indexPath) >= compactEvery)
+            graft.operators.Dedup.compactBandedDHashIndex(s, indexPath)
         }
         ()
       }

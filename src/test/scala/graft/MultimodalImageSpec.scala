@@ -228,19 +228,29 @@ class MultimodalImageSpec extends SparkSpec {
       Dedup.sigDupIdsVsBandedIndex(batchSigs, flatPath, maxHamming = 10))
     intercept[graft.core.EngineError](Dedup.readBandedDHashFlat(spark, flatPath))
 
-    // append parity: the same survivors land in both forms, verdicts stay equal
+    // append parity: the same survivors land in both forms (banded: one
+    // flat tail file), verdicts stay equal
     val novel = batch.filter(col("id") >= 2000L)
     Dedup.appendBandedDHashIndex(novel, "id", "bytes", bandedPath)
     Dedup.appendDHashIndex(novel, "id", "bytes", flatPath)
+    assert(Dedup.bandedTailFileCount(spark, bandedPath) == 1)
+    assert(Dedup.readBandedDHashFlat(spark, bandedPath).count() == 46)
     val reBatch = Seq((3000L, "genuinely novel payload 2".getBytes("UTF-8")))
       .toDF("id", "bytes")
-    val gotB = Dedup.imageNearDupIncrementalBanded(reBatch, "id", "bytes",
+    def gateB() = Dedup.imageNearDupIncrementalBanded(reBatch, "id", "bytes",
       bandedPath, maxHamming = 10).select("id").as[Long].collect().toSet
     val gotF = Dedup.imageNearDupIncremental(reBatch, "id", "bytes",
       Dedup.readDHashIndex(spark, flatPath), maxHamming = 10)
       .select("id").as[Long].collect().toSet
-    assert(gotB == gotF && gotB.isEmpty,
-      s"appended novel payload did not gate its re-delivery: banded $gotB flat $gotF")
+    assert(gateB() == gotF && gotF.isEmpty,
+      s"appended novel payload did not gate its re-delivery: banded ${gateB()} flat $gotF")
+
+    // compact folds the tail into the banded main: verdicts and the flat
+    // view are unchanged, the tail is empty
+    Dedup.compactBandedDHashIndex(spark, bandedPath)
+    assert(Dedup.bandedTailFileCount(spark, bandedPath) == 0)
+    assert(Dedup.readBandedDHashFlat(spark, bandedPath).count() == 46)
+    assert(gateB().isEmpty, "post-compact gate verdict changed")
   }
 
   test("decodeImagesPartitioned: distributed mixed-media decode matches the scalar calls") {

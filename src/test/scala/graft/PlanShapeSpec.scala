@@ -398,14 +398,16 @@ class PlanShapeSpec extends SparkSpec {
       s"partial_topkagg marker missing from the batch quantized probe:\n$bplan")
   }
 
-  test("banded dHash gate: index scan prunes the partition LISTING to colliding (band, kb) buckets (r19)") {
+  test("banded dHash gate: index scan prunes the LISTING to colliding gb buckets and pushes the key set (r19)") {
     // The banded index's scale contract (VERDICT r18 "missing" #1): the
     // per-batch gate must read ONLY the batch's colliding buckets — the
-    // touched-(band, kb) set lands as a PartitionFilter, evaluated at
-    // file listing, so the corpus-side bytes scale with the batch's key
-    // coverage, never with the index. Without the pin, a regression to
-    // a post-scan filter would silently re-read the whole banded tree
-    // per micro-batch — exactly the design debt this form replaces.
+    // touched-gb set lands as a PartitionFilter (evaluated at file
+    // listing) and the batch's key set as a parquet PushedFilter
+    // (row-group pruned via the (band, key, sig) sort), so corpus-side
+    // bytes scale with the batch's key coverage, never with the index.
+    // Without the pin, a regression to a post-scan filter would
+    // silently re-read the whole banded tree per micro-batch — exactly
+    // the design debt this form replaces.
     import graft.operators.{Dedup, Multimodal}
     import spark.implicits._
     val corpus = Seq.tabulate(60)(i =>
@@ -423,8 +425,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(idxScans.nonEmpty, s"no banded-index scan in the gate plan:\n$plan")
     idxScans.foreach { f =>
       val pf = f.metadata.getOrElse("PartitionFilters", "")
-      assert(pf.contains("band") && pf.contains("kb") && pf.contains("IN"),
+      assert(pf.contains("gb") && pf.contains("IN"),
         s"touched-bucket prune not in PartitionFilters: $pf\n$plan")
+      assert(f.metadata.get("PushedFilters").exists(_.contains("In(key")),
+        s"batch key set not pushed to parquet: ${f.metadata.get("PushedFilters")}\n$plan")
     }
     // and the join discipline holds — never an all-pairs degradation
     assert(plan.collect {
