@@ -111,8 +111,10 @@ object ScaleProbe {
     // without compactEvery).
     // SPARK_GRAFT_ONLY_R19=1 probes only the round-19 additions (the
     // banded dHash gate's bytes profile flat-vs-banded, and the packed-
-    // IVF intra-bucket row-group prune at multi-row-group file geometry).
-    val onlyR19 = sys.env.contains("SPARK_GRAFT_ONLY_R19")
+    // IVF intra-bucket row-group prune at multi-row-group file
+    // geometry); SPARK_GRAFT_ONLY_R19B=1 narrows to the IVF part alone.
+    val onlyR19b = sys.env.contains("SPARK_GRAFT_ONLY_R19B")
+    val onlyR19 = onlyR19b || sys.env.contains("SPARK_GRAFT_ONLY_R19")
     val onlyR18 = onlyR19 || sys.env.contains("SPARK_GRAFT_ONLY_R18")
     val onlyR17b = onlyR18 || sys.env.contains("SPARK_GRAFT_ONLY_R17B")
     val onlyR17 = onlyR17b || sys.env.contains("SPARK_GRAFT_ONLY_R17")
@@ -1086,7 +1088,7 @@ object ScaleProbe {
     // bands × 512 keys = 4096 cells) exercises the pruned-main path for
     // the small batch; the large batch and the radius-10 run exercise
     // the cost-based flat-slice fallback.
-    if (onlyR19 || !onlyR8) locally {
+    if ((onlyR19 && !onlyR19b) || !onlyR8) locally {
       def measured[T](name: String)(f: => T): T = {
         val bytes = new java.util.concurrent.atomic.AtomicLong(0)
         val l = new org.apache.spark.scheduler.SparkListener {
@@ -1171,6 +1173,49 @@ object ScaleProbe {
           r
         } finally spark.sparkContext.removeSparkListener(l)
       }
+      /** STATS-ADMITTED candidate bytes: for every packed-side file in a
+        * TOUCHED bucket dir, the compressed bytes of the row groups
+        * whose cluster [min, max] stats admit ≥ 1 probed cluster — the
+        * logical IO a stats-filtering parquet reader performs for the
+        * candidate pass. Computed from footers driver-side because the
+        * executor `bytesRead` counter OVERCOUNTS under pushdown on the
+        * local FS (seek + readahead re-accounting: a filtered read of an
+        * 866 KB file reported 4 MB in a controlled probe) — it can show
+        * bytes RISING as pruning improves, so it cannot adjudicate this
+        * claim.
+        */
+      def admittedBytes(root: String, probes: Seq[Int]): (Long, Int, Int, Long) = {
+        import scala.jdk.CollectionConverters._
+        val byBucket = probes.groupBy(p => math.floorMod(p, IvfIndex.ClusterBuckets))
+        val packed = new java.io.File(s"${root.stripPrefix("file:")}/packed")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty }
+          else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+        var admitted = 0L; var admittedG = 0; var totalG = 0; var touchedBytes = 0L
+        for (file <- walk(packed)) {
+          val bucket = file.getPath.split("/").find(_.startsWith("bucket="))
+            .map(_.stripPrefix("bucket=").toInt)
+          byBucket.get(bucket.getOrElse(-1)).foreach { ps =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(file.getPath),
+                spark.sparkContext.hadoopConfiguration))
+            try rdr.getFooter.getBlocks.asScala.foreach { b =>
+              totalG += 1
+              touchedBytes += b.getCompressedSize
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == "cluster").get
+              val st = cc.getStatistics
+              val mn = st.genericGetMin.asInstanceOf[Number].intValue
+              val mx = st.genericGetMax.asInstanceOf[Number].intValue
+              if (ps.exists(p => p >= mn && p <= mx)) {
+                admittedG += 1; admitted += b.getCompressedSize
+              }
+            } finally rdr.close()
+          }
+        }
+        (admitted, admittedG, totalG, touchedBytes)
+      }
       val model = IvfIndex.fit(emb, "embedding")
       val hconf = spark.sparkContext.hadoopConfiguration
       val defaultBlock = hconf.getInt("parquet.block.size", 128 * 1024 * 1024)
@@ -1188,8 +1233,8 @@ object ScaleProbe {
         IvfPackedIndex.queryTopK(spark, root, model, q, 10, 16).collect()
         val kAll = model.centroids.length
         for (nProbe <- Seq(16, 62, 125, 250)) {
+          val probes = model.nearestClusters(q, nProbe)
           measured(s"packed candidate pass [$geom] nProbe=$nProbe/$kAll") {
-            val probes = model.nearestClusters(q, nProbe)
             Similarity.cutTopK(
               IvfIndex.pruneProbes(IvfPackedIndex.readPacked(spark, root), probes)
                 .select(col("id"),
@@ -1197,6 +1242,10 @@ object ScaleProbe {
                     .cosine_sim_i8(col("codes"), typedlit(q.toSeq)).as("score")),
               "id", 40).collect()
           }
+          val (adm, admG, totG, touched) = admittedBytes(root, probes)
+          println(f"[scale]   stats-admitted [$geom] nProbe=$nProbe: " +
+            f"$adm%,d of $touched%,d touched-bucket bytes " +
+            f"($admG of $totG row groups)")
         }
       }
       hconf.setInt("parquet.block.size", defaultBlock)

@@ -2448,6 +2448,51 @@ object SparkEntry {
       Streams.readGateOutput(s, out).select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // E4×E2 lifecycle (round-19): the banded dHash index's FULL serving
+    // lifecycle in the correctness gate — flat-tail append → compact
+    // (fold into the banded main) → gates down BOTH cost-based read
+    // paths (the 2-asset probe's banding cells sit under the
+    // pruned-main threshold; the wide probe falls back to the flat
+    // slice). Emitted verdicts must equal DuckDB's raw-bytes Hamming
+    // replay: neither the path choice nor the compaction may change a
+    // verdict.
+    "multimodal_gate_compacted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val baseIdx = SessionCache.getOrCreate(s"mmgatec_base:$dir") {
+        val p = SessionCache.newTempDir("graft-mmgatec-base") + "/idx"
+        Dedup.buildBandedDHashIndex(
+          Multimodal.fakeAssets(
+            d.filter(col("doc_id") < 250).select(col("doc_id"), col("text")), "text"),
+          "doc_id", "asset_bytes", p, maxHamming = 10)
+        p
+      }
+      // append + compact MUTATE the index: fresh hardlink view per call
+      val idx = SessionCache.newTempDir("graft-mmgatec") + "/idx"
+      SessionCache.linkTree(baseIdx, idx)
+      def sigsOf(df: DataFrame) = Multimodal.fakeAssets(df, "text")
+        .select(col("doc_id").cast("long").as("id"),
+          Multimodal.dHashCol(col("asset_bytes")).as("sig"))
+      Dedup.appendBandedDHashSigs(
+        sigsOf(d.filter(col("doc_id") >= 250 && col("doc_id") < 287)
+          .select(col("doc_id"), col("text"))), idx)
+      Dedup.compactBandedDHashIndex(s, idx)
+      def flip(df: DataFrame, off: Long) = df.select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val big = flip(d.filter(col("doc_id") >= 250 && col("doc_id") < 287 &&
+          col("doc_id") % 5 === 0), 400000L)
+        .unionByName(d.filter(col("doc_id") >= 287 && col("doc_id") < 300)
+          .select(col("doc_id"), col("text")))
+      val small = flip(d.filter(col("doc_id") === 252), 500000L)
+        .unionByName(d.filter(col("doc_id") === 320)
+          .select(col("doc_id"), col("text")))
+      def gate(df: DataFrame, tag: String) =
+        Dedup.sigDupIdsVsBandedIndex(sigsOf(df), idx, maxHamming = 10)
+          .select(lit(tag).as("probe"), col("__b_id").as("doc_id"))
+      gate(big, "big").unionByName(gate(small, "small"))
+        .orderBy("probe", "doc_id")
+    }),
+
     // E4/E2: LSH-bucketed embedding near-dup (corpus×corpus scale path)
     "near_dup_lsh" -> ((s, dir) =>
       AnnIndex.nearDupPairsLSH(embs(s, dir), "vec_id", "embedding",
@@ -3654,6 +3699,38 @@ object SparkEntry {
         |SELECT doc_id FROM surv1
         |UNION ALL SELECT doc_id FROM surv2
         |ORDER BY doc_id""".stripMargin,
+
+    // Banded-index lifecycle gate (round-19): ground truth is just "is
+    // the probe's signature within Hamming 10 of ANY indexed signature"
+    // — the index after the append+compact holds docs < 287, so DuckDB
+    // replays both probes' verdicts from raw bytes with no knowledge of
+    // the tail/main split, the compaction, or the gate's cost-based
+    // path choice. If compaction lost a signature or a pruned read
+    // skipped a colliding bucket, a dup id would go missing here.
+    "multimodal_gate_compacted" ->
+      s"""WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id < 287),
+        |${dhashSigsCte("idx", "c")},
+        |bp AS (
+        |  SELECT doc_id + 400000 AS doc_id, 'Z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 287 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 287 AND doc_id < 300),
+        |${dhashSigsCte("bp", "")},
+        |sp AS (
+        |  SELECT doc_id + 500000 AS doc_id, 'Z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id = 252
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id = 320),
+        |${dhashSigsCte("sp", "s")}
+        |SELECT * FROM (
+        |  SELECT 'big' AS probe, b.doc_id FROM sig b
+        |  WHERE EXISTS (SELECT 1 FROM csig c
+        |    WHERE bit_count(xor(b.sig_lo, c.sig_lo)) + bit_count(xor(b.sig_hi, c.sig_hi)) <= 10)
+        |  UNION ALL
+        |  SELECT 'small' AS probe, s.doc_id FROM ssig s
+        |  WHERE EXISTS (SELECT 1 FROM csig c
+        |    WHERE bit_count(xor(s.sig_lo, c.sig_lo)) + bit_count(xor(s.sig_hi, c.sig_hi)) <= 10))
+        |ORDER BY probe, doc_id""".stripMargin,
 
     // MinHash pairs, INDEPENDENTLY re-derived (round-11): the portable
     // variant's whole hash family is md5 — shingle base-hash = first 7
