@@ -1117,12 +1117,7 @@ object ScaleProbe {
       for (radius <- Seq(6, 10)) {
         val bandedP = graft.core.SessionCache.newTempDir(s"graft-scale-dhband$radius") + "/idx"
         timed(s"dHash BANDED index build (radius $radius)") {
-          // build from precomputed sigs: write the banded main directly
-          // via the append+compact path (one tail file, one fold)
-          Dedup.buildBandedDHashIndex(
-            assets.limit(1), "doc_id", "asset_bytes", bandedP, radius)
-          Dedup.appendBandedDHashSigs(sigsAll, bandedP)
-          Dedup.compactBandedDHashIndex(spark, bandedP)
+          Dedup.buildBandedDHashIndexFromSigs(sigsAll, bandedP, radius)
         }
         def dirBytes(p: String): Long = {
           val root = new java.io.File(p.stripPrefix("file:"))

@@ -926,17 +926,27 @@ object Dedup {
     * and refuses larger radii loudly — never a silent recall hole.
     */
   def buildBandedDHashIndex(df: DataFrame, idCol: String, bytesCol: String,
-                            path: String, maxHamming: Int = 6): Unit = {
-    require(!df.isEmpty,
-      s"banded dHash build at $path: corpus is empty — a partitioned write would " +
-      "leave no parquet footers and every read would fail schema inference " +
-      "(the IvfPackedIndex.build discipline)")
-    graft.store.EpochCommit.wipe(df.sparkSession, path) // build-from-scratch
-    writeBandedMain(
+                            path: String, maxHamming: Int = 6): Unit =
+    buildBandedDHashIndexFromSigs(
       df.select(col(idCol).cast("long").as("id"),
         Multimodal.dHashCol(col(bytesCol)).as("sig")),
       path, maxHamming)
-    graft.store.MetaSidecar.write(df.sparkSession, path,
+
+  /** [[buildBandedDHashIndex]] from PRECOMPUTED `(id, sig)` rows — for
+    * corpora whose signatures already exist (a flat index migrating to
+    * the banded form, a rehearsal's one-pass hash): same artifact, no
+    * second decode pass.
+    */
+  def buildBandedDHashIndexFromSigs(sigs: DataFrame, path: String,
+                                    maxHamming: Int = 6): Unit = {
+    require(!sigs.isEmpty,
+      s"banded dHash build at $path: signature set is empty — a partitioned " +
+      "write would leave no parquet footers and every read would fail schema inference")
+    graft.store.EpochCommit.wipe(sigs.sparkSession, path)
+    writeBandedMain(
+      sigs.select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig")),
+      path, maxHamming)
+    graft.store.MetaSidecar.write(sigs.sparkSession, path,
       Seq("formatVersion" -> 1, "maxHamming" -> maxHamming,
         "keyBuckets" -> DHashKeyBuckets))
   }

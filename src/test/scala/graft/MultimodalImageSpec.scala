@@ -253,6 +253,45 @@ class MultimodalImageSpec extends SparkSpec {
     assert(gateB().isEmpty, "post-compact gate verdict changed")
   }
 
+  test("banded gate == flat gate on randomized signature corpora, all radii and both read paths (property, r19)") {
+    import graft.operators.Dedup
+    // Deterministic pseudo-random 64-bit signatures (seeded) — exercises
+    // the gate at radii whose banding geometry differs (width 16/9/5,
+    // 4/8/13 bands) and at batch sizes on BOTH sides of the cost-based
+    // path threshold. Ground truth is the flat gate over the identical
+    // signature set; verdict equality must be exact.
+    val rnd = new scala.util.Random(7)
+    def flipBits(sig: Long, n: Int): Long =
+      (0 until n).foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(64)))
+    for (radius <- Seq(3, 6, 10)) {
+      val corpus = Seq.tabulate(120)(i => (i.toLong, rnd.nextLong()))
+      val path = graft.core.SessionCache.newTempDir(s"spec-bprop$radius") + "/idx"
+      Dedup.buildBandedDHashIndexFromSigs(corpus.toDF("id", "sig"), path, radius)
+      // batch: near-copies within radius, borderline cases at radius ± 1
+      // bit, and fresh randoms (Hamming ~32 from everything)
+      val batch = (
+        corpus.take(10).map { case (id, s) => (1000 + id, flipBits(s, rnd.nextInt(radius + 1))) } ++
+        corpus.slice(10, 20).map { case (id, s) => (2000 + id, flipBits(s, radius + 1)) } ++
+        Seq.tabulate(10)(i => (3000L + i, rnd.nextLong()))
+      )
+      for (take <- Seq(2, batch.size)) { // below/above the path threshold
+        val bdf = batch.take(take).toDF("id", "sig")
+        val viaBanded = Dedup.sigDupIdsVsBandedIndex(bdf, path, radius)
+          .as[Long].collect().toSet
+        val viaFlat = Dedup.sigDupIdsVsIndex(bdf, corpus.toDF("id", "sig"), radius)
+          .as[Long].collect().toSet
+        assert(viaBanded == viaFlat,
+          s"radius $radius take $take: banded $viaBanded vs flat $viaFlat")
+        if (take == batch.size) {
+          // sanity: the planted near-copies ARE within radius (the ±1-bit
+          // arm may fall either way when flips collide on one bit)
+          assert((1000L until 1010L).forall(viaBanded.contains),
+            s"radius $radius: planted in-radius copies missed: $viaBanded")
+        }
+      }
+    }
+  }
+
   test("decodeImagesPartitioned: distributed mixed-media decode matches the scalar calls") {
     val imgBytes = png(8, 6)((x, _) => if (x < 4) Black else White)
     val txtBytes = "row two is text".getBytes("UTF-8")
