@@ -235,17 +235,29 @@ object IvfPackedIndex {
     }
 
   /** The persisted drift health, if any drift-checked append has run.
-    * Bounded: one sidecar read, no data scans.
+    * Bounded: one sidecar read, no data scans. A CORRUPT record reads
+    * as None with a loud stderr line, not an exception — this is an
+    * observability sidecar, and the `stats`/`indexStats` surface it
+    * feeds must keep reporting epoch health even when the health file
+    * itself is damaged (format sidecars like `_meta` stay
+    * loud-on-corrupt: THOSE gate correctness).
     */
   def readDriftStatus(spark: SparkSession, root: String): Option[DriftStatus] =
-    graft.store.MetaSidecar.read(spark, root, "packed IVF drift record", DriftFile)
-      .map { kv =>
-        DriftStatus(
-          kv.getOrElse("degradedBatches", 0),
-          kv.getOrElse("lastRefitRecommended", 0) == 1,
-          fromFixed(kv.getOrElse("lastBatchMeanCos1e4", NaNSentinel)),
-          fromFixed(kv.getOrElse("lastBaselineMeanCos1e4", NaNSentinel)))
-      }
+    try
+      graft.store.MetaSidecar.read(spark, root, "packed IVF drift record", DriftFile)
+        .map { kv =>
+          DriftStatus(
+            kv.getOrElse("degradedBatches", 0),
+            kv.getOrElse("lastRefitRecommended", 0) == 1,
+            fromFixed(kv.getOrElse("lastBatchMeanCos1e4", NaNSentinel)),
+            fromFixed(kv.getOrElse("lastBaselineMeanCos1e4", NaNSentinel)))
+        }
+    catch { case e: graft.core.EngineError =>
+      System.err.println(s"[graft] unreadable drift record at $root/$DriftFile " +
+        s"(${e.getMessage}) — reporting no drift health for this index; the next " +
+        "drift-checked append rewrites it")
+      None
+    }
 
   /** Default drift signal: one unmissable stderr line when a batch's
     * assignment quality fell past tolerance — the operator's cue to

@@ -115,6 +115,17 @@ class CliReplSpec extends SparkSpec {
     IvfPackedIndex.compact(spark, root)
     val out2 = runScript("stats\nquit", store)
     assert(out2.contains("DRIFT: 1 degraded"), out2)
+
+    // a CORRUPT health record must not break the stats surface: epoch
+    // health still prints, the drift line is simply absent (the record
+    // is observability, not a correctness gate)
+    val dp = new org.apache.hadoop.fs.Path(s"$root/_drift")
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(dp, true)
+    try o.write("degradedBatches=notanumber\n".getBytes("UTF-8")) finally o.close()
+    val out3 = runScript("stats\nquit", store)
+    assert(out3.contains("Index ivfpacked: 1 committed epoch(s)"), out3)
+    assert(!out3.contains("DRIFT"), out3)
   }
 
   test("error recovery: bad verbs and verb errors never end the session") {
