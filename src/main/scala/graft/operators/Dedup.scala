@@ -738,9 +738,10 @@ object Dedup {
 
   /** [[imageNearDupIncrementalSigs]] against a PERSISTED BANDED index
     * (round-19) — the maintainer's form for the closed streaming loop:
-    * the gate prunes the index listing to colliding (band, kb) buckets
-    * via [[sigDupIdsVsBandedIndex]] instead of re-banding the whole
-    * signature table inside every micro-batch closure.
+    * the gate prunes the index to its colliding `gb` buckets (or takes
+    * the flat-slice fallback) via [[sigDupIdsVsBandedIndex]] instead of
+    * re-banding the whole signature table inside every micro-batch
+    * closure.
     */
   private[graft] def imageNearDupIncrementalSigsBanded(newBatch: DataFrame,
                                                        idCol: String, bytesCol: String,
@@ -975,9 +976,15 @@ object Dedup {
     val meta = bandedMeta(spark, path)
     graft.store.DocStore.swapDirContents(spark, path) { tmp =>
       writeBandedMain(readBandedDHashFlat(spark, path), tmp, meta("maxHamming"))
+      // stamp what was actually WRITTEN: the banding radius carries over
+      // (writeBandedMain banded at it, above), but the dir modulus is
+      // re-derived with THIS build's DHashKeyBuckets — so compact
+      // migrates an old-modulus artifact instead of relabeling it
+      // (the flat band-0 read above is modulus-independent), the
+      // IvfIndex.compactIndex precedent
       graft.store.MetaSidecar.write(spark, tmp,
         Seq("formatVersion" -> 1, "maxHamming" -> meta("maxHamming"),
-          "keyBuckets" -> meta("keyBuckets")))
+          "keyBuckets" -> DHashKeyBuckets))
     }
   }
 

@@ -251,6 +251,21 @@ class MultimodalImageSpec extends SparkSpec {
     assert(Dedup.bandedTailFileCount(spark, bandedPath) == 0)
     assert(Dedup.readBandedDHashFlat(spark, bandedPath).count() == 46)
     assert(gateB().isEmpty, "post-compact gate verdict changed")
+
+    // a FOREIGN bucket modulus (simulated via the sidecar) is refused at
+    // the gate — pruning under the wrong modulus would silently skip
+    // colliding buckets — and MIGRATED by compact, which re-derives the
+    // dirs with this build's constant and stamps what it wrote (the
+    // flat band-0 read it rewrites from is modulus-independent)
+    val mp = new org.apache.hadoop.fs.Path(s"$bandedPath/_meta")
+    val out = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(mp, true)
+    try out.write("formatVersion=1\nmaxHamming=10\nkeyBuckets=32\n".getBytes("UTF-8"))
+    finally out.close()
+    intercept[graft.core.EngineError](
+      Dedup.sigDupIdsVsBandedIndex(batchSigs, bandedPath, 10))
+    Dedup.compactBandedDHashIndex(spark, bandedPath)
+    assert(gateB().isEmpty, "post-migration gate verdict changed")
+    assert(Dedup.readBandedDHashFlat(spark, bandedPath).count() == 46)
   }
 
   test("banded gate == flat gate on randomized signature corpora, all radii and both read paths (property, r19)") {
