@@ -451,7 +451,10 @@ object Streams {
     * no-op epochs, no footer-less delta dirs) but still land their
     * (empty) sink partition — its parquet footer is what keeps
     * [[readGateOutput]] schema-readable on an all-duplicates day
-    * (round-19; ADVICE r18).
+    * (round-19; ADVICE r18) — UNLESS the partition already exists, the
+    * crash-replay case where the overwrite would clobber the first
+    * attempt's real survivors (round-20; see
+    * [[writeGateSinkPartition]]).
     *
     * Scale note: the index is re-read COMMITTED-ONLY inside each batch
     * closure (freshness is the point — the previous batch's append must
@@ -482,19 +485,16 @@ object Streams {
             batch, idCol, textCol, n, threshold,
             graft.operators.Dedup.readPostingsIndex(s, indexPath), maxDocFreq)
           .localCheckpoint() // eager: ONE evaluation feeds emptiness check, sink, and append
-        // The SINK write is UNCONDITIONAL (round-19; ADVICE r18): an
-        // all-dropped batch still lands its (empty-but-schema-carrying)
-        // partition, so [[readGateOutput]] works on the all-duplicates
-        // day — previously the dir appeared only on the first survivor
-        // write and the documented read path failed schema inference.
-        // IDEMPOTENT under micro-batch replay (round-17): each batch
-        // owns an overwritten partition dir and the index append uses a
-        // deterministic per-batch epoch — a replayed batch replaces
-        // itself on both sides instead of duplicating survivors/postings
-        // (foreachBatch is at-least-once by contract).
-        survivors.write.mode("overwrite")
-          .parquet(s"$outDir/batch=$runTag-$batchId")
-        if (!survivors.isEmpty) {
+        // Sink-write discipline — see [[writeGateSinkPartition]]: lands
+        // the (possibly empty) partition so [[readGateOutput]] works on
+        // the all-duplicates day (round-19; ADVICE r18), EXCEPT when the
+        // batch re-gated to empty AND its partition already exists — the
+        // crash-replay case where the batch's own committed postings
+        // self-gate every survivor away and an unconditional overwrite
+        // would clobber the real survivors (round-20; ADVICE r19 high).
+        val survivorsEmpty = writeGateSinkPartition(
+          survivors, s"$outDir/batch=$runTag-$batchId")
+        if (!survivorsEmpty) {
           graft.operators.Dedup.appendPostingsIndex(
             survivors, idCol, textCol, n, indexPath, maxDocFreq,
             idempotencyTag = Some(s"jgate:$runTag:$batchId"))
@@ -559,11 +559,12 @@ object Streams {
         val survivors = graft.operators.Dedup.imageNearDupIncrementalSigsBanded(
             batch, idCol, bytesCol, indexPath, maxHamming)
           .localCheckpoint() // ONE evaluation: emptiness check, sink, append
-        // unconditional sink write — see the jaccard twin (round-19;
-        // ADVICE r18: readGateOutput must work on the all-duplicates day)
-        survivors.drop("__sig").write.mode("overwrite")
-          .parquet(s"$outDir/batch=$runTag-$batchId")
-        if (!survivors.isEmpty) {
+        // sink-write discipline — see the jaccard twin and
+        // [[writeGateSinkPartition]] (round-19 all-duplicates-day fix +
+        // round-20 replay-clobber guard; ADVICE r19 high)
+        val survivorsEmpty = writeGateSinkPartition(
+          survivors.drop("__sig"), s"$outDir/batch=$runTag-$batchId")
+        if (!survivorsEmpty) {
           graft.operators.Dedup.appendBandedDHashSigs(
             survivors.select(col(idCol).cast("long").as("id"),
               col("__sig").as("sig")), indexPath)
@@ -579,6 +580,41 @@ object Streams {
     val sq = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     awaitOrAbort(sq, "imageGateMaintainAvailableNow", timeoutMs)
+  }
+
+  /** Gate-sink write for the MAINTAINER loops (gate-then-append), and
+    * the one place their replay semantics live. Returns whether the
+    * survivor set was empty (callers key the index append off it so the
+    * emptiness check runs ONCE).
+    *
+    * Non-empty survivors always overwrite their own `batch=` partition —
+    * the round-17 at-least-once discipline (a replayed batch replaces
+    * itself, never re-appends). EMPTY survivors write only when the
+    * partition does not exist yet: the write is what keeps
+    * [[readGateOutput]] schema-readable on an all-duplicates day
+    * (round-19; ADVICE r18), but when the partition ALREADY exists an
+    * empty result is the crash-replay signature (round-20; ADVICE r19
+    * high) — the first attempt committed the index append and crashed
+    * before the checkpoint offset commit, so the replay's committed-only
+    * index read now contains the batch's OWN postings/signatures
+    * (jaccard self-similarity 1.0, dHash self-distance 0), every true
+    * survivor self-gates away, and an unconditional overwrite would
+    * replace the real survivors with nothing — silent data loss. An
+    * existing partition + empty re-verdict therefore SKIPS the write,
+    * preserving whichever bytes the first attempt landed (real
+    * survivors, or the genuinely-empty footer — rewriting an empty over
+    * an empty is the only case the skip changes nothing). This is
+    * exactly the idempotence the pre-r19 empty-skip provided, minus its
+    * all-duplicates-day blind spot.
+    */
+  private def writeGateSinkPartition(survivors: DataFrame, partDir: String): Boolean = {
+    val empty = survivors.isEmpty
+    val p = new org.apache.hadoop.fs.Path(partDir)
+    val fs = p.getFileSystem(
+      survivors.sparkSession.sparkContext.hadoopConfiguration)
+    if (!empty || !fs.exists(p))
+      survivors.write.mode("overwrite").parquet(partDir)
+    empty
   }
 
   /** Read a gate/maintainer sink directory back as plain survivor rows.

@@ -620,6 +620,86 @@ class StreamsSpec extends SparkSpec {
     assert(open == Set(20L, 21L), s"open gate admitted: $open")
   }
 
+  /** Remove batch 0's checkpoint commit marker (and its local-FS `.crc`
+    * checksum sibling, which would otherwise fail the replay's rename)
+    * so the next restart reconstructs batch 0 from the offset log and
+    * reprocesses it — the crash-between-append-and-offset-commit window.
+    */
+  private def deleteCommitMarker(ckpt: String): Unit = {
+    val marker = new java.io.File(s"$ckpt/commits/0")
+    assert(marker.exists, "checkpoint layout drift: commits/0 missing")
+    assert(marker.delete())
+    val crc = new java.io.File(s"$ckpt/commits/.0.crc")
+    if (crc.exists) assert(crc.delete())
+  }
+
+  test("crash-replay of a committed batch preserves the sink's real survivors (r20; ADVICE r19 high)") {
+    import graft.operators.Dedup
+    // THE ADVICE r19 HIGH WINDOW: the first attempt commits the index
+    // append, then crashes BEFORE the checkpoint's batch-commit marker.
+    // The replay's committed-only index read now contains the batch's
+    // own postings — jaccard self-similarity 1.0 — so every true
+    // survivor self-gates away, and the pre-fix unconditional sink
+    // overwrite replaced the real survivors with an empty partition.
+    // Simulated faithfully: drain once (offsets/0 + commits/0 + the
+    // index epoch all land), delete commits/0, drain again — Spark
+    // reconstructs batch 0 from the offset log and reprocesses it.
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val indexed = df(1L -> "red fox jumps over lazy dog tonight")
+    val w1 = df(10L -> "alpha beta gamma delta epsilon zeta",
+                11L -> "red fox jumps over lazy dog today")
+    val idx = graft.core.SessionCache.newTempDir("spec-replay-idx")
+    val arrival = graft.core.SessionCache.newTempDir("spec-replay-src")
+    val ckpt = graft.core.SessionCache.newTempDir("spec-replay-ckpt")
+    val out = graft.core.SessionCache.newTempDir("spec-replay-out") + "/surv"
+    Dedup.buildPostingsIndex(indexed, "doc_id", "text", n = 2, idx)
+    w1.coalesce(1).write.mode("append").parquet(arrival)
+    def drain(): Unit = Streams.jaccardGateMaintainAvailableNow(
+      spark.readStream.schema(w1.schema).parquet(arrival),
+      "doc_id", "text", n = 2, threshold = 0.2, idx, out,
+      checkpoint = Some(ckpt))
+    def survivors(): Set[Long] = Streams.readGateOutput(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+
+    drain()
+    assert(survivors() == Set(10L), s"first drain: ${survivors()}")
+    assert(graft.store.EpochCommit.committedCount(spark, idx) == 2,
+      "build + one append expected before the replay")
+
+    deleteCommitMarker(ckpt)
+    drain()
+    assert(survivors() == Set(10L),
+      s"replay clobbered the real survivors: ${survivors()}")
+    // and the index side stayed exactly-once: the replay's empty
+    // survivor set never re-appends (deterministic epoch unchanged)
+    assert(graft.store.EpochCommit.committedCount(spark, idx) == 2,
+      "replay duplicated the postings append")
+
+    // the IMAGE twin shares writeGateSinkPartition — same window, same
+    // guarantee (dHash self-distance 0 re-gates the replay to empty)
+    def bytesOf(seed: String): Array[Byte] =
+      (0 until 8).map(j => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .mkString(" ").getBytes("UTF-8")
+    val (ia, ic) = (bytesOf("RP-A"), bytesOf("RP-C"))
+    val iIdx = graft.core.SessionCache.newTempDir("spec-replayimg-idx") + "/idx"
+    Dedup.buildBandedDHashIndex(Seq((1L, ia)).toDF("id", "bytes"),
+      "id", "bytes", iIdx, maxHamming = 10)
+    val iArrival = graft.core.SessionCache.newTempDir("spec-replayimg-src")
+    val iCkpt = graft.core.SessionCache.newTempDir("spec-replayimg-ckpt")
+    val iOut = graft.core.SessionCache.newTempDir("spec-replayimg-out") + "/surv"
+    val iw = Seq((10L, ic), (11L, ia)).toDF("id", "bytes")
+    iw.coalesce(1).write.mode("append").parquet(iArrival)
+    def iDrain(): Unit = Streams.imageGateMaintainAvailableNow(
+      spark.readStream.schema(iw.schema).parquet(iArrival),
+      "id", "bytes", iIdx, iOut, maxHamming = 10, checkpoint = Some(iCkpt))
+    iDrain()
+    deleteCommitMarker(iCkpt)
+    iDrain()
+    val iGot = Streams.readGateOutput(spark, iOut).select("id").as[Long].collect().toSet
+    assert(iGot == Set(10L), s"image replay clobbered the survivors: $iGot")
+  }
+
   test("all-duplicates day: the gate sink stays schema-readable when every row drops (r19)") {
     import graft.operators.Dedup
     // the ADVICE r18 break: the sink dir appeared only on the first
