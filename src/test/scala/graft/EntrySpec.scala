@@ -15,10 +15,10 @@ class EntrySpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
     // a typo'd key silently downgrades a query to rows-only — pin the floor
-    // at the round-19 surface (141 oracles / 141 queries: every declared
+    // at the round-20 surface (142 oracles / 142 queries: every declared
     // query has an oracle twin)
-    assert(SparkEntry.oracleSql.size >= 141, s"oracle count ${SparkEntry.oracleSql.size}")
-    assert(SparkEntry.queries.size >= 141, s"query count ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= 142, s"oracle count ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size >= 142, s"query count ${SparkEntry.queries.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"queries without oracles (rows-only): $rowsOnly")
   }
