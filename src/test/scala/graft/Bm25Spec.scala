@@ -87,6 +87,58 @@ class Bm25Spec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == direct)
   }
 
+  test("layout _meta: partition-modulus mismatch refuses probe and append loudly; compact migrates (r20)") {
+    // VERDICT r19 "missing" #2 — the silent-candidate-subset hazard r19
+    // closed for IVF + dHash, closed here for the postings family: a
+    // probe pruning `pt` dirs under a modulus different from the
+    // artifact's silently drops postings.
+    val terms = Seq("apple", "cherry")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-meta").toString
+    IndexedBm25.build(corpusDF, "doc_id", "text", path)
+    // the build stamped this build's constants
+    assert(graft.store.MetaSidecar.read(spark, path, "bm25").contains(
+      Map("formatVersion" -> IndexedBm25.FormatVersion,
+        "partitions" -> IndexedBm25.Partitions)))
+    val direct = IndexedBm25.topK(spark, path, terms, 10)
+      .as[(Long, Double)].collect().toSeq
+
+    // tamper through the hadoop FS (java.nio would desync the local-FS
+    // .crc sidecar and reads would fail on ChecksumException, not our guard)
+    def writeMetaRaw(content: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+      val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    writeMetaRaw(s"formatVersion=${IndexedBm25.FormatVersion}\npartitions=32\n")
+    // every probe family funnels through the one pruned scan — each
+    // entry point must refuse, and so must append (it would stage under
+    // a second modulus into the same tree)
+    val e1 = intercept[graft.core.EngineError](
+      IndexedBm25.topK(spark, path, terms, 10).collect())
+    assert(e1.getMessage.contains("partitions=32"), e1.getMessage)
+    intercept[graft.core.EngineError](
+      IndexedBm25.phraseSearch(spark, path, Seq("apple", "banana")).collect())
+    intercept[graft.core.EngineError](
+      IndexedBm25.proximitySearch(spark, path, Seq("apple", "banana"), 5).collect())
+    intercept[graft.core.EngineError](
+      IndexedBm25.append(corpusDF.limit(1), "doc_id", "text", path))
+    // a corrupt sidecar is loud too (never "assume compatible")
+    writeMetaRaw("partitions=not-a-number\n")
+    intercept[graft.core.EngineError](
+      IndexedBm25.topK(spark, path, terms, 10).collect())
+
+    // compact reads without pruning (modulus-independent) — it is the
+    // documented migration: re-derives pt under this build's constant,
+    // stamps what it wrote, and the probe serves the same results
+    writeMetaRaw(s"formatVersion=${IndexedBm25.FormatVersion}\npartitions=32\n")
+    IndexedBm25.compact(spark, path)
+    assert(graft.store.MetaSidecar.read(spark, path, "bm25").contains(
+      Map("formatVersion" -> IndexedBm25.FormatVersion,
+        "partitions" -> IndexedBm25.Partitions)))
+    assert(IndexedBm25.topK(spark, path, terms, 10)
+      .as[(Long, Double)].collect().toSeq == direct)
+  }
+
   test("phraseSearch: positional-index probe == full-scan phrasePositions; pruned, delete-aware") {
     // full-scan reference over the same corpus
     def scanPhrase(df: org.apache.spark.sql.DataFrame, phrase: Seq[String]) =
