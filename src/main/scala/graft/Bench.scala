@@ -98,9 +98,59 @@ object Bench {
   // run. The par ref is per-thread wall-clock with all CanaryParRefThreads
   // cores busy running only the canary itself; it is only comparable when
   // canary_par_threads in the artifact matches CanaryParRefThreads.
-  private val CanaryRefSec = 0.65
-  private val CanaryParRefSec = 0.70
+  // private[graft]: ScaleProbe's canaryPair prints the same refs next to
+  // its long-run samples (ADVICE r19 — a re-measure here must never
+  // leave ScaleProbe adjudicating against stale literals)
+  private[graft] val CanaryRefSec = 0.65
+  private[graft] val CanaryParRefSec = 0.70
   private val CanaryParRefThreads = 32
+
+  /** Run `f`, returning (result, wall seconds, summed task input
+    * `bytesRead`). The listener bus drains ASYNC: a fixed settle sleep
+    * silently undercounts on a loaded box (advisor r18 for the bench's
+    * own bytesOf; advisor r19 for ScaleProbe's measured blocks, which
+    * now share this) — instead wait until every launched task's end
+    * event has been processed AND the count is stable across two polls
+    * (the bus is FIFO, so a start can't trail its own end), bounded so
+    * a lost event can't hang the run; a non-settled exit is LOUD, never
+    * a quiet undercount. NOTE the r19 caveat on the metric itself:
+    * executor bytesRead OVERCOUNTS under parquet filter pushdown on the
+    * local FS — fine for unfiltered-scan comparisons, unusable for
+    * pushdown-pruning claims (use ScaleProbe.admittedBytes there).
+    */
+  private[graft] def measuredWithBytes[T](spark: SparkSession)(f: => T): (T, Double, Long) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val started = new java.util.concurrent.atomic.AtomicLong(0)
+    val ended = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        started.incrementAndGet(); ()
+      }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        ended.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var prev = -1L
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val e = ended.get()
+        stable = e == started.get() && e == prev
+        prev = e
+      }
+      if (!stable)
+        System.err.println("[graft-bench] byte listener did not settle in 15s: " +
+          s"started=${started.get()} ended=${ended.get()} — tracked bytes may undercount")
+      (r, sec, bytes.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 
   /** Time one thunk ITERS times; Right(min seconds) or Left(error string). */
   private def timed(run: () => Unit): Either[String, Double] = {
@@ -300,43 +350,8 @@ object Bench {
     // number every round instead of only the 1M rehearsal snapshot.
     // Measured once, OUTSIDE the timed loop: the listener drains
     // asynchronously and the settle sleep would pollute row timings.
-    def bytesOf(f: => Unit): Long = {
-      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
-      val started = new java.util.concurrent.atomic.AtomicLong(0)
-      val ended = new java.util.concurrent.atomic.AtomicLong(0)
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
-          started.incrementAndGet(); ()
-        }
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-          ended.incrementAndGet(); ()
-        }
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        f
-        // The listener bus drains ASYNC. A fixed settle sleep silently
-        // undercounts on a loaded box (advisor, r18) — instead wait until
-        // every launched task's end event has been processed AND the
-        // count is stable across two polls (the bus is FIFO, so a start
-        // can't trail its own end), bounded so a lost event can't hang
-        // the bench; a non-settled exit is LOUD, never a quiet undercount.
-        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-        var prev = -1L
-        var stable = false
-        while (!stable && System.nanoTime() < deadline) {
-          Thread.sleep(100)
-          val e = ended.get()
-          stable = e == started.get() && e == prev
-          prev = e
-        }
-        if (!stable)
-          System.err.println("[graft-bench] bytesOf listener did not settle in 15s: " +
-            s"started=${started.get()} ended=${ended.get()} — tracked bytes may undercount")
-      } finally spark.sparkContext.removeSparkListener(l)
-      bytes.get()
-    }
+    // settle-until-stable drain lives in the shared helper (r20)
+    def bytesOf(f: => Unit): Long = measuredWithBytes(spark)(f)._3
     // Round-19 (VERDICT r18 "wrong" #4): pipeline_daily_drop rose three
     // consecutive rounds on quiet canaries; the only decomposition lived
     // in an on-demand profiler. These prefix timings land in the artifact

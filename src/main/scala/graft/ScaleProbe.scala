@@ -22,8 +22,11 @@ object ScaleProbe {
     * constants as Bench's artifact fields.
     */
   private def canaryPair(tag: String): Unit =
-    println(f"[scale] canary $tag: seq ${Bench.canarySeconds()}%.3f s (ref 0.65)  " +
-      f"par32 ${Bench.canaryParSeconds(32)}%.3f s (ref 0.70)")
+    // refs interpolate Bench's constants (ADVICE r19): a dev-box
+    // re-measure there can never leave these lines printing stale ones
+    println(f"[scale] canary $tag: seq ${Bench.canarySeconds()}%.3f s " +
+      f"(ref ${Bench.CanaryRefSec})  " +
+      f"par32 ${Bench.canaryParSeconds(32)}%.3f s (ref ${Bench.CanaryParRefSec})")
 
   private def timed[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -895,24 +898,13 @@ object ScaleProbe {
     // (the 4× candidate-IO claim, on disk), single-commit append,
     // tombstone fold, governor compact.
     if (!onlyR17b) locally {
-      /** Wall-clock + total task input bytes for one action (listener
-        * events drain async — the bounded sleep is generous for a probe).
-        */
+      // wall-clock + tracked input bytes; the settle-until-stable drain
+      // is Bench's shared helper (ADVICE r19: the fixed sleep this
+      // replaces silently undercounted on a loaded box)
       def measured[T](name: String)(f: => T): T = {
-        val bytes = new java.util.concurrent.atomic.AtomicLong(0)
-        val l = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-        }
-        spark.sparkContext.addSparkListener(l)
-        try {
-          val t0 = System.nanoTime()
-          val r = f
-          val s = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(2000) // let straggler TaskEnd events drain
-          println(f"[scale] $name%-52s $s%8.2f s  bytesRead ${bytes.get()}%,d")
-          r
-        } finally spark.sparkContext.removeSparkListener(l)
+        val (r, s, b) = Bench.measuredWithBytes(spark)(f)
+        println(f"[scale] $name%-52s $s%8.2f s  bytesRead $b%,d")
+        r
       }
       val model = IvfIndex.fit(emb, "embedding")
       val root = graft.core.SessionCache.newTempDir("graft-scale-ivfpacked") + "/idx"
@@ -1089,21 +1081,11 @@ object ScaleProbe {
     // the small batch; the large batch and the radius-10 run exercise
     // the cost-based flat-slice fallback.
     if ((onlyR19 && !onlyR19b) || !onlyR8) locally {
+      // shared settle-until-stable byte tracking (ADVICE r19)
       def measured[T](name: String)(f: => T): T = {
-        val bytes = new java.util.concurrent.atomic.AtomicLong(0)
-        val l = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-        }
-        spark.sparkContext.addSparkListener(l)
-        try {
-          val t0 = System.nanoTime()
-          val r = f
-          val s = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(2000)
-          println(f"[scale] $name%-58s $s%8.2f s  bytesRead ${bytes.get()}%,d")
-          r
-        } finally spark.sparkContext.removeSparkListener(l)
+        val (r, s, b) = Bench.measuredWithBytes(spark)(f)
+        println(f"[scale] $name%-58s $s%8.2f s  bytesRead $b%,d")
+        r
       }
       import graft.operators.{Dedup, Multimodal}
       val assets = Multimodal.fakeAssets(docs, "text")
@@ -1152,21 +1134,11 @@ object ScaleProbe {
     // parquet.block.size at write, then sweep nProbe and record
     // candidate bytes at BOTH geometries.
     if (onlyR19 || !onlyR8) locally {
+      // shared settle-until-stable byte tracking (ADVICE r19)
       def measured[T](name: String)(f: => T): T = {
-        val bytes = new java.util.concurrent.atomic.AtomicLong(0)
-        val l = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-        }
-        spark.sparkContext.addSparkListener(l)
-        try {
-          val t0 = System.nanoTime()
-          val r = f
-          val s = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(2000)
-          println(f"[scale] $name%-58s $s%8.2f s  bytesRead ${bytes.get()}%,d")
-          r
-        } finally spark.sparkContext.removeSparkListener(l)
+        val (r, s, b) = Bench.measuredWithBytes(spark)(f)
+        println(f"[scale] $name%-58s $s%8.2f s  bytesRead $b%,d")
+        r
       }
       /** STATS-ADMITTED candidate bytes: for every packed-side file in a
         * TOUCHED bucket dir, the compressed bytes of the row groups

@@ -597,7 +597,7 @@ object Dedup {
     * so any pair within the radius agrees on at least one full band.
     * Output: one (id, sig, band, key) row per band.
     */
-  private def bandSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def bandSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val width = math.max(1, 64 / math.min(maxHamming + 1, 64))
     val nBands = (64 + width - 1) / width

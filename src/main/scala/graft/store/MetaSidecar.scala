@@ -29,13 +29,33 @@ object MetaSidecar {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (Over)write the sidecar — idempotent for a given constant set. */
+  /** (Over)write the sidecar — idempotent for a given constant set.
+    *
+    * Writes a temp name and RENAMES it into place rather than
+    * truncating the existing file (round-20; ADVICE r19): an in-place
+    * `create(overwrite = true)` writes through the existing INODE, and
+    * [[graft.core.SessionCache.linkTree]]'s hardlinked views share
+    * inodes under the contract that linked bytes are immutable for
+    * their lifetime — a per-append `_meta` backfill or `_drift` update
+    * through a linked view would silently mutate the cached base
+    * artifact. Replacing the directory ENTRY breaks the hardlink
+    * instead; the base keeps its bytes.
+    */
   def write(spark: SparkSession, dir: String, kv: Seq[(String, Int)],
             name: String = DefaultName): Unit = {
     val p = metaPath(dir, name)
-    val out = fs(spark, p).create(p, /* overwrite = */ true)
+    val f = fs(spark, p)
+    val tmp = metaPath(dir, s".$name.tmp-${System.nanoTime()}")
+    val out = f.create(tmp, /* overwrite = */ true)
     try out.write(kv.map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
     finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new graft.core.EngineError(
+        s"could not move $name sidecar into place at $p — the artifact may now " +
+        "lack its format descriptor; re-run the write")
+    }
   }
 
   /** The persisted constants, or None when the artifact predates the
