@@ -40,7 +40,7 @@ object DailyDropProfile {
     Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, postingsPath)
     val lshPath = java.nio.file.Files.createTempDirectory("ddp-lsh").toString
     AnnIndex.writeIndex(
-      AnnIndex.buildIndex(e.filter(col("vec_id") < cut), "vec_id", "embedding", dedupCfg), lshPath)
+      AnnIndex.buildIndex(e.filter(col("vec_id") < cut), "vec_id", "embedding", dedupCfg), lshPath, dedupCfg)
     val lshIdx = spark.read.parquet(lshPath)
 
     def s1() = Dedup.dedupIncremental(batch, "doc_id", "text",

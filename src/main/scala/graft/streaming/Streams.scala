@@ -493,7 +493,9 @@ object Streams {
         // sees every earlier batch's append — the whole point of the loop
         val survivors = graft.operators.Dedup.jaccardIncremental(
             batch, idCol, textCol, n, threshold,
-            graft.operators.Dedup.readPostingsIndex(s, indexPath), maxDocFreq)
+            // n-validating read: a gate restarted under a different
+            // shingle width refuses loudly instead of admitting every dup
+            graft.operators.Dedup.readPostingsIndex(s, indexPath, n), maxDocFreq)
           .localCheckpoint() // eager: ONE evaluation feeds emptiness check, sink, and append
         // Sink-write discipline — see [[writeGateSinkPartition]]: lands
         // the (possibly empty) partition so [[readGateOutput]] works on

@@ -34,7 +34,7 @@ class AnnBatchSpec extends SparkSpec {
 
   test("queryTopKBatch on a persisted index: partition pruning + recall floor vs exact") {
     val path = java.nio.file.Files.createTempDirectory("graft-ann-batch").toString
-    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), path)
+    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), path, cfg)
     val index = spark.read.parquet(path)
     val queries = embs.filter(col("vec_id") < 20)
 
@@ -71,7 +71,7 @@ class AnnBatchSpec extends SparkSpec {
     val batch = embs.filter(col("vec_id") >= 350)
       .select(col("vec_id"), col("embedding")).union(copy)
     val path = java.nio.file.Files.createTempDirectory("graft-inc-dedup").toString
-    AnnIndex.writeIndex(AnnIndex.buildIndex(corpus, "vec_id", "embedding", cfg), path)
+    AnnIndex.writeIndex(AnnIndex.buildIndex(corpus, "vec_id", "embedding", cfg), path, cfg)
     val index = spark.read.parquet(path)
 
     def run() = AnnIndex.dedupIncrementalLSH(batch, "vec_id", "embedding", index, thr, cfg)

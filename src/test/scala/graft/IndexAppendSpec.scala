@@ -26,7 +26,7 @@ class IndexAppendSpec extends SparkSpec {
     val old = embs.filter(col("vec_id") < 150)
     val batch = embs.filter(col("vec_id") >= 150)
     val path = java.nio.file.Files.createTempDirectory("graft-lsh-append").toString
-    AnnIndex.writeIndex(AnnIndex.buildIndex(old, "vec_id", "embedding", cfg), path)
+    AnnIndex.writeIndex(AnnIndex.buildIndex(old, "vec_id", "embedding", cfg), path, cfg)
     AnnIndex.appendToIndex(batch, path, "vec_id", "embedding", cfg)
     val viaAppend = probeRows(AnnIndex.queryTopK(spark.read.parquet(path), qVec, 10, cfg))
     val viaRebuild = probeRows(
@@ -51,7 +51,7 @@ class IndexAppendSpec extends SparkSpec {
 
   test("LSH deleteFromIndex: tombstoned probe == rebuild-without; compact folds; pruning survives") {
     val path = java.nio.file.Files.createTempDirectory("graft-lsh-delete").toString
-    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), path)
+    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), path, cfg)
     AnnIndex.deleteFromIndex(spark, path, (0L until 50L) :+ 99999L) // unknown id no-op
     val expect = probeRows(AnnIndex.queryTopK(
       AnnIndex.buildIndex(embs.filter(col("vec_id") >= 50), "vec_id", "embedding", cfg),
@@ -376,5 +376,57 @@ class IndexAppendSpec extends SparkSpec {
     IvfPackedIndex.append(batch, "vec_id", "embedding", model, root)
     assert(IvfPackedIndex.readFloat(spark, root).count() == embs.count())
     assert(IvfPackedIndex.readPacked(spark, root).count() == embs.count())
+  }
+
+  // ==== round-20: the LSH family's persisted hyperplane config (the last
+  // carrier of the format-constant hazard class — VERDICT r19) ====
+
+  test("LSH config _meta: foreign config refuses append and probe; pre-r20 artifact backfills; compact preserves") {
+    val old = embs.filter(col("vec_id") < 150)
+    val batch = embs.filter(col("vec_id") >= 150)
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-meta").toString
+    AnnIndex.writeIndex(AnnIndex.buildIndex(old, "vec_id", "embedding", cfg), path, cfg)
+    // the build stamped the full config; the path is now the config record
+    assert(AnnIndex.readConfigMeta(spark, path).contains(cfg))
+
+    // a config differing in ANY field derives foreign hyperplanes: appends
+    // would mis-bucket, probes would scan the wrong dirs — both refuse
+    val foreign = cfg.copy(seed = cfg.seed + 1)
+    val e1 = intercept[graft.core.EngineError](
+      AnnIndex.appendToIndex(batch, path, "vec_id", "embedding", foreign))
+    assert(e1.getMessage.contains(s"seed=${cfg.seed}")
+      && e1.getMessage.contains(s"seed=${foreign.seed}"), e1.getMessage)
+    val e2 = intercept[graft.core.EngineError](AnnIndex.readIndex(spark, path, foreign))
+    assert(e2.getMessage.contains("hyperplanes"), e2.getMessage)
+    // the matching config serves through the validated probe face
+    assert(probeRows(AnnIndex.queryTopK(
+      AnnIndex.readIndex(spark, path, cfg), qVec, 10, cfg)).nonEmpty)
+
+    // an incomplete sidecar is LOUD (never "assume compatible"), and an
+    // unknown formatVersion refuses
+    writeMetaRaw(path, "formatVersion=1\ndim=64\n")
+    intercept[graft.core.EngineError](AnnIndex.readIndex(spark, path))
+    writeMetaRaw(path, s"formatVersion=99\ndim=${cfg.dim}\nnBits=${cfg.nBits}\n" +
+      s"nTables=${cfg.nTables}\nseed=${cfg.seed}\n")
+    intercept[graft.core.EngineError](AnnIndex.readIndex(spark, path))
+
+    // a pre-r20 artifact (no sidecar) stays readable, and the next append
+    // backfills the record
+    val m = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+    assert(AnnIndex.readConfigMeta(spark, path).isEmpty)
+    AnnIndex.appendToIndex(batch, path, "vec_id", "embedding", cfg)
+    assert(AnnIndex.readConfigMeta(spark, path).contains(cfg))
+
+    // append+backfill probes equal to a rebuild over old ∪ new, and the
+    // compact rewrite carries the sidecar across the dir swap
+    val viaRebuild = probeRows(
+      AnnIndex.queryTopK(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), qVec, 10, cfg))
+    assert(probeRows(AnnIndex.queryTopK(
+      AnnIndex.readIndex(spark, path, cfg), qVec, 10, cfg)) == viaRebuild)
+    AnnIndex.compactIndex(spark, path)
+    assert(AnnIndex.readConfigMeta(spark, path).contains(cfg))
+    assert(probeRows(AnnIndex.queryTopK(
+      AnnIndex.readIndex(spark, path, cfg), qVec, 10, cfg)) == viaRebuild)
   }
 }

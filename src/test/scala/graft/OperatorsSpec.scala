@@ -401,7 +401,7 @@ class OperatorsSpec extends SparkSpec {
   test("ANN persisted index: probes prune partitions of the written index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/idx"
     val cfg = AnnIndex.Config(dim = 64, nBits = 6, nTables = 4)
-    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), dir)
+    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), dir, cfg)
     val index = spark.read.parquet(dir)
     val q = embs.filter(col("vec_id") === 3).select("embedding").head.getSeq[Float](0).toArray
     val result = AnnIndex.queryTopK(index, q, 5, cfg)

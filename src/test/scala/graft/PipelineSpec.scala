@@ -33,6 +33,53 @@ class PipelineSpec extends SparkSpec {
     assert(rebuilt.count() < uncapped.count(), "cap=20 did not bind at sf0.001")
   }
 
+  // round-20: the recorded shingle width — the last member of the
+  // format-constant hazard class (shingles of different widths never
+  // match, so a mismatched gate admits every duplicate silently)
+  test("postings _meta: foreign shingle width refuses append and probe; pre-r20 backfills; compact preserves") {
+    def writeMetaRaw(path: String, content: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+      val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    val cut = docs.count() * 3 / 4
+    val corpus = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val path = java.nio.file.Files.createTempDirectory("graft-postings-meta").toString
+    Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, path)
+    assert(Dedup.readPostingsMeta(spark, path).contains(2))
+
+    val e1 = intercept[graft.core.EngineError](
+      Dedup.appendPostingsIndex(batch, "doc_id", "text", n = 3, path))
+    assert(e1.getMessage.contains("n=2") && e1.getMessage.contains("n=3"), e1.getMessage)
+    val e2 = intercept[graft.core.EngineError](Dedup.readPostingsIndex(spark, path, 3))
+    assert(e2.getMessage.contains("widths never match"), e2.getMessage)
+    // the matching width serves through the validated probe face
+    assert(Dedup.readPostingsIndex(spark, path, 2).count() > 0)
+
+    // an incomplete sidecar is LOUD, and an unknown formatVersion refuses
+    writeMetaRaw(path, "formatVersion=1\n")
+    intercept[graft.core.EngineError](Dedup.readPostingsIndex(spark, path))
+    writeMetaRaw(path, "formatVersion=99\nshingleN=2\n")
+    intercept[graft.core.EngineError](Dedup.readPostingsIndex(spark, path))
+
+    // a pre-r20 artifact (no sidecar) stays readable; append backfills
+    val m = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+    assert(Dedup.readPostingsMeta(spark, path).isEmpty)
+    Dedup.appendPostingsIndex(batch, "doc_id", "text", n = 2, path)
+    assert(Dedup.readPostingsMeta(spark, path).contains(2))
+
+    // the compact swap carries the record across (cap change allowed —
+    // the cap is re-appliable by design; the width is not)
+    Dedup.compactPostingsIndex(spark, path, maxDocFreq = 50L)
+    assert(Dedup.readPostingsMeta(spark, path).contains(2))
+    val rebuilt = Dedup.shinglePostings(docs, "doc_id", "text", n = 2, 50L)
+    val appended = Dedup.readPostingsIndex(spark, path, 2)
+    assert(appended.except(rebuilt).isEmpty && rebuilt.except(appended).isEmpty,
+      "append+compact != rebuild after the meta lifecycle")
+  }
+
   test("postings index feeds jaccardIncremental identically to in-memory postings") {
     val cut = docs.count() * 3 / 4
     val corpus = docs.filter(col("doc_id") < cut)
