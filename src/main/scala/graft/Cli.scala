@@ -22,6 +22,7 @@ import graft.store.GraftStore
   *   ingest-file <file> [maxChars] [overlap]
   *   stats | delete <id> | show <id> | list [limit] [offset]
   *   compact [targetFiles]
+  *   report <file> [query] [topK]  (static HTML dashboard — [[Report]])
   *   repl                     (interactive session — the UI counterpart)
   */
 object Cli {
@@ -79,7 +80,7 @@ object Cli {
   private[graft] def repl(store: GraftStore,
                           in: java.io.BufferedReader): Unit = {
     println("graft session — verbs: add query search hybrid phrase " +
-      "ingest-file stats delete show list compact help quit")
+      "ingest-file stats delete show list compact report help quit")
     var line = in.readLine()
     while (line != null &&
            line.trim != "quit" && line.trim != "exit") {
@@ -215,10 +216,17 @@ object Cli {
           println(s"id=${r.getAs[Long]("id")}  ${r.getAs[String]("display_text")}")
         }
 
+    case "report" => // static HTML dashboard — the graphical UI counterpart
+      val out = rest(0)
+      val q = if (rest.length > 1) Some(rest(1)) else None
+      val k = if (rest.length > 2) rest(2).toInt else 5
+      Report.write(store.sparkSession, store, out, q, k)
+      println(s"Report written to $out")
+
     case other =>
       System.err.println(s"Unknown command: $other\n$usage"); throw CliExit(2)
   }
 
   private val usage =
-    """usage: graft.Cli <store-path> <add|query|search|hybrid|phrase|ingest-file|stats|delete|show|list|compact|repl> [args...]"""
+    """usage: graft.Cli <store-path> <add|query|search|hybrid|phrase|ingest-file|stats|delete|show|list|compact|report|repl> [args...]"""
 }

@@ -29,6 +29,11 @@ final class GraftStore(spark: SparkSession, path: String, embedder: Embedder) {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The session this store operates in — for callers that compose
+    * further work over it (e.g. [[graft.Report.write]]).
+    */
+  def sparkSession: SparkSession = spark
+
   def exists: Boolean = fs.exists(new Path(path))
 
   /** Current table state (empty frame with the canonical schema if the
