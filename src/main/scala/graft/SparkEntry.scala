@@ -274,7 +274,7 @@ object SparkEntry {
       AnnIndex.writeIndex(
         AnnIndex.buildIndex(embs(s, dir), "vec_id", "embedding", annCfg), p, annCfg)
       AnnIndex.deleteFromIndex(s, p, 0L until 50L)
-      AnnIndex.readIndex(s, p)
+      AnnIndex.readIndex(s, p, annCfg) // the cfg-validating probe face (r20)
     }
 
   def warmArtifacts(s: SparkSession, dir: String): Unit = {
@@ -938,7 +938,7 @@ object SparkEntry {
       Dedup.buildPostingsIndex(corpus, "doc_id", "text", n = 2, path, cap)
       Dedup.appendPostingsIndex(batch, "doc_id", "text", n = 2, path, cap)
       Dedup.compactPostingsIndex(s, path, cap)
-      val appended = Dedup.readPostingsIndex(s, path)
+      val appended = Dedup.readPostingsIndex(s, path, 2) // n-validating face (r20)
       val rebuilt = Dedup.shinglePostings(d, "doc_id", "text", n = 2, cap)
       val parity = appended.except(rebuilt).isEmpty && rebuilt.except(appended).isEmpty
       import s.implicits._
@@ -2818,7 +2818,7 @@ object SparkEntry {
         Tables.documentsStream(s, dir)
           .filter(col("doc_id") >= 250 && col("doc_id") < 325),
         "doc_id", "text", n = 2, threshold = 0.2,
-        Dedup.readPostingsIndex(s, postingsPath), out)
+        Dedup.readPostingsIndex(s, postingsPath, 2), out)
       s.read.parquet(out)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
