@@ -45,16 +45,54 @@ object MetaSidecar {
             name: String = DefaultName): Unit = {
     val p = metaPath(dir, name)
     val f = fs(spark, p)
+    val content = kv.map { case (k, v) => s"$k=$v\n" }.mkString
+    // Unchanged content is a NO-OP (round-20, per review): every append
+    // backfill-stamps a record that almost never changes, so a streaming
+    // maintainer would otherwise pay a create+replace per micro-batch —
+    // pure churn (expensive on object stores) that also re-enters the
+    // replacement window below for identical bytes. A present-but-
+    // unreadable sidecar falls through to the rewrite: WRITE repairs
+    // corruption, the read paths stay loud about it.
+    val existing: Option[String] =
+      if (!f.exists(p)) None
+      else try {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (existing.contains(content)) return
     val tmp = metaPath(dir, s".$name.tmp-${System.nanoTime()}")
     val out = f.create(tmp, /* overwrite = */ true)
-    try out.write(kv.map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
+    try out.write(content.getBytes("UTF-8"))
     finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p)) {
-      f.delete(tmp, false)
-      throw new graft.core.EngineError(
-        s"could not move $name sidecar into place at $p — the artifact may now " +
-        "lack its format descriptor; re-run the write")
+    // ATOMIC replacement of the directory entry (round-20, per review:
+    // the previous delete-then-rename left a crash window in which the
+    // sidecar was ABSENT — and absence reads as "pre-sidecar artifact,
+    // assume compatible", silently erasing the loud-mismatch guarantee).
+    // FileContext.rename(OVERWRITE) swaps the entry in one operation on
+    // filesystems that support it (local, HDFS); the non-atomic
+    // delete+rename remains only as the fallback for FSes with no
+    // FileContext binding.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(p)) f.delete(p, false)
+        if (!f.rename(tmp, p)) {
+          f.delete(tmp, false)
+          throw new graft.core.EngineError(
+            s"could not move $name sidecar into place at $p — the artifact may now " +
+            "lack its format descriptor; re-run the write")
+        }
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        throw new graft.core.EngineError(
+          s"could not move $name sidecar into place at $p — the artifact keeps its " +
+          s"previous descriptor; re-run the write [${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}]", e)
     }
   }
 

@@ -500,10 +500,11 @@ object Streams {
         // Sink-write discipline — see [[writeGateSinkPartition]]: lands
         // the (possibly empty) partition so [[readGateOutput]] works on
         // the all-duplicates day (round-19; ADVICE r18), EXCEPT when the
-        // batch re-gated to empty AND its partition already exists — the
-        // crash-replay case where the batch's own committed postings
-        // self-gate every survivor away and an unconditional overwrite
-        // would clobber the real survivors (round-20; ADVICE r19 high).
+        // partition's _SUCCESS marker already exists — then this is a
+        // crash-replay whose re-verdict is unreliable (the batch's own
+        // committed postings self-gate survivors away, fully or
+        // partially) and the first attempt's bytes are preserved
+        // (round-20; ADVICE r19 high, marker-hardened per review).
         val survivorsEmpty = writeGateSinkPartition(
           survivors, s"$outDir/batch=$runTag-$batchId")
         if (!survivorsEmpty) {
@@ -606,32 +607,42 @@ object Streams {
     * survivor set was empty (callers key the index append off it so the
     * emptiness check runs ONCE).
     *
-    * Non-empty survivors always overwrite their own `batch=` partition —
-    * the round-17 at-least-once discipline (a replayed batch replaces
-    * itself, never re-appends). EMPTY survivors write only when the
-    * partition does not exist yet: the write is what keeps
-    * [[readGateOutput]] schema-readable on an all-duplicates day
-    * (round-19; ADVICE r18), but when the partition ALREADY exists an
-    * empty result is the crash-replay signature (round-20; ADVICE r19
-    * high) — the first attempt committed the index append and crashed
-    * before the checkpoint offset commit, so the replay's committed-only
-    * index read now contains the batch's OWN postings/signatures
-    * (jaccard self-similarity 1.0, dHash self-distance 0), every true
-    * survivor self-gates away, and an unconditional overwrite would
-    * replace the real survivors with nothing — silent data loss. An
-    * existing partition + empty re-verdict therefore SKIPS the write,
-    * preserving whichever bytes the first attempt landed (real
-    * survivors, or the genuinely-empty footer — rewriting an empty over
-    * an empty is the only case the skip changes nothing). This is
-    * exactly the idempotence the pre-r19 empty-skip provided, minus its
-    * all-duplicates-day blind spot.
+    * The guard is the partition's COMMIT MARKER, not the replay
+    * verdict's emptiness (round-20, hardened same-round per review): a
+    * `batch=<run>-<id>` partition is written exactly once per logical
+    * batch, so a partition whose `_SUCCESS` marker exists can only be
+    * revisited by an at-least-once REPLAY — and the first attempt's
+    * bytes are the truth, because the sink write precedes the index
+    * append: by the time the partition committed, the replay's
+    * committed-only index read may already contain the batch's OWN
+    * postings/signatures (the crash-before-checkpoint-commit window),
+    * making the re-verdict unreliable in BOTH directions — full
+    * self-gating (jaccard self-similarity 1.0 / dHash self-distance 0
+    * empties it) or PARTIAL (a survivor contributing no postings — text
+    * shorter than the shingle width, or all-capped shingles — never
+    * self-matches, re-survives alone, and a non-empty overwrite would
+    * clobber the other committed survivors). Skip on the marker and
+    * both shapes preserve the first attempt. Conversely a partition
+    * directory WITHOUT the marker is a crashed first write (a
+    * `_temporary` husk with no parquet footer): the replay must rewrite
+    * it — at that point the index append had not run either (it follows
+    * the sink write), so the re-verdict equals the original — which is
+    * also what keeps [[readGateOutput]] schema-readable on an
+    * all-duplicates day (round-19; ADVICE r18): the empty footer lands
+    * on first write and the marker guards it thereafter.
+    *
+    * Deployments that disable `_SUCCESS` markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) degrade
+    * to overwrite-on-replay — the round-17 replaces-itself discipline:
+    * never schema-broken, but the self-gated-replay clobber window
+    * reopens; keep the marker on for maintainer sinks.
     */
   private def writeGateSinkPartition(survivors: DataFrame, partDir: String): Boolean = {
     val empty = survivors.isEmpty
-    val p = new org.apache.hadoop.fs.Path(partDir)
-    val fs = p.getFileSystem(
+    val committed = new org.apache.hadoop.fs.Path(partDir, "_SUCCESS")
+    val fs = committed.getFileSystem(
       survivors.sparkSession.sparkContext.hadoopConfiguration)
-    if (!empty || !fs.exists(p))
+    if (!fs.exists(committed))
       survivors.write.mode("overwrite").parquet(partDir)
     empty
   }

@@ -64,10 +64,31 @@ class PipelineSpec extends SparkSpec {
     intercept[graft.core.EngineError](Dedup.readPostingsIndex(spark, path))
 
     // a pre-r20 artifact (no sidecar) stays readable; append backfills
+    // (the batch lands in two disjoint halves so the second append can
+    // double as the no-op-stamp probe without duplicating any doc)
+    val halfCut = (cut + docs.count()) / 2
     val m = new org.apache.hadoop.fs.Path(s"$path/_meta")
-    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+    val mfs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mfs.delete(m, false)
     assert(Dedup.readPostingsMeta(spark, path).isEmpty)
-    Dedup.appendPostingsIndex(batch, "doc_id", "text", n = 2, path)
+    Dedup.appendPostingsIndex(batch.filter(col("doc_id") < halfCut),
+      "doc_id", "text", n = 2, path)
+    assert(Dedup.readPostingsMeta(spark, path).contains(2))
+
+    // an unchanged backfill is a NO-OP (r20 review: per-micro-batch
+    // re-stamps must not churn the file or reopen the replace window) —
+    // the sidecar's directory entry is untouched by a same-n append
+    val mtime = mfs.getFileStatus(m).getModificationTime
+    Thread.sleep(20)
+    Dedup.appendPostingsIndex(batch.filter(col("doc_id") >= halfCut),
+      "doc_id", "text", n = 2, path)
+    assert(mfs.getFileStatus(m).getModificationTime == mtime,
+      "identical-content backfill rewrote the sidecar")
+    // ...while a CORRUPT sidecar is repaired by the next stamp (write
+    // repairs; reads stay loud)
+    writeMetaRaw(path, "garbage")
+    intercept[graft.core.EngineError](Dedup.readPostingsMeta(spark, path))
+    Dedup.writePostingsMeta(spark, path, 2)
     assert(Dedup.readPostingsMeta(spark, path).contains(2))
 
     // the compact swap carries the record across (cap change allowed —

@@ -752,6 +752,66 @@ class StreamsSpec extends SparkSpec {
     assert(iGot == Set(10L), s"image replay clobbered the survivors: $iGot")
   }
 
+  test("replay guard is the _SUCCESS marker: partial self-gating preserved, crashed writes healed (r20 review)") {
+    import graft.operators.Dedup
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+    // CASE 1 — PARTIAL self-gating: a survivor contributing no postings
+    // (one token, n=2 → zero shingles) never self-matches, so the replay
+    // re-verdict is NON-empty ({B} alone) and the old emptiness guard
+    // would overwrite the committed {A, B} with just {B}. The marker
+    // guard skips any committed partition regardless of verdict shape.
+    val idx = graft.core.SessionCache.newTempDir("spec-replay2-idx")
+    Dedup.buildPostingsIndex(
+      df(1L -> "red fox jumps over lazy dog tonight"), "doc_id", "text", n = 2, idx)
+    val arrival = graft.core.SessionCache.newTempDir("spec-replay2-src")
+    val ckpt = graft.core.SessionCache.newTempDir("spec-replay2-ckpt")
+    val out = graft.core.SessionCache.newTempDir("spec-replay2-out") + "/surv"
+    df(10L -> "alpha beta gamma delta epsilon zeta", 11L -> "solitarytoken")
+      .coalesce(1).write.mode("append").parquet(arrival)
+    def drain(): Unit = Streams.jaccardGateMaintainAvailableNow(
+      spark.readStream.schema(df().schema).parquet(arrival),
+      "doc_id", "text", n = 2, threshold = 0.2, idx, out,
+      checkpoint = Some(ckpt))
+    def survivors(): Set[Long] = Streams.readGateOutput(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    drain()
+    assert(survivors() == Set(10L, 11L), s"first drain: ${survivors()}")
+    deleteCommitMarker(ckpt)
+    drain() // replay: 10 self-gates, 11 re-survives (no shingles) — non-empty
+    assert(survivors() == Set(10L, 11L),
+      s"partial self-gating replay clobbered a committed survivor: ${survivors()}")
+
+    // CASE 2 — CRASHED first write: a partition husk without _SUCCESS
+    // (data files never committed). The old guard skipped any existing
+    // dir on an empty re-verdict, leaving a footer-less sink that breaks
+    // readGateOutput forever; the marker guard rewrites it.
+    val idx2 = graft.core.SessionCache.newTempDir("spec-replay3-idx")
+    Dedup.buildPostingsIndex(
+      df(1L -> "red fox jumps over lazy dog tonight"), "doc_id", "text", n = 2, idx2)
+    val arrival2 = graft.core.SessionCache.newTempDir("spec-replay3-src")
+    val ckpt2 = graft.core.SessionCache.newTempDir("spec-replay3-ckpt")
+    val out2 = graft.core.SessionCache.newTempDir("spec-replay3-out") + "/surv"
+    // the whole batch is a near-copy of the indexed doc: verdict empty
+    df(20L -> "red fox jumps over lazy dog today")
+      .coalesce(1).write.mode("append").parquet(arrival2)
+    def drain2(): Unit = Streams.jaccardGateMaintainAvailableNow(
+      spark.readStream.schema(df().schema).parquet(arrival2),
+      "doc_id", "text", n = 2, threshold = 0.2, idx2, out2,
+      checkpoint = Some(ckpt2))
+    drain2()
+    assert(Streams.readGateOutput(spark, out2).isEmpty) // empty WITH footer
+    // simulate the crash: strip the partition to a bare husk (no
+    // _SUCCESS, no data files), then replay the batch
+    val part = new java.io.File(out2).listFiles().filter(_.getName.startsWith("batch="))
+    assert(part.length == 1, s"expected one batch partition: ${part.mkString(",")}")
+    part(0).listFiles().foreach(f => assert(f.delete(), s"could not strip $f"))
+    deleteCommitMarker(ckpt2)
+    drain2()
+    assert(Streams.readGateOutput(spark, out2).isEmpty,
+      "crashed-write replay did not restore a schema-readable sink")
+  }
+
   test("all-duplicates day: the gate sink stays schema-readable when every row drops (r19)") {
     import graft.operators.Dedup
     // the ADVICE r18 break: the sink dir appeared only on the first
