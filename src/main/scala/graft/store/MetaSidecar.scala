@@ -29,6 +29,16 @@ object MetaSidecar {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Raw sidecar bytes as UTF-8, shared by [[read]]'s parse and
+    * [[write]]'s no-op probe (one read implementation, per review).
+    */
+  private def readRaw(f: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** (Over)write the sidecar — idempotent for a given constant set.
     *
     * Writes a temp name and RENAMES it into place rather than
@@ -55,11 +65,8 @@ object MetaSidecar {
     // corruption, the read paths stay loud about it.
     val existing: Option[String] =
       if (!f.exists(p)) None
-      else try {
-        val in = f.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-        finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
+      else try Some(readRaw(f, p))
+      catch { case scala.util.control.NonFatal(_) => None }
     if (existing.contains(content)) return
     val tmp = metaPath(dir, s".$name.tmp-${System.nanoTime()}")
     val out = f.create(tmp, /* overwrite = */ true)
@@ -69,30 +76,80 @@ object MetaSidecar {
     // the previous delete-then-rename left a crash window in which the
     // sidecar was ABSENT — and absence reads as "pre-sidecar artifact,
     // assume compatible", silently erasing the loud-mismatch guarantee).
-    // FileContext.rename(OVERWRITE) swaps the entry in one operation on
-    // filesystems that support it (local, HDFS); the non-atomic
-    // delete+rename remains only as the fallback for FSes with no
-    // FileContext binding.
+    //
+    // On a LOCAL filesystem the truly atomic primitive is POSIX
+    // rename(2) via java.nio ATOMIC_MOVE — Hadoop's own
+    // FileContext.rename(OVERWRITE) is NOT atomic there (verified
+    // against hadoop-client 3.4.2: LocalFs inherits AbstractFileSystem's
+    // default, which is delete-then-rename; only HDFS overrides it with
+    // an atomic op). The crc discipline around the move: the
+    // destination's stale `.crc` sibling is deleted BEFORE the swap, so
+    // every crash point leaves `_meta` present with complete old-or-new
+    // bytes and at worst no checksum (ChecksumFileSystem reads
+    // unverified when the crc is absent — content stays correct); the
+    // tmp's crc is dropped after.
+    val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(f.makeQualified(tmp), f.makeQualified(p),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      if (local) {
+        def nio(x: org.apache.hadoop.fs.Path) =
+          java.nio.file.Paths.get(x.toUri.getPath)
+        def crcOf(x: org.apache.hadoop.fs.Path) =
+          new org.apache.hadoop.fs.Path(x.getParent, s".${x.getName}.crc")
+        val fCrc = crcOf(p)
+        if (f.exists(fCrc)) f.delete(fCrc, false)
+        java.nio.file.Files.move(nio(tmp), nio(p),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val tCrc = crcOf(tmp)
+        if (f.exists(tCrc)) f.delete(tCrc, false)
+      } else {
+        // Remote FS: FileContext.rename(OVERWRITE) — atomic on HDFS,
+        // best-effort (delete-then-rename) on FSes that inherit the
+        // default; FSes with no FileContext binding fall back below.
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(f.makeQualified(tmp), f.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         if (f.exists(p)) f.delete(p, false)
-        if (!f.rename(tmp, p)) {
+        if (!f.rename(tmp, p)) restoreOrDie(f, p, tmp, name, cause = None)
+      case e: java.io.IOException =>
+        // A failed replacement may have gotten as far as deleting the
+        // destination (the non-atomic paths): if the descriptor is gone,
+        // the staged tmp is the ONLY remaining copy — try to promote it
+        // before giving up, and never report "previous descriptor kept"
+        // unless it actually is (per review).
+        if (f.exists(p)) {
           f.delete(tmp, false)
           throw new graft.core.EngineError(
-            s"could not move $name sidecar into place at $p — the artifact may now " +
-            "lack its format descriptor; re-run the write")
-        }
-      case e: java.io.IOException =>
-        f.delete(tmp, false)
-        throw new graft.core.EngineError(
-          s"could not move $name sidecar into place at $p — the artifact keeps its " +
-          s"previous descriptor; re-run the write [${e.getClass.getSimpleName}: " +
-          s"${e.getMessage}]", e)
+            s"could not move $name sidecar into place at $p — the artifact keeps " +
+            s"its previous descriptor; re-run the write " +
+            s"[${e.getClass.getSimpleName}: ${e.getMessage}]", e)
+        } else restoreOrDie(f, p, tmp, name, cause = Some(e))
+    }
+  }
+
+  /** Last-resort promotion of the staged tmp when the destination is
+    * absent mid-replacement; only if THAT also fails is the artifact
+    * reported descriptor-less (a loud state every reader refuses).
+    */
+  private def restoreOrDie(f: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path,
+                           tmp: org.apache.hadoop.fs.Path, name: String,
+                           cause: Option[Throwable]): Unit = {
+    val restored =
+      try f.rename(tmp, p)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!restored) {
+      val detail = cause.map(e =>
+        s" [${e.getClass.getSimpleName}: ${e.getMessage}]").getOrElse("")
+      throw new graft.core.EngineError(
+        s"could not move $name sidecar into place at $p — the artifact now LACKS " +
+        s"its format descriptor (staged copy left at $tmp); re-run the write " +
+        s"before serving this index$detail", cause.orNull)
     }
   }
 

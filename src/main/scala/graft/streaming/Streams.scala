@@ -500,7 +500,7 @@ object Streams {
         // Sink-write discipline — see [[writeGateSinkPartition]]: lands
         // the (possibly empty) partition so [[readGateOutput]] works on
         // the all-duplicates day (round-19; ADVICE r18), EXCEPT when the
-        // partition's _SUCCESS marker already exists — then this is a
+        // partition's commit marker already exists — then this is a
         // crash-replay whose re-verdict is unreliable (the batch's own
         // committed postings self-gate survivors away, fully or
         // partially) and the first attempt's bytes are preserved
@@ -610,7 +610,7 @@ object Streams {
     * The guard is the partition's COMMIT MARKER, not the replay
     * verdict's emptiness (round-20, hardened same-round per review): a
     * `batch=<run>-<id>` partition is written exactly once per logical
-    * batch, so a partition whose `_SUCCESS` marker exists can only be
+    * batch, so a partition whose commit marker exists can only be
     * revisited by an at-least-once REPLAY — and the first attempt's
     * bytes are the truth, because the sink write precedes the index
     * append: by the time the partition committed, the replay's
@@ -631,19 +631,29 @@ object Streams {
     * all-duplicates day (round-19; ADVICE r18): the empty footer lands
     * on first write and the marker guards it thereafter.
     *
-    * Deployments that disable `_SUCCESS` markers
-    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) degrade
-    * to overwrite-on-replay — the round-17 replaces-itself discipline:
-    * never schema-broken, but the self-gated-replay clobber window
-    * reopens; keep the marker on for maintainer sinks.
+    * The marker is ENGINE-OWNED (`_GRAFT_COMMITTED`, created right after
+    * the parquet write — per review: keying a correctness guard on
+    * Spark's `_SUCCESS` alone ties it to a deployment config,
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs`, that object-
+    * store setups routinely disable). `_SUCCESS` is still honored as a
+    * committed signal for partitions written before the engine marker
+    * existed (a checkpointed stream upgraded mid-run). The crash window
+    * between the parquet commit and the marker create is benign: the
+    * marker precedes the index append, so a replay through that window
+    * recomputes the ORIGINAL verdict (the index does not yet contain the
+    * batch) and overwrites the partition with identical bytes.
     */
   private def writeGateSinkPartition(survivors: DataFrame, partDir: String): Boolean = {
     val empty = survivors.isEmpty
-    val committed = new org.apache.hadoop.fs.Path(partDir, "_SUCCESS")
-    val fs = committed.getFileSystem(
+    val marker = new org.apache.hadoop.fs.Path(partDir, "_GRAFT_COMMITTED")
+    val success = new org.apache.hadoop.fs.Path(partDir, "_SUCCESS")
+    val fs = marker.getFileSystem(
       survivors.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(committed))
+    if (!fs.exists(marker) && !fs.exists(success)) {
+      // overwrite clears any crashed-write husk, including a stale marker
       survivors.write.mode("overwrite").parquet(partDir)
+      fs.create(marker, /* overwrite = */ true).close()
+    }
     empty
   }
 
