@@ -330,7 +330,8 @@ object IndexedBm25 {
                               frame: DataFrame): DataFrame =
     if (!hasTombstones(spark, path)) frame
     else frame.join(
-      broadcast(spark.read.parquet(tombstonesDir(path)).select(col("doc_id"))),
+      broadcast(spark.read.schema("doc_id LONG").parquet(tombstonesDir(path))
+        .select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
 
   /** Query-term postings: partition-pruned scan (`pt IN (...)` over dir
@@ -389,7 +390,7 @@ object IndexedBm25 {
     else {
       val dead = graft.store.EpochCommit
         .readCommitted(spark, path, doclensDir(path), "bm25 index")
-        .join(broadcast(spark.read.parquet(tombstonesDir(path))
+        .join(broadcast(spark.read.schema("doc_id LONG").parquet(tombstonesDir(path))
             .select(col("doc_id"))),
           Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).cast("double").as("dn"),
@@ -481,8 +482,11 @@ object IndexedBm25 {
       .select(col("doc_id"))
       .collect()
     if (matched.nonEmpty) {
-      matched.map(_.getLong(0)).toSeq.toDF("doc_id")
-        .write.mode("append").parquet(tombstonesDir(path))
+      // under the swap lock — see [[IvfPackedIndex.delete]] (r20 review)
+      graft.store.DocStore.withSwapLock(spark, path) {
+        matched.map(_.getLong(0)).toSeq.toDF("doc_id")
+          .write.mode("append").parquet(tombstonesDir(path))
+      }
     }
   }
 

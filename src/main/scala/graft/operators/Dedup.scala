@@ -1124,8 +1124,11 @@ object Dedup {
     require(ids.nonEmpty, "banded dHash delete: empty id list")
     bandedMeta(spark, path) // loud on a non-banded/corrupt artifact
     import spark.implicits._
-    ids.distinct.toDF("id").coalesce(1)
-      .write.mode("append").parquet(dhashTombstonesDir(path))
+    // under the swap lock — see [[IvfPackedIndex.delete]] (r20 review)
+    graft.store.DocStore.withSwapLock(spark, path) {
+      ids.distinct.toDF("id").coalesce(1)
+        .write.mode("append").parquet(dhashTombstonesDir(path))
+    }
   }
 
   /** Merge-on-read tombstone fold: broadcast anti-join on `id` when the
@@ -1138,7 +1141,8 @@ object Dedup {
     val t = new org.apache.hadoop.fs.Path(dhashTombstonesDir(path))
     if (!t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t)) base
     else base.join(
-      broadcast(spark.read.parquet(dhashTombstonesDir(path)).select(col("id"))),
+      broadcast(spark.read.schema("id LONG").parquet(dhashTombstonesDir(path))
+        .select(col("id"))),
       Seq("id"), "left_anti")
   }
 

@@ -62,12 +62,26 @@ object HotLinesIndex {
 
   /** Idempotent single-commit append/delete core shared by [[append]]
     * and [[delete]] — see
-    * [[graft.operators.Dedup.appendPostingsIndex]]'s tag contract.
+    * [[graft.operators.Dedup.appendPostingsIndex]]'s tag contract. The
+    * caller's tag is SALTED BY OPERATION (r20 review): a maintainer
+    * micro-batch that both appends new docs and retention-deletes old
+    * ones under the documented (run, batchId)-scoped tag would otherwise
+    * collide on one epoch id and the second operation would be silently
+    * skipped as a "replay" — the retired lines staying hot forever.
+    *
+    * An empty DELTA is a no-op, not an epoch (r20 review — the empty
+    * check moved from the batch to the delta): a NON-empty batch whose
+    * every text yields no lines (blank/whitespace docs) stages a
+    * zero-row delta, and a zero-row write can land a data dir with no
+    * parquet footers; were that the only committed epoch, every read
+    * would fail schema inference despite the committed check passing.
     */
   private def commitDelta(batch: DataFrame, textCol: String, path: String,
                           negated: Boolean, tag: Option[String]): Unit = {
     val s = batch.sparkSession
-    tag match {
+    if (lineFreqs(batch, textCol).isEmpty) return
+    val salted = tag.map(t => (if (negated) "hl-delete:" else "hl-append:") + t)
+    salted match {
       case Some(t) =>
         val e = graft.store.EpochCommit.deterministicEpochId(t)
         if (!graft.store.EpochCommit.committed(s, path).contains(e)) {
@@ -81,6 +95,13 @@ object HotLinesIndex {
   }
 
   def build(corpus: DataFrame, textCol: String, path: String): Unit = {
+    // refuse a no-line corpus pre-stage: its sole epoch could land
+    // footer-less and brick every read (see [[commitDelta]])
+    if (lineFreqs(corpus, textCol).isEmpty)
+      throw new graft.core.EngineError(
+        "refusing to build a hot-lines index over a corpus that yields no lines " +
+        "(all texts blank/whitespace) — an empty sole epoch is unreadable; build " +
+        "once real text arrives")
     graft.store.EpochCommit.wipe(corpus.sparkSession, path)
     val e = stageBatch(corpus, textCol, path)
     graft.store.EpochCommit.commit(corpus.sparkSession, path, e)
@@ -144,12 +165,22 @@ object HotLinesIndex {
   def compact(spark: SparkSession, path: String): Unit =
     graft.store.DocStore.swapDirContents(spark, path) { tmp =>
       val e = graft.store.EpochCommit.newEpochId()
-      graft.store.EpochCommit
+      val folded = graft.store.EpochCommit
         .readCommitted(spark, path, freqsDir(path), "hot-lines index")
         .groupBy("line").agg(sum(col("n_docs")).as("n_docs"))
         // delete-cancelled lines sum to 0 — fold the cancellation away
         .filter(col("n_docs") =!= 0L)
-        .write.parquet(graft.store.EpochCommit.stagePath(freqsDir(tmp), e))
+      // refuse an all-cancelled fold (r20 review; the dHash/packed-IVF
+      // compact precedent): a zero-row sole epoch can land footer-less
+      // and brick every read. The UNcompacted table keeps serving the
+      // correct (empty) hot set via summation; compact once data returns.
+      if (folded.isEmpty)
+        throw new graft.core.EngineError(
+          s"refusing to compact hot-lines index at $path: every line's frequency " +
+          "sums to zero (fully cancelled by deletes) — the fold would write a " +
+          "footer-less epoch no read can open; the uncompacted table already " +
+          "serves the empty hot set correctly, compact again once data returns")
+      folded.write.parquet(graft.store.EpochCommit.stagePath(freqsDir(tmp), e))
       graft.store.EpochCommit.commit(spark, tmp, e)
     }
 }

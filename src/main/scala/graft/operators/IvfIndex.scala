@@ -329,8 +329,11 @@ object IvfIndex {
                       ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "ivf delete: empty id list")
     import spark.implicits._
-    ids.distinct.toDF("id")
-      .write.mode("append").parquet(tombstonesDir(path))
+    // under the swap lock — see [[IvfPackedIndex.delete]] (r20 review)
+    graft.store.DocStore.withSwapLock(spark, path) {
+      ids.distinct.toDF("id")
+        .write.mode("append").parquet(tombstonesDir(path))
+    }
   }
 
   /** Merge-on-read view of a persisted IVF index — cluster pruning still
@@ -342,8 +345,11 @@ object IvfIndex {
     val t = new org.apache.hadoop.fs.Path(tombstonesDir(path))
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(t)) base
+    // explicit schema: a crashed first delete's footer-less husk reads
+    // as zero tombstones instead of failing schema inference (r20 review)
     else base.join(
-      broadcast(spark.read.parquet(tombstonesDir(path)).select(col("id"))),
+      broadcast(spark.read.schema("id LONG").parquet(tombstonesDir(path))
+        .select(col("id"))),
       Seq("id"), "left_anti")
   }
 

@@ -173,22 +173,30 @@ object IvfPackedIndex {
     if (!newRows.isEmpty) {
       val s = newRows.sparkSession
       assertAppendable(s, root)
-      idempotencyTag match {
+      val committedNow = idempotencyTag match {
         case Some(tag) =>
           val e = EpochCommit.deterministicEpochId(tag)
-          if (!EpochCommit.committed(s, root).contains(e)) {
+          val fresh = !EpochCommit.committed(s, root).contains(e)
+          if (fresh) {
             stageBatch(newRows, idCol, embCol, model, root, Some(e))
             EpochCommit.commit(s, root, e)
           }
+          fresh
         case None =>
           val e = stageBatch(newRows, idCol, embCol, model, root)
           EpochCommit.commit(s, root, e)
+          true
       }
       IvfIndex.writeLayoutMeta(s, root) // backfills pre-r19 artifacts
       driftBaseline.foreach { b =>
         val d = IvfIndex.driftCheck(newRows, embCol, model, b, driftTolerance)
-        persistDrift(s, root, d) // health surface first: a throwing onDrift
-                                 // callback must not lose the recorded verdict
+        // persist only for a FRESHLY committed batch (r20 review): the
+        // cumulative degradedBatches counter would otherwise double-count
+        // a degraded batch on every at-least-once replay. The CHECK and
+        // the callback still run on replays — monitoring stays continuous
+        // — and persistence precedes the callback so a throwing onDrift
+        // cannot lose the recorded verdict.
+        if (committedNow) persistDrift(s, root, d)
         onDrift(d)
       }
     }
@@ -287,8 +295,13 @@ object IvfPackedIndex {
   def delete(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "packed ivf delete: empty id list")
     import spark.implicits._
-    ids.distinct.toDF("id")
-      .write.mode("append").parquet(tombstonesDir(root))
+    // under the swap lock (round-20, per review): a bare append racing a
+    // compact that already listed _tombstones would be neither folded
+    // nor carried across the swap — a silently lost takedown delete
+    graft.store.DocStore.withSwapLock(spark, root) {
+      ids.distinct.toDF("id")
+        .write.mode("append").parquet(tombstonesDir(root))
+    }
   }
 
   private def foldTombstones(spark: SparkSession, root: String,
@@ -296,8 +309,13 @@ object IvfPackedIndex {
     val t = new org.apache.hadoop.fs.Path(tombstonesDir(root))
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(t)) base
+    // explicit schema (round-20, per review): a crashed FIRST delete
+    // leaves _tombstones as a _temporary-only husk with no parquet
+    // footer — schema inference would then fail EVERY read of a healthy
+    // index; with the declared schema the husk reads as zero tombstones
     else base.join(
-      broadcast(spark.read.parquet(tombstonesDir(root)).select(col("id"))),
+      broadcast(spark.read.schema("id LONG").parquet(tombstonesDir(root))
+        .select(col("id"))),
       Seq("id"), "left_anti")
   }
 
@@ -326,20 +344,38 @@ object IvfPackedIndex {
   def compact(spark: SparkSession, root: String): Unit =
     graft.store.DocStore.swapDirContents(spark, root) { tmp =>
       val e = EpochCommit.newEpochId()
+      // refuse an all-deleted fold (r20 review; the banded dHash
+      // compact's precedent): zero-row partitionBy writes land NO
+      // parquet footers, and promoting a footer-less sole epoch bricks
+      // every subsequent read — the state build() refuses to create
+      val folded = IvfIndex.bucketized(readFloat(spark, root))
+      if (folded.isEmpty)
+        throw new graft.core.EngineError(
+          s"refusing to compact packed IVF index at $root: every row is tombstoned — " +
+          "the fold would write a footer-less epoch no read can open; delete the " +
+          "index tree (EpochCommit.wipe) and rebuild when data returns instead")
+      folded
+        .write.partitionBy("bucket")
+        .parquet(EpochCommit.stagePath(floatDir(tmp), e))
       // bucketized reuses the read-back bucket column on the current
       // layout and DERIVES it on a pre-r18 per-cluster artifact — so
       // compacting a legacy index migrates it to the bucketed layout
-      IvfIndex.bucketized(readFloat(spark, root))
-        .write.partitionBy("bucket")
-        .parquet(EpochCommit.stagePath(floatDir(tmp), e))
       IvfIndex.bucketized(readPacked(spark, root))
         .write.partitionBy("bucket")
         .parquet(EpochCommit.stagePath(packedDir(tmp), e))
       EpochCommit.commit(spark, tmp, e)
       IvfIndex.writeLayoutMeta(spark, tmp)
       // the drift health record describes the MODEL vs recent batches —
-      // still true after a compact; carry it across the dir swap
-      readDriftStatus(spark, root).foreach(writeDriftStatus(spark, tmp, _))
+      // still true after a compact; carried via the NEVER-FAIL wrapper
+      // (r20 review): the observability sidecar must not abort a
+      // completed two-sided rewrite (persistDrift's own rule)
+      readDriftStatus(spark, root).foreach(d =>
+        try writeDriftStatus(spark, tmp, d)
+        catch { case scala.util.control.NonFatal(ex) =>
+          System.err.println(
+            s"[graft] could not carry drift health across compact of $root " +
+            s"(compact proceeds; drift history resets): ${ex.getMessage}")
+        })
     }
 
   /** The serving probe: int8 candidate pass over the persisted packed

@@ -153,7 +153,32 @@ object DocStore {
   def swapDirContents(spark: SparkSession, path: String)(writeTo: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = acquireSwapLock(spark, path)
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(path + s".tmp-${System.nanoTime()}")
+      val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
+      writeTo(tmp.toString)
+      if (fs.exists(p) && !fs.rename(p, bak))
+        throw new graft.core.EngineError(s"could not move live store aside: $p")
+      if (!fs.rename(tmp, p)) {
+        if (fs.exists(bak)) fs.rename(bak, p) // restore
+        throw new graft.core.EngineError(s"could not promote new store files: $tmp -> $p")
+      }
+      if (fs.exists(bak) && !fs.delete(bak, true))
+        throw new graft.core.EngineError(s"store updated but backup not removed: $bak")
+    } finally {
+      fs.delete(lock, false)
+    }
+  }
+
+  /** Acquire the swap's create-exclusive lock (`<path>.lock`) and write
+    * the owner diagnostics; shared by [[swapDirContents]] and
+    * [[withSwapLock]]. The caller owns releasing it.
+    */
+  private def acquireSwapLock(spark: SparkSession,
+                              path: String): org.apache.hadoop.fs.Path = {
     val lock = new org.apache.hadoop.fs.Path(path + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lockOut =
       try fs.create(lock, /* overwrite = */ false)
       catch {
@@ -173,26 +198,32 @@ object DocStore {
             s"could not create swap lock $lock (NOT a contention signal — check path and permissions): " +
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-    try {
-      // Lock body: owner diagnostics for stale-lock cleanup.
-      lockOut.write(
-        s"pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}\n"
-          .getBytes("UTF-8"))
-      lockOut.close()
-      val tmp = new org.apache.hadoop.fs.Path(path + s".tmp-${System.nanoTime()}")
-      val bak = new org.apache.hadoop.fs.Path(path + s".bak-${System.nanoTime()}")
-      writeTo(tmp.toString)
-      if (fs.exists(p) && !fs.rename(p, bak))
-        throw new graft.core.EngineError(s"could not move live store aside: $p")
-      if (!fs.rename(tmp, p)) {
-        if (fs.exists(bak)) fs.rename(bak, p) // restore
-        throw new graft.core.EngineError(s"could not promote new store files: $tmp -> $p")
-      }
-      if (fs.exists(bak) && !fs.delete(bak, true))
-        throw new graft.core.EngineError(s"store updated but backup not removed: $bak")
-    } finally {
-      fs.delete(lock, false)
-    }
+    // Lock body: owner diagnostics for stale-lock cleanup.
+    lockOut.write(
+      s"pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}\n"
+        .getBytes("UTF-8"))
+    lockOut.close()
+    lock
+  }
+
+  /** Run `body` while HOLDING the index's swap lock — the mutual
+    * exclusion the lock-less sidecar writers need against a concurrent
+    * compact (round-20, per review): a tombstone `mode("append")` landing
+    * while a compact's rewrite has already listed `_tombstones` is
+    * neither folded into the rewrite nor carried across the swap — a
+    * silently lost takedown delete, the exact failure class
+    * [[graft.store.EpochCommit.commit]]'s lock checks close for
+    * epoch'd appends. Wrapping the tombstone write in the SAME lock the
+    * swap takes serializes it against the compact: the delete either
+    * completes before the compact's listing (folded in) or waits its
+    * turn / fails fast with the standard in-progress error. Deletes are
+    * tiny single-file writes, so the hold time is milliseconds.
+    */
+  def withSwapLock[A](spark: SparkSession, path: String)(body: => A): A = {
+    val lock = acquireSwapLock(spark, path)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try body
+    finally fs.delete(lock, false)
   }
 
   /** Compact a store that accumulated small append files into

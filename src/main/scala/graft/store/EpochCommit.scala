@@ -127,32 +127,64 @@ object EpochCommit {
     val dir = epochsDir(indexPath)
     val f = fs(spark, dir)
     val swapLock = new org.apache.hadoop.fs.Path(indexPath + ".lock")
-    if (f.exists(swapLock))
+    // Every family stages under <indexPath>/<subdir>/epoch=<id>, so the
+    // staged data's continued existence is a checkable invariant. This
+    // closes the COMPLETED-compact window the lock checks alone cannot
+    // see (round-20, per review): a compact that starts AND finishes
+    // inside the stage→commit gap (staging is a multi-minute Spark
+    // write; the swap replaces the whole tree) leaves no lock to
+    // observe, but it DELETED the staged files with the old tree —
+    // committing a marker for them would be the silent-batch-loss mode
+    // this module exists to prevent.
+    def stagedDataPresent(): Boolean =
+      f.globStatus(new org.apache.hadoop.fs.Path(
+        s"$indexPath/*/$Col=$epoch")).nonEmpty
+    def refuse(how: String): Nothing =
       throw new graft.core.EngineError(
-        s"refusing to commit epoch $epoch at $indexPath: swap lock $swapLock is held " +
-        "(a compact in flight would discard this epoch when it promotes its rewrite) — " +
-        "serialize appends with compaction, or remove a stale lock by hand")
+        s"refusing to commit epoch $epoch at $indexPath: $how — " +
+        "serialize appends with compaction; retry the append after the compact finishes " +
+        "(the batch is invisible: nothing was committed)")
+    if (f.exists(swapLock))
+      refuse(s"swap lock $swapLock is held (a compact in flight would discard " +
+        "this epoch when it promotes its rewrite)")
+    if (!stagedDataPresent())
+      refuse("no staged data dir matches this epoch (a compact completed during " +
+        "staging and its dir swap discarded the staged files, or the stage step " +
+        "never ran)")
     f.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, epoch)
     val out = f.create(marker, /* overwrite = */ false)
     out.close()
     // Close the check-then-act window (advisor, r16): a compact that
-    // acquired the lock BETWEEN the pre-check and the marker create
-    // would promote a rewrite that never read this epoch — the exact
-    // silent-batch-loss mode the pre-check exists to prevent. Re-check
-    // after the create: the compactor's rewrite starts only after it
-    // holds the lock, and it reads the committed set after that, so a
-    // marker that lands before the lock is folded in and one that lands
-    // after fails here — either way, never silently discarded. (The
-    // marker is removed before throwing so the failed append leaves no
-    // committed trace for the compactor to half-see.)
-    if (f.exists(swapLock)) {
-      f.delete(marker, false)
-      throw new graft.core.EngineError(
-        s"refusing to commit epoch $epoch at $indexPath: swap lock $swapLock was " +
-        "acquired during the commit (a compact in flight would discard this epoch " +
-        "when it promotes its rewrite) — retry the append after the compact finishes")
+    // acquired the lock BETWEEN the pre-checks and the marker create
+    // would promote a rewrite that never read this epoch. Re-check both
+    // invariants after the create: the compactor's rewrite starts only
+    // after it holds the lock and reads the committed set after that,
+    // so a marker that lands before the lock is folded in; one that
+    // lands after trips the lock re-check; and a swap that ran to
+    // COMPLETION in the gap trips the staged-data re-check (the files
+    // are gone). Either way: loud, never silent. (The marker is removed
+    // before throwing so the failed append leaves no committed trace
+    // for the compactor to half-see.)
+    def rollback(how: String): Nothing = {
+      // A failed rollback must NOT advise a blind retry (round-20, per
+      // review): if the marker could not be removed, the epoch IS
+      // committed from the compactor's point of view, and a retry under
+      // a fresh epoch would duplicate the batch.
+      val removed =
+        try f.delete(marker, false)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (removed) refuse(how)
+      else throw new graft.core.EngineError(
+        s"commit of epoch $epoch at $indexPath raced a compact ($how) AND the " +
+        s"rollback could not remove the marker $marker — the epoch may still be " +
+        "folded in by the compactor; verify with EpochCommit.committed before " +
+        "retrying (a blind retry under a fresh epoch would duplicate the batch)")
     }
+    if (f.exists(swapLock))
+      rollback("swap lock was acquired during the commit")
+    if (!stagedDataPresent())
+      rollback("a compact's dir swap discarded the staged files during the commit")
   }
 
   /** Shape of every id [[newEpochId]] mints: 'e' + 32 hex digits.
@@ -229,10 +261,36 @@ object EpochCommit {
   def committedOrThrow(spark: SparkSession, indexPath: String,
                        what: String): Seq[String] = {
     val es = committed(spark, indexPath)
-    if (es.isEmpty)
+    if (es.isEmpty) {
+      // "Build it first" is the WRONG advice when the emptiness is a
+      // compact that died mid-swap (round-20, per review): the only copy
+      // of the data then sits in the swap's <path>.bak-<nanos> sibling,
+      // and a rebuild would orphan it. Name that recovery when the swap
+      // debris is present.
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      val f = fs(spark, p)
+      val parent = p.getParent
+      val debris =
+        try {
+          val lock = f.exists(new org.apache.hadoop.fs.Path(indexPath + ".lock"))
+          val baks =
+            if (parent != null && f.exists(parent))
+              f.listStatus(parent).toSeq.map(_.getPath.getName)
+                .filter(_.startsWith(p.getName + ".bak-"))
+            else Seq.empty
+          (if (lock) Seq(s"stale swap lock $indexPath.lock") else Seq.empty) ++
+            baks.map(b => s"swap backup $b")
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      if (debris.nonEmpty)
+        throw new graft.core.EngineError(
+          s"$what at $indexPath has no committed epochs, but swap debris exists " +
+          s"(${debris.mkString(", ")}) — a compact likely died mid-swap; RESTORE " +
+          "the .bak directory to the index path (and remove the lock) instead of " +
+          "rebuilding, or the backed-up data is orphaned")
       throw new graft.core.EngineError(
         s"$what at $indexPath has no committed epochs — build it first " +
         "(a staged-but-uncommitted append is invisible by design)")
+    }
     es
   }
 

@@ -30,6 +30,15 @@ class EpochCommitSpec extends SparkSpec {
   private def tmp(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Minimal staged-data dir for protocol-level commit tests (r20: commit
+    * verifies the staged data still exists — a bare marker with no staged
+    * dir is the completed-compact data-loss signature and is refused).
+    */
+  private def stageDummy(path: String, e: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(s"$path/data/epoch=$e")
+    d.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(d)
+  }
+
   private def bm25Rows(path: String): Seq[(Long, Double)] =
     IndexedBm25.topK(spark, path, terms, 10)
       .select(col("doc_id"), round(col("score"), 9).as("s"))
@@ -174,6 +183,7 @@ class EpochCommitSpec extends SparkSpec {
   test("commit marker create is refused for a duplicate epoch id") {
     val path = tmp("graft-epoch-dup")
     val e = graft.store.EpochCommit.newEpochId()
+    stageDummy(path, e)
     graft.store.EpochCommit.commit(spark, path, e)
     intercept[Exception](graft.store.EpochCommit.commit(spark, path, e))
     assert(graft.store.EpochCommit.committed(spark, path) == Seq(e))
@@ -182,6 +192,7 @@ class EpochCommitSpec extends SparkSpec {
   test("committed() ignores stray files that are not epoch ids (r16 advisor)") {
     val path = tmp("graft-epoch-stray")
     val e = graft.store.EpochCommit.newEpochId()
+    stageDummy(path, e)
     graft.store.EpochCommit.commit(spark, path, e)
     // plant crash artifacts / editor temps next to the real marker
     val dir = new org.apache.hadoop.fs.Path(s"$path/epochs")
@@ -220,6 +231,7 @@ class EpochCommitSpec extends SparkSpec {
     } finally fs.delete(lock, false)
     // lock released → commit goes through
     val e = graft.store.EpochCommit.newEpochId()
+    stageDummy(path, e)
     graft.store.EpochCommit.commit(spark, path, e)
     assert(graft.store.EpochCommit.committed(spark, path) == Seq(e))
   }
@@ -291,12 +303,89 @@ class EpochCommitSpec extends SparkSpec {
     intercept[IllegalArgumentException](tryCompact(1)) // 1-epoch index is already compact
     assert(!tryCompact(2) && fired == 0, "fired on an empty index")
     val e1 = graft.store.EpochCommit.newEpochId()
+    stageDummy(path, e1)
     graft.store.EpochCommit.commit(spark, path, e1)
     assert(!tryCompact(2) && fired == 0, "fired below the threshold")
-    graft.store.EpochCommit.commit(spark, path, graft.store.EpochCommit.newEpochId())
+    val e2 = graft.store.EpochCommit.newEpochId()
+    stageDummy(path, e2)
+    graft.store.EpochCommit.commit(spark, path, e2)
     assert(tryCompact(2) && fired == 1, "did not fire at the threshold")
     // the helper reports; the caller's compactFn owns the actual fold —
     // the count is unchanged here because the test's fn is a counter
     assert(graft.store.EpochCommit.committedCount(spark, path) == 2)
+  }
+
+  test("commit refuses when the staged data vanished — the completed-compact window (r20 review)") {
+    // a compact that starts AND finishes inside the stage→commit gap
+    // leaves no lock to observe, but its dir swap deleted the staged
+    // files: committing a marker for them would be silent batch loss
+    val path = tmp("graft-epoch-gone")
+    val e = graft.store.EpochCommit.newEpochId()
+    stageDummy(path, e)
+    fsDelete(s"$path/data/epoch=$e")
+    val err = intercept[graft.core.EngineError](
+      graft.store.EpochCommit.commit(spark, path, e))
+    assert(err.getMessage.contains("no staged data"), err.getMessage)
+    assert(graft.store.EpochCommit.committed(spark, path).isEmpty,
+      "refused commit left a marker behind")
+    // with the staged data present the same commit goes through
+    stageDummy(path, e)
+    graft.store.EpochCommit.commit(spark, path, e)
+    assert(graft.store.EpochCommit.committed(spark, path) == Seq(e))
+  }
+
+  test("an emptied index with swap debris names the .bak restore, never 'build it first' (r20 review)") {
+    val parent = tmp("graft-epoch-debris")
+    val path = s"$parent/idx"
+    val bak = new org.apache.hadoop.fs.Path(s"$parent/idx.bak-12345")
+    bak.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(bak)
+    val err = intercept[graft.core.EngineError](
+      graft.store.EpochCommit.committedOrThrow(spark, path, "test index"))
+    assert(err.getMessage.contains("RESTORE") && err.getMessage.contains(".bak"),
+      err.getMessage)
+    // without debris the unbuilt message stands
+    val clean = intercept[graft.core.EngineError](
+      graft.store.EpochCommit.committedOrThrow(spark, tmp("graft-epoch-clean"),
+        "test index"))
+    assert(clean.getMessage.contains("build it first"), clean.getMessage)
+  }
+
+  test("hot-lines: one tag drives append AND delete as distinct epochs; all-cancelled compact refuses (r20 review)") {
+    import graft.operators.HotLinesIndex
+    val docs = Seq(
+      (1L, "chrome line\nbody one"),
+      (2L, "chrome line\nbody two"),
+      (3L, "chrome line\nbody three")).toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") === 3L)
+    val path = tmp("graft-epoch-hl-tag")
+    HotLinesIndex.build(docs.filter(col("doc_id") <= 2), "text", path)
+    def served() = HotLinesIndex.hotLines(spark, path, 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(served() == Set(("chrome line", 2L)))
+    // the documented (run, batchId)-scoped tag, SAME for both verbs: the
+    // pre-fix shared epoch id silently skipped the delete as a "replay"
+    val tag = Some("run42:7")
+    HotLinesIndex.append(batch, "text", path, idempotencyTag = tag)
+    assert(served() == Set(("chrome line", 3L)), "tagged append did not land")
+    HotLinesIndex.delete(batch, "text", path, idempotencyTag = tag)
+    assert(served() == Set(("chrome line", 2L)),
+      "the delete under the same tag was silently skipped as a replay")
+    // ...while a REPLAY of the same verb under the same tag stays a no-op
+    HotLinesIndex.delete(batch, "text", path, idempotencyTag = tag)
+    assert(served() == Set(("chrome line", 2L)), "replayed delete double-applied")
+
+    // fully-cancelled table: reads serve the (correct) empty hot set,
+    // compact refuses the footer-less fold loudly
+    val path2 = tmp("graft-epoch-hl-cancel")
+    HotLinesIndex.build(docs, "text", path2)
+    HotLinesIndex.delete(docs, "text", path2)
+    assert(HotLinesIndex.hotLines(spark, path2, 1L).isEmpty)
+    val err = intercept[graft.core.EngineError](HotLinesIndex.compact(spark, path2))
+    assert(err.getMessage.contains("fully cancelled"), err.getMessage)
+    // and a no-line batch stages NO epoch (delta-level guard)
+    val before = graft.store.EpochCommit.committedCount(spark, path2)
+    HotLinesIndex.append(Seq((9L, "   \n  ")).toDF("doc_id", "text"), "text", path2)
+    assert(graft.store.EpochCommit.committedCount(spark, path2) == before,
+      "a no-line batch staged an (unreadable) empty epoch")
   }
 }

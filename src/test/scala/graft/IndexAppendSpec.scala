@@ -429,4 +429,67 @@ class IndexAppendSpec extends SparkSpec {
     assert(probeRows(AnnIndex.queryTopK(
       AnnIndex.readIndex(spark, path, cfg), qVec, 10, cfg)) == viaRebuild)
   }
+
+  // ==== round-20 review: the tombstone lifecycle's crash/concurrency guards ====
+
+  test("deletes refuse while a compact holds the swap lock; a footer-less tombstone husk reads as zero deletions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-dellock").toString
+    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), path, cfg)
+    // a lock-less tombstone append racing a compact that already listed
+    // _tombstones would be neither folded nor carried across the swap —
+    // the delete now takes the compact's own lock and fails fast instead
+    val lock = new org.apache.hadoop.fs.Path(path + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    try {
+      val err = intercept[graft.core.EngineError](
+        AnnIndex.deleteFromIndex(spark, path, Seq(1L)))
+      assert(err.getMessage.contains("in progress"), err.getMessage)
+    } finally fs.delete(lock, false)
+    // lock released → the delete lands (and the index serves without id 1)
+    AnnIndex.deleteFromIndex(spark, path, Seq(1L))
+    assert(AnnIndex.readIndex(spark, path, cfg)
+      .filter(org.apache.spark.sql.functions.col("id") === 1L).isEmpty)
+
+    // a crashed FIRST delete leaves _tombstones as a footer-less husk:
+    // reads must see zero deletions, not fail schema inference forever
+    val path2 = java.nio.file.Files.createTempDirectory("graft-lsh-husk").toString
+    AnnIndex.writeIndex(AnnIndex.buildIndex(embs, "vec_id", "embedding", cfg), path2, cfg)
+    val husk = new org.apache.hadoop.fs.Path(s"$path2/_tombstones/_temporary")
+    husk.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(husk)
+    assert(AnnIndex.readIndex(spark, path2, cfg).count() == embs.count() * cfg.nTables,
+      "footer-less tombstone husk broke the read")
+  }
+
+  test("packed IVF: all-tombstoned compact refuses; replayed drift checks never double-count (r20 review)") {
+    import graft.operators.IvfPackedIndex
+    val old = embs.filter(col("vec_id") < 150)
+    val batch = embs.filter(col("vec_id") >= 150 && col("vec_id") < 170)
+    val model = IvfIndex.fit(old, "embedding", k = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-pki-empty").toString
+    IvfPackedIndex.build(old, "vec_id", "embedding", model, root)
+
+    // baseline far above any real batch mean → every checked batch is
+    // DEGRADED; the tagged replay must not bump the counter again
+    IvfPackedIndex.append(batch, "vec_id", "embedding", model, root,
+      idempotencyTag = Some("r20drift:0"), driftBaseline = Some(1.0))
+    val once = IvfPackedIndex.readDriftStatus(spark, root)
+    assert(once.exists(d => d.degradedBatches == 1 && d.lastRefitRecommended), s"$once")
+    IvfPackedIndex.append(batch, "vec_id", "embedding", model, root,
+      idempotencyTag = Some("r20drift:0"), driftBaseline = Some(1.0)) // replay
+    assert(IvfPackedIndex.readDriftStatus(spark, root)
+      .exists(_.degradedBatches == 1),
+      "at-least-once replay double-counted the degraded batch")
+
+    // tombstone EVERY id, then compact: the fold would write a
+    // footer-less sole epoch no read can open — refused loudly
+    val ids = IvfPackedIndex.readFloat(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    IvfPackedIndex.delete(spark, root, ids)
+    assert(IvfPackedIndex.readFloat(spark, root).isEmpty) // merge-on-read: all hidden
+    val err = intercept[graft.core.EngineError](IvfPackedIndex.compact(spark, root))
+    assert(err.getMessage.contains("tombstoned"), err.getMessage)
+    // the index stays servable (empty) — the refusal changed nothing
+    assert(IvfPackedIndex.readFloat(spark, root).isEmpty)
+  }
 }
