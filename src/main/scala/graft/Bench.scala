@@ -93,6 +93,40 @@ object Bench {
 
   private val Iters = 3
 
+  /** Probe the parallel canary every this many queries inside the loop
+    * (r21; VERDICT r20 "missing" #3): the bracketing pre/post pair
+    * cannot see SUSTAINED mid-run co-tenancy — BENCH_r20 drifted 29
+    * untouched rows >25% with both brackets quiet. ~5 probes per full
+    * run ≈ 3–4 s of wall clock, never billed to any row.
+    */
+  private val MidCanaryEvery = 30
+
+  /** Per-row drift threshold for the ledger comparison (r21): the same
+    * >25% cut VERDICT r20 used to count co-tenancy movers.
+    */
+  private val DriftRatio = 1.25
+
+  /** The committed per-row ledger `{query -> min-of-N sec}` this run
+    * adjudicates itself against (r21; VERDICT r20 "missing" #3). Read
+    * BEFORE the run overwrites its own artifact; absent/unparseable →
+    * empty (the drift block then reports n_compared 0, never throws —
+    * measurement must not fail the bench).
+    */
+  private def readLedgerQueries(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        case org.json4s.JObject(fields) => fields.collect {
+          case (k, org.json4s.JDouble(v))  => k -> v
+          case (k, org.json4s.JInt(v))     => k -> v.toDouble
+          case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+          case (k, org.json4s.JLong(v))    => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
   // canary_*_ref_sec: the same loops measured on the dev box while
   // unloaded — fixed constants so readers can judge load without a second
   // run. The par ref is per-thread wall-clock with all CanaryParRefThreads
@@ -177,6 +211,21 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE partition coalescing DELIBERATELY stays at Spark's default
+      // parallelismFirst=true (r21, measured): the production-guide flip
+      // to size-based coalescing (parallelismFirst=false, advisory 64 MB)
+      // was benched this round and SERIALIZED the jaccard/minhash pair
+      // family — operators whose exchanges carry few bytes but heavy
+      // per-row compute (shingle fan-out, set intersection) —
+      // jaccard_pairs +69%, incremental_jaccard_dedup +84%, minhash_pairs
+      // +28% at sf0.1, exactly the regression Dedup.nearDupGroups'
+      // scaladoc recorded at a 20k-doc probe in an earlier round. The
+      // default already derives small-shuffle partition counts from bytes
+      // (1 MB min-size floor), so fixture-scale exchanges stay small-task
+      // while CPU-heavy mid-size ones keep their parallelism. A 100 TB
+      // deployment that wants 64-256 MB reducer partitions sets the
+      // advisory + flip per job, where its operators' byte/CPU ratio is
+      // known (OPTIMIZATION_r21.md records the measurement).
       // exact id-set parquet pushdown for the rerank pools (IvfIndex.MaxInPushdownIds)
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
@@ -250,16 +299,31 @@ object Bench {
     // construction (volume rows skipped too).
     val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // the committed ledger this run adjudicates itself against (r21) —
+    // read up front: the default artifact path IS the ledger path, and
+    // this run overwrites it at exit
+    val ledgerPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEDGER", "BENCH_LOCAL.json")
+    val ledger = readLedgerQueries(ledgerPath)
     var benchStreamSinkSeq = 0
-    def runLoop(): (Map[String, Either[String, Double]], Double, Double) = {
+    // interleaved canary (r21): max par-canary observed BETWEEN queries
+    // inside the loop — the sustained-co-tenancy signal the bracketing
+    // pair misses; folded into the retry gate and load_inflated below
+    def runLoop(): (Map[String, Either[String, Double]], Double, Double, Double) = {
+      var midMax = 0.0
+      var sinceProbe = 0
       val results: Map[String, Either[String, Double]] =
         SparkEntry.queries
           .filter { case (name, _) => benchOnly.forall(_.contains(name)) }
           .map { case (name, fn) =>
+            sinceProbe += 1
+            if (sinceProbe >= MidCanaryEvery) {
+              sinceProbe = 0
+              midMax = math.max(midMax, canaryParSeconds(parThreads))
+            }
             name -> timed(() => { fn(spark, sfDir).count(); () })
           }
       if (benchOnly.isDefined)
-        return (results, canarySeconds(), canaryParSeconds(parThreads))
+        return (results, canarySeconds(), canaryParSeconds(parThreads), midMax)
       val simVolume = timed { () =>
         val e = core.Tables.embeddings(spark, sfDir)
         operators.SimJoin.topKPerQuery(
@@ -320,10 +384,10 @@ object Bench {
         ("bench_ivf_topk_single" -> ivfSingleVolume) +
         ("bench_stream_ivf_probe_20q" -> ivfStreamVolume) +
         ("bench_ivf_packed_batch_20q" -> ivfPackedBatchVolume),
-        canarySeconds(), canaryParSeconds(parThreads))
+        canarySeconds(), canaryParSeconds(parThreads), midMax)
     }
 
-    var (all, canaryPost, canaryParPost) = runLoop()
+    var (all, canaryPost, canaryParPost, canaryParMid) = runLoop()
     // Round-9 (the r8 verdict's process gap): a hot POST canary means load
     // arrived MID-LOOP — the guard used to stamp load_inflated and record
     // the hot numbers anyway, leaving the judge to rerun by hand. Instead,
@@ -331,8 +395,11 @@ object Bench {
     // and re-run the query loop ONCE. A second hot exit records flagged —
     // no unbounded retry.
     var loopRetried = false
-    if (canaryParPost > hotFactor * CanaryParRefSec) {
-      var probe = canaryParPost
+    // retry gate now also fires on a hot MID-loop canary (r21): sustained
+    // co-tenancy that cooled before the post bracket still contaminated
+    // the loop's min-of-3s — the exact BENCH_r20 blind spot
+    if (math.max(canaryParPost, canaryParMid) > hotFactor * CanaryParRefSec) {
+      var probe = canaryParSeconds(parThreads)
       var i = 0
       while (probe > hotFactor * CanaryParRefSec && i < maxCanaryRetries) {
         Thread.sleep(20000L)
@@ -342,6 +409,7 @@ object Bench {
       loopRetried = true
       val again = runLoop()
       all = again._1; canaryPost = again._2; canaryParPost = again._3
+      canaryParMid = again._4
     }
     // Round-18 (VERDICT r17 next #8): per-round tracked BYTES of the two
     // batch serving forms at this sf. The packed probe's scale claim is
@@ -395,17 +463,37 @@ object Bench {
     val cached = SparkEntry.cachedQueryNames.toSeq.sorted
       .map(n => "\"" + jsonEscape(n) + "\"").mkString("[", ",", "]")
     // load_inflated: true iff the box was still hot after the bounded
-    // pre-canary retries OR turned hot during the query loop (post canary)
-    // — either way the absolute per-query numbers are not comparable to a
-    // clean run and should be discarded, not re-litigated.
+    // pre-canary retries OR turned hot during the query loop (post canary
+    // or any INTERLEAVED probe — r21) — either way the absolute per-query
+    // numbers are not comparable to a clean run and should be discarded,
+    // not re-litigated.
     val loadInflated = canaryParPre > hotFactor * CanaryParRefSec ||
-      canaryParPost > hotFactor * CanaryParRefSec
+      canaryParPost > hotFactor * CanaryParRefSec ||
+      canaryParMid > hotFactor * CanaryParRefSec
+    // Per-row drift verdict vs the committed ledger (r21; VERDICT r20
+    // "missing" #3): median now/ledger ratio over the non-cached rows
+    // both runs share, plus the count drifting past DriftRatio. A reader
+    // (or the judge) can now tell "this box/run is uniformly ~1.2× the
+    // committed run" from "one row regressed" without a second run.
+    // Cross-BOX ratio is part of the signal by design — the ledger is
+    // the committed referee artifact.
+    val driftRows = ok.toSeq
+      .filter { case (k, _) =>
+        ledger.contains(k) && !SparkEntry.cachedQueryNames.contains(k) }
+      .map { case (k, v) => k -> v / ledger(k) }
+    val driftSorted = driftRows.map(_._2).sorted
+    val driftMedian =
+      if (driftSorted.isEmpty) 0.0 else driftSorted(driftSorted.size / 2)
+    val driftOver = driftRows.count(_._2 > DriftRatio)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$es,"n_err":${errs.size},"iters":$Iters,"agg":"min","cached":$cached,""" +
       s""""canary_pre_sec":$canaryPre,"canary_post_sec":$canaryPost,""" +
       s""""canary_par_pre_sec":$canaryParPre,"canary_par_post_sec":$canaryParPost,""" +
       s""""canary_par_threads":$parThreads,"canary_retries":$canaryRetries,""" +
+      s""""canary_par_mid_max_sec":$canaryParMid,""" +
+      s""""drift":{"ledger":"${jsonEscape(ledgerPath)}","n_compared":${driftRows.size},""" +
+      s""""median_ratio":$driftMedian,"n_over_1_25":$driftOver},""" +
       s""""load_inflated":$loadInflated,"loop_retried":$loopRetried,""" +
       s""""bytes":{"bench_ivf_packed_batch_20q":$packedBatchBytes,""" +
       s""""bench_ivf_batch_topk_20q":$floatBatchBytes},""" +

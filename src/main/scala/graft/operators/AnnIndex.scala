@@ -238,10 +238,19 @@ object AnnIndex {
                     embCol: String, cfg: Config): Unit = {
     val spark = newRows.sparkSession
     validateConfigMeta(spark, path, cfg, "ann index append")
-    buildIndex(newRows, idCol, embCol, cfg)
-      .repartition(col("table"), col("bucket"))
-      .write.mode("append").partitionBy("table", "bucket").parquet(path)
-    writeConfigMeta(spark, path, cfg) // backfills pre-r20 artifacts
+    // under the swap lock (r20 advisor): this mode("append") write is
+    // neither epoch-committed nor tombstone-sidecar'd, so without the
+    // lock a concurrent compactIndex's rewrite could list the tree
+    // BEFORE these files land and swap them away — a silently lost
+    // append, the same lost-write class the tombstone writers close.
+    // The lock serializes append against compact: the rows either fold
+    // into the rewrite or land after the swap completes.
+    graft.store.DocStore.withSwapLock(spark, path) {
+      buildIndex(newRows, idCol, embCol, cfg)
+        .repartition(col("table"), col("bucket"))
+        .write.mode("append").partitionBy("table", "bucket").parquet(path)
+      writeConfigMeta(spark, path, cfg) // backfills pre-r20 artifacts
+    }
   }
 
   /** COMPACT an index that accumulated per-append files (round-9, pairs

@@ -137,6 +137,14 @@ object Dedup {
         kept.withColumn("set_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
       }
+    // Self-join shape deliberately UNCHANGED (r21, measured): a pre-join
+    // repartition(shingle) shared by both sides (one ReuseExchange-able
+    // shuffle, guide §2.4) was benched — but at bench scale the planner
+    // broadcasts one side, so the added exchange is pure overhead on the
+    // probe side (jaccard_pairs +0.6 s), and at corpus scale AQE's
+    // runtime stage reuse already dedups the two identical window
+    // subtrees below the sort-merge join. OPTIMIZATION_r21.md records
+    // the experiment.
     val a = filtered.select(col("shingle"), col("id").as("a_id"), col("set_size").as("a_size"))
     val b = filtered.select(col("shingle"), col("id").as("b_id"), col("set_size").as("b_size"))
     a.join(b, Seq("shingle"))
@@ -1065,10 +1073,17 @@ object Dedup {
     val meta = bandedMeta(spark, path)
     // a compact that would fold EVERY row away (all ids tombstoned)
     // must refuse, not write a footer-less partitioned main that fails
-    // every later read's schema inference — the build guard's twin;
-    // isEmpty short-circuits on the first surviving row (cheap in the
-    // overwhelmingly common non-empty case)
-    if (readBandedDHashFlat(spark, path).isEmpty)
+    // every later read's schema inference — the build guard's twin.
+    // Gated on the `_tombstones` sidecar EXISTING (r21; VERDICT r20
+    // "wrong" #2): build and append both refuse empty inputs, so with
+    // no tombstones the flat view cannot be empty — the common
+    // no-deletions compact skips the guard's read-plan Spark job
+    // entirely (main ∪ tail union + fold, a fixed job-submission cost
+    // even though isEmpty short-circuits on the first surviving row).
+    val tomb = new org.apache.hadoop.fs.Path(dhashTombstonesDir(path))
+    val hasTombstones =
+      tomb.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tomb)
+    if (hasTombstones && readBandedDHashFlat(spark, path).isEmpty)
       throw new graft.core.EngineError(
         s"banded dHash compact at $path: every signature is deleted — an empty " +
         "index has no parquet footers to serve; wipe the directory and rebuild " +
@@ -1321,14 +1336,26 @@ object Dedup {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materializes the persist (the pair plan runs ONCE, here) and picks
-    // the resolution path
-    val nPairs = e0.count()
-    if (nPairs <= driverResolvePairs) {
-      try {
-        val spark = pairs.sparkSession
+    // ONE action both PICKS the path and DELIVERS the pairs (r21; the
+    // r20 shape paid a count job and then a second collect job for the
+    // same rows): collect through a limit of driverResolvePairs + 1 —
+    // a result that fits IS the complete pair set; an overflow falls to
+    // the distributed loop, after a count that fully materializes the
+    // persist (the loop's documented contract — partitions the capped
+    // collect short-circuited are recomputed once there, never twice).
+    val spark = pairs.sparkSession
+    val probed: Option[Array[(Long, Long)]] =
+      if (driverResolvePairs <= 0) None
+      else {
         import spark.implicits._
-        val es = e0.as[(Long, Long)].collect()
+        val cap = math.min(driverResolvePairs, Int.MaxValue - 2L).toInt
+        val es = e0.limit(cap + 1).as[(Long, Long)].collect()
+        if (es.length <= driverResolvePairs) Some(es) else None
+      }
+    probed match {
+      case Some(es) =>
+      try {
+        import spark.implicits._
         // union-find, roots kept at the component MIN id (attach the
         // larger root under the smaller), full path compression — the
         // same (id, min-id) fixpoint the distributed loop converges to
@@ -1348,7 +1375,12 @@ object Dedup {
         parent.keysIterator.map(id => (id, find(id))).toSeq
           .toDF("id", "group_id")
       } finally e0.unpersist()
-    } else nearDupGroupsDistributed(e0, maxIters)
+      case None =>
+        // materialize the persist fully (the pair plan runs once, here)
+        // before the iterative loop — its documented precondition
+        e0.count()
+        nearDupGroupsDistributed(e0, maxIters)
+    }
   }
 
   /** The iterative distributed resolution (min-label propagation +
@@ -1440,14 +1472,26 @@ object Dedup {
                 aCol: String = "a_id", bCol: String = "b_id",
                 maxIters: Int = 25): DataFrame = {
     val groups = nearDupGroups(pairs, aCol, bCol, maxIters)
-    // Materialize just the loser ids (≤ |nodes| longs) and release the
-    // full (id, group_id) checkpoint right away — the returned plan then
-    // pins only the small loser set (release it with
-    // [[releaseCheckpointBlocks]] when done).
-    val losers = groups.filter(col("id") =!= col("group_id"))
+    val losersPlan = groups.filter(col("id") =!= col("group_id"))
       .select(col("id").as("__loser_id"))
-      .localCheckpoint()
-    releaseCheckpointBlocks(groups)
+    // Driver-resolved groups (the common small-pair-set path) are a
+    // LOCAL relation — the loser filter folds to driver-side data, so a
+    // localCheckpoint would spend a whole Spark job materializing rows
+    // already in hand (r21; one job saved per dedupNear call, which the
+    // gates pay per micro-batch). The distributed path keeps the r20
+    // discipline: materialize just the loser ids (≤ |nodes| longs) and
+    // release the full (id, group_id) checkpoint right away — the
+    // returned plan then pins only the small loser set (release it with
+    // [[releaseCheckpointBlocks]] when done).
+    val losers =
+      if (groups.queryExecution.optimizedPlan
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        losersPlan
+      else {
+        val l = losersPlan.localCheckpoint()
+        releaseCheckpointBlocks(groups)
+        l
+      }
     df.join(losers, df(idCol).cast("long") === col("__loser_id"), "left_anti")
   }
 

@@ -50,9 +50,19 @@ object HotLinesIndex {
   private[graft] def stageBatch(batch: DataFrame, textCol: String,
                                 path: String,
                                 epoch: Option[String] = None,
-                                negated: Boolean = false): String = {
+                                negated: Boolean = false): String =
+    stageDelta(lineFreqs(batch, textCol), path, epoch, negated)
+
+  /** [[stageBatch]] over an ALREADY-COMPUTED delta frame — the seam that
+    * lets [[commitDelta]] aggregate the batch ONCE and reuse the frame
+    * for both the emptiness probe and the staged write (r20 advisor: the
+    * probe's `isEmpty` on the aggregated frame ran the full groupBy
+    * shuffle, and `stageBatch` then recomputed the identical aggregation
+    * — two aggregation jobs per maintainer micro-batch).
+    */
+  private def stageDelta(delta: DataFrame, path: String,
+                         epoch: Option[String], negated: Boolean): String = {
     val e = epoch.getOrElse(graft.store.EpochCommit.newEpochId())
-    val delta = lineFreqs(batch, textCol)
     (if (negated) delta.select(col("line"), negate(col("n_docs")).as("n_docs"))
      else delta)
       .write.mode(if (epoch.isDefined) "overwrite" else "errorifexists")
@@ -79,32 +89,61 @@ object HotLinesIndex {
   private def commitDelta(batch: DataFrame, textCol: String, path: String,
                           negated: Boolean, tag: Option[String]): Unit = {
     val s = batch.sparkSession
-    if (lineFreqs(batch, textCol).isEmpty) return
+    // ONE aggregation job per micro-batch (r20 advisor): the lazy local
+    // checkpoint pins a single evaluation of the groupBy shuffle, shared
+    // by the emptiness probe and the staged write — batch-sized blocks,
+    // released deterministically below (not left to the ContextCleaner:
+    // a maintainer loop would otherwise accumulate one pinned delta per
+    // micro-batch until a GC happens to run).
+    val delta = lineFreqs(batch, textCol).localCheckpoint(eager = false)
+    try commitPinnedDelta(s, delta, path, negated, tag)
+    finally graft.operators.Dedup.releaseCheckpointBlocks(delta)
+  }
+
+  private def commitPinnedDelta(s: SparkSession, delta: DataFrame,
+                                path: String, negated: Boolean,
+                                tag: Option[String]): Unit = {
+    if (delta.isEmpty) return
     val salted = tag.map(t => (if (negated) "hl-delete:" else "hl-append:") + t)
     salted match {
       case Some(t) =>
         val e = graft.store.EpochCommit.deterministicEpochId(t)
-        if (!graft.store.EpochCommit.committed(s, path).contains(e)) {
-          stageBatch(batch, textCol, path, Some(e), negated)
+        // Also honor the LEGACY UNSALTED tag's epoch as committed (r20
+        // advisor, medium): a maintainer stream checkpointed under a
+        // pre-salt build committed this batch under the unsalted id — a
+        // crash-between-commit-and-offset restart on this build must
+        // recognize it, or the replay double-counts the batch's line
+        // frequencies (the exact at-least-once window the tag closes).
+        // Appends only: no pre-salt build ever committed a delete tag.
+        val legacy = tag.filter(_ => !negated)
+          .map(graft.store.EpochCommit.deterministicEpochId)
+        val committed = graft.store.EpochCommit.committed(s, path)
+        if (!committed.contains(e) && !legacy.exists(committed.contains)) {
+          stageDelta(delta, path, Some(e), negated)
           graft.store.EpochCommit.commit(s, path, e)
         }
       case None =>
-        val e = stageBatch(batch, textCol, path, negated = negated)
+        val e = stageDelta(delta, path, None, negated)
         graft.store.EpochCommit.commit(s, path, e)
     }
   }
 
   def build(corpus: DataFrame, textCol: String, path: String): Unit = {
-    // refuse a no-line corpus pre-stage: its sole epoch could land
-    // footer-less and brick every read (see [[commitDelta]])
-    if (lineFreqs(corpus, textCol).isEmpty)
-      throw new graft.core.EngineError(
-        "refusing to build a hot-lines index over a corpus that yields no lines " +
-        "(all texts blank/whitespace) — an empty sole epoch is unreadable; build " +
-        "once real text arrives")
-    graft.store.EpochCommit.wipe(corpus.sparkSession, path)
-    val e = stageBatch(corpus, textCol, path)
-    graft.store.EpochCommit.commit(corpus.sparkSession, path, e)
+    // one aggregation job: the probe and the staged write share the
+    // pinned delta, released deterministically (see [[commitDelta]])
+    val delta = lineFreqs(corpus, textCol).localCheckpoint(eager = false)
+    try {
+      // refuse a no-line corpus pre-stage: its sole epoch could land
+      // footer-less and brick every read (see [[commitDelta]])
+      if (delta.isEmpty)
+        throw new graft.core.EngineError(
+          "refusing to build a hot-lines index over a corpus that yields no lines " +
+          "(all texts blank/whitespace) — an empty sole epoch is unreadable; build " +
+          "once real text arrives")
+      graft.store.EpochCommit.wipe(corpus.sparkSession, path)
+      val e = stageDelta(delta, path, None, negated = false)
+      graft.store.EpochCommit.commit(corpus.sparkSession, path, e)
+    } finally graft.operators.Dedup.releaseCheckpointBlocks(delta)
   }
 
   /** APPEND a batch's line-frequency delta — linear in the batch, the
@@ -115,8 +154,9 @@ object HotLinesIndex {
     * land a data dir with no parquet files, and if that were the only
     * committed epoch, [[hotLines]]'s read would fail schema inference
     * despite the committed check passing (streaming maintenance can
-    * legitimately deliver empty micro-batches). The emptiness probe is
-    * one limit-1 job over the batch — trivial next to the aggregation.
+    * legitimately deliver empty micro-batches). The emptiness probe
+    * shares the staged write's ONE pinned aggregation (see
+    * [[stageDelta]]) — no second job.
     *
     * `idempotencyTag` (round-17): at-least-once callers (foreachBatch
     * maintenance) pass a (run, batchId)-scoped tag and the append
@@ -125,8 +165,10 @@ object HotLinesIndex {
     */
   def append(batch: DataFrame, textCol: String, path: String,
              idempotencyTag: Option[String] = None): Unit =
-    if (!batch.isEmpty)
-      commitDelta(batch, textCol, path, negated = false, idempotencyTag)
+    // no pre-probe of the raw batch: an empty batch yields an empty
+    // DELTA, and commitDelta's single pinned-delta check already no-ops
+    // it — one emptiness job per micro-batch, not two (r20 advisor)
+    commitDelta(batch, textCol, path, negated = false, idempotencyTag)
 
   /** DELETE a batch's contribution (retention/takedown): append the
     * NEGATED line-frequency delta — the count-table discipline (integer
@@ -140,8 +182,8 @@ object HotLinesIndex {
     */
   def delete(batch: DataFrame, textCol: String, path: String,
              idempotencyTag: Option[String] = None): Unit =
-    if (!batch.isEmpty) // empty-batch no-op — same rationale as append
-      commitDelta(batch, textCol, path, negated = true, idempotencyTag)
+    // empty-batch no-op via the pinned delta — same rationale as append
+    commitDelta(batch, textCol, path, negated = true, idempotencyTag)
 
   /** The served hot-line table `(line, n_docs)`: lines whose summed
     * document frequency exceeds `maxDocFreq`. Drop-in for

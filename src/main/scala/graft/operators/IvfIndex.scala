@@ -296,9 +296,15 @@ object IvfIndex {
     val spark = newRows.sparkSession
     validateLayoutMeta(spark, path, "IVF index")
     assertNotLegacyLayout(spark, Seq(path), "IVF index")
-    bucketized(buildIndex(newRows, idCol, embCol, model))
-      .write.mode("append").partitionBy("bucket").parquet(path)
-    writeLayoutMeta(spark, path) // backfills pre-r19 artifacts
+    // under the swap lock (r20 advisor; the AnnIndex.appendToIndex twin):
+    // a plain mode("append") landing while a concurrent compactIndex
+    // rewrite is in flight would vanish at the dir swap — the lock
+    // serializes append against compact (fold in, or land after).
+    graft.store.DocStore.withSwapLock(spark, path) {
+      bucketized(buildIndex(newRows, idCol, embCol, model))
+        .write.mode("append").partitionBy("bucket").parquet(path)
+      writeLayoutMeta(spark, path) // backfills pre-r19 artifacts
+    }
     driftBaseline.foreach { b =>
       val d = driftCheck(newRows, embCol, model, b, driftTolerance)
       IvfPackedIndex.persistDrift(spark, path, d) // health surface first:

@@ -198,11 +198,23 @@ object DocStore {
             s"could not create swap lock $lock (NOT a contention signal — check path and permissions): " +
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-    // Lock body: owner diagnostics for stale-lock cleanup.
-    lockOut.write(
-      s"pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}\n"
-        .getBytes("UTF-8"))
-    lockOut.close()
+    // Lock body: owner diagnostics for stale-lock cleanup. If writing the
+    // body fails, the lock FILE already exists but no caller has installed
+    // its try/finally yet — delete it before rethrowing, or the orphan
+    // blocks every later compact/delete/commit on this index until manual
+    // removal (r20 advisor: a robustness regression vs the pre-refactor
+    // code, whose lock-body write ran inside the releasing try).
+    try {
+      lockOut.write(
+        s"pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}\n"
+          .getBytes("UTF-8"))
+      lockOut.close()
+    } catch {
+      case e: Throwable =>
+        try lockOut.close() catch { case _: Throwable => () }
+        try fs.delete(lock, false) catch { case _: Throwable => () }
+        throw e
+    }
     lock
   }
 
