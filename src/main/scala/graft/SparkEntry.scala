@@ -157,7 +157,17 @@ object SparkEntry {
   private def hhInvariantRow(s: SparkSession, dir: String,
                              sketch: Map[String, Long]): DataFrame = {
     import s.implicits._
-    val counts = CountTable.counts(docs(s, dir), "text", n = 1)
+    // scan-parallelism floor for the exact-count pass (r21; the
+    // Sketches.heavyHitterTokens rationale): the fixture's single
+    // row group would otherwise run the whole tokenize+count map side
+    // on one task; counts are a commutative aggregation, so the split
+    // cannot change them
+    val floored = {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val target = s.sparkContext.defaultParallelism
+      if (d.rdd.getNumPartitions >= target) d else d.repartition(target)
+    }
+    val counts = CountTable.counts(floored, "text", n = 1)
     val totalN = counts.agg(sum(col("tf"))).head.getLong(0)
     val bound = Sketches.mgErrorBound(totalN, HhK)
     val guaranteed = counts.filter(col("tf") > bound)

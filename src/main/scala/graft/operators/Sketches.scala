@@ -127,7 +127,23 @@ object Sketches {
   def heavyHitterTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df.select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+    // Scan-parallelism floor (r21, guide §2.5 "input skew — one huge
+    // unsplittable file"): the tokenize+sketch pass is charged to the
+    // SCAN's tasks, and a single-row-group parquet (the fixture shape;
+    // any small-file corpus) yields one task no matter how many cores
+    // the session has — the whole pass runs serial. A round-robin
+    // repartition of the raw text rows (bytes-cheap next to the
+    // tokenize) restores parallelism; no-op whenever the scan already
+    // meets the session's parallelism (any real corpus) or the frame is
+    // streaming. The MG invariants hold under ANY split/merge order, so
+    // the declared invariant rows are partition-count-independent.
+    val src = {
+      val base = df.select(col(textCol).as("__hh_text"))
+      val target = spark.sparkContext.defaultParallelism
+      if (base.isStreaming || base.rdd.getNumPartitions >= target) base
+      else base.repartition(target)
+    }
+    val toks = src.select(explode(TextAnalysis.tokens(col("__hh_text"))).as("t"))
       .as[String]
     val agg = new HeavyHittersAgg(k).toColumn.name("hh")
     toks.groupByKey(_ => 0) // one logical group; partial agg still runs per task
