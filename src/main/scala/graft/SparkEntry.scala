@@ -1342,10 +1342,12 @@ object SparkEntry {
     // and a temp-disk leak.
     "events_window_stream" -> ((s, dir) => {
       val sinkName = "graft_events_window_stream"
-      val q = Streams.toMemorySink(
+      // stateful start (r22): window-agg state stores sized by
+      // Streams.stateShufflePartitions, not scan parallelism
+      Streams.startStatefulAwait(s, Streams.toMemorySink(
           Streams.eventsWindowAggStream(Tables.eventsStream(s, dir)), sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      graft.streaming.Streams.awaitOrAbort(q, "events_window_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        "events_window_stream")
       s.table(sinkName).orderBy("window_start", "event_type")
     }),
 
@@ -1380,13 +1382,13 @@ object SparkEntry {
     // exact emitted pair set from scratch.
     "stream_ann_probe" -> ((s, dir) => {
       val sinkName = "graft_stream_ann_probe"
-      val sq = Streams.annProbeStream(
+      Streams.startStatefulAwait(s, Streams.annProbeStream(
           Tables.embeddingsStream(s, dir).filter(col("vec_id") < 20),
           "vec_id", "embedding", lshIndex(s, dir), threshold = 0.5, annCfg)
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      graft.streaming.Streams.awaitOrAbort(sq, "stream_ann_probe")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        "stream_ann_probe")
       s.table(sinkName).orderBy("q_id", "c_id")
     }),
 
@@ -1403,13 +1405,13 @@ object SparkEntry {
       val sinkName = "graft_stream_ann_probe_wm"
       val queries = Tables.embeddingsStream(s, dir).filter(col("vec_id") < 20)
         .withColumn("arrival_ts", timestamp_seconds(lit(1704067200L) + col("vec_id")))
-      val sq = Streams.annProbeStreamWithinWatermark(queries,
+      Streams.startStatefulAwait(s, Streams.annProbeStreamWithinWatermark(queries,
           "vec_id", "embedding", lshIndex(s, dir), threshold = 0.5, annCfg,
           tsCol = "arrival_ts", delay = "365 days")
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      graft.streaming.Streams.awaitOrAbort(sq, "stream_ann_probe_wm")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        "stream_ann_probe_wm")
       s.table(sinkName).orderBy("q_id", "c_id")
     }),
 
@@ -1456,10 +1458,10 @@ object SparkEntry {
       val evs = Tables.eventsStream(s, dir)
         .select(col("user_id"), col("ts")).as[Streams.Ev]
       val sinkName = "graft_sessionize_stateful"
-      val sq = Streams.sessionizeStateful(evs, gapMinutes = 30).toDF()
+      Streams.startStatefulAwait(s, Streams.sessionizeStateful(evs, gapMinutes = 30).toDF()
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      graft.streaming.Streams.awaitOrAbort(sq, "sessionize_stateful")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        "sessionize_stateful")
       s.table(sinkName).orderBy("user_id", "session_seq")
     }),
 
@@ -1479,10 +1481,10 @@ object SparkEntry {
         .select(col("user_id"), col("ts")).as[Streams.Ev]
         .withWatermark("ts", "0 seconds")
       val sinkName = "graft_sessionize_stateful_exp"
-      val sq = Streams.sessionizeStatefulExpiring(evs, gapMinutes = 30).toDF()
+      Streams.startStatefulAwait(s, Streams.sessionizeStatefulExpiring(evs, gapMinutes = 30).toDF()
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      graft.streaming.Streams.awaitOrAbort(sq, "sessionize_stateful_exp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        "sessionize_stateful_exp")
       s.table(sinkName).orderBy("user_id", "session_seq")
     }),
 
@@ -1508,11 +1510,12 @@ object SparkEntry {
     // sha256() replays Spark's sha2(text, 256) hex exactly.
     "stream_dedup" -> ((s, dir) => {
       val sinkName = "graft_stream_dedup"
-      val sq = Streams.dedupExactStream(Tables.documentsStream(s, dir), "text")
+      Streams.startStatefulAwait(s,
+        Streams.dedupExactStream(Tables.documentsStream(s, dir), "text")
         .select("text_sha")
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      graft.streaming.Streams.awaitOrAbort(sq, "stream_dedup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        "stream_dedup")
       s.table(sinkName).orderBy("text_sha")
     }),
 
@@ -1537,11 +1540,12 @@ object SparkEntry {
       val arrivals = Tables.documentsArrivalStream(s, arrivalDir, maxFilesPerTrigger = 1)
         .withColumn("arrival_ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
       val sinkName = "graft_stream_dedup_wm"
-      val sq = Streams.dedupExactStreamWithinWatermark(arrivals, "text", "arrival_ts", "365 days")
+      Streams.startStatefulAwait(s,
+        Streams.dedupExactStreamWithinWatermark(arrivals, "text", "arrival_ts", "365 days")
         .select("text_sha")
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      graft.streaming.Streams.awaitOrAbort(sq, "stream_dedup_wm")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        "stream_dedup_wm")
       s.table(sinkName).orderBy("text_sha")
     }),
 
@@ -1565,12 +1569,12 @@ object SparkEntry {
       val arrivals = Tables.documentsArrivalStream(s, arrivalDir, maxFilesPerTrigger = 1)
         .withColumn("arrival_ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
       val sinkName = "graft_stream_hygiene"
-      val sq = Streams.dedupExactStreamWithinWatermark(
+      Streams.startStatefulAwait(s, Streams.dedupExactStreamWithinWatermark(
           Streams.qualityFilterStream(arrivals, "text"), "text", "arrival_ts", "365 days")
         .select(col("text_sha"), col("n_tokens"), col("quality"))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      graft.streaming.Streams.awaitOrAbort(sq, "stream_hygiene")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        "stream_hygiene")
       s.table(sinkName).orderBy("text_sha")
     }),
 

@@ -818,6 +818,48 @@ object Streams {
         s"$what: stream did not finish within ${timeoutMs / 1000}s — refusing to return a partial sink")
     }
 
+  /** State-store partition count for STATEFUL streams (r22, guide §2.2
+    * "fewer, larger reduce partitions" applied to state stores): a
+    * stateful operator creates one state store PER shuffle partition and
+    * pays per-store open + delta-commit + maintenance on EVERY
+    * micro-batch — including the trailing no-data batch a watermarked
+    * query runs to evict state. The count is frozen at query start from
+    * `spark.sql.shuffle.partitions` and AQE never coalesces a stream, so
+    * a value sized for batch scan parallelism multiplies pure fixed cost
+    * by cores. Size it to expected STATE VOLUME instead:
+    * `spark.graft.stream.statePartitions` is the deployment knob (a
+    * 100 TB ingest with billions of live keys raises it to spread state
+    * across executors and bound per-store memory); the default
+    * min(defaultParallelism, 8) keeps small/bounded-state queries — the
+    * shape of every declared row: ≤ |corpus| dedup keys, ≤ |users|
+    * sessions — from paying ~cores× the commit overhead their state
+    * needs. Measured (StreamWmProfile, sf0.1, 32 cpus): the watermarked
+    * ANN probe's summed state commitTimeMs fell 30.8→3.0 s and the
+    * no-data batch 1.9→1.6 s wall at 32→8 partitions; identical emitted
+    * rows (key-hash routing changes placement, never membership).
+    */
+  def stateShufflePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt)
+      .getOrElse(math.min(spark.sparkContext.defaultParallelism, 8))
+
+  /** Start a STATEFUL stream with [[stateShufflePartitions]] as its
+    * state-partition count and await it, restoring the session's
+    * `spark.sql.shuffle.partitions` afterwards. The conf must bracket
+    * `start()` (the count is captured into the query's offset metadata at
+    * start) and stay until the drain finishes (micro-batches re-read the
+    * session conf while planning). Stateless streams gain nothing — call
+    * sites keep the plain start + [[awaitOrAbort]] there.
+    */
+  def startStatefulAwait(spark: SparkSession, writer: DataStreamWriter[Row],
+                         what: String, timeoutMs: Long = 300000): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, stateShufflePartitions(spark).toString)
+    try awaitOrAbort(writer.start(), what, timeoutMs)
+    finally spark.conf.set(key, prev)
+  }
+
   def heavyHittersAvailableNow(stream: DataFrame, textCol: String, k: Int,
                                timeoutMs: Long = 300000): graft.operators.Sketches.MG = {
     var state: graft.operators.Sketches.MG = Map.empty

@@ -23,6 +23,43 @@ class StreamsSpec extends SparkSpec {
     assert(sess == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("startStatefulAwait sizes state partitions from conf and restores the session setting") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // conf override wins over the min(parallelism, 8) default
+    spark.conf.set("spark.graft.stream.statePartitions", "2")
+    try {
+      var seen = -1L
+      val sinkName = "spec_stateful_tuned"
+      val w = Streams.dedupExactStream(Tables.documentsStream(spark, Sf0001), "text")
+        .select("text_sha")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          e.progress.stateOperators.foreach(so => seen = so.numShufflePartitions)
+        override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      try Streams.startStatefulAwait(spark, w, "spec_stateful_tuned")
+      finally spark.streams.removeListener(listener)
+      // listener delivery is async; bounded wait for the progress event
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen < 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(seen == 2L, s"state partitions should honor the conf, saw $seen")
+      assert(spark.conf.get(key) == before, "session shuffle partitions must be restored")
+      // emitted rows are partition-count-independent: the distinct sha set
+      val streamed = spark.table(sinkName).as[String].collect().toSet
+      val batch = Tables.documents(spark, Sf0001)
+        .select(sha2(col("text"), 256)).as[String].collect().toSet
+      assert(streamed == batch)
+    } finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
+
   test("streaming exact dedup keeps one row per distinct text and matches batch dedup") {
     val sinkName = "spec_stream_dedup"
     // union the arrival stream with itself: every text arrives (at least)
