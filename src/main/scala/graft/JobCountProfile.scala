@@ -31,10 +31,18 @@ object JobCountProfile {
     val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     val stages = new java.util.concurrent.atomic.AtomicLong(0)
     val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val verbose = sys.env.contains("SPARK_GRAFT_JOBS_VERBOSE")
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size.toLong)
         tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
+        if (verbose) {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          val stageNames = j.stageInfos.map(si => s"${si.name}(${si.numTasks}t)").mkString(" | ")
+          println(s"[job] id=${j.jobId} stages=${j.stageInfos.size} " +
+            s"tasks=${j.stageInfos.map(_.numTasks).sum} site=$site :: $stageNames")
+        }
         ()
       }
     }

@@ -167,22 +167,31 @@ object SparkEntry {
       val target = s.sparkContext.defaultParallelism
       if (d.rdd.getNumPartitions >= target) d else d.repartition(target)
     }
+    // ONE evaluation of the exact-count aggregation (r22, guide §1.2):
+    // the invariant check reads `counts` three times (total mass,
+    // guaranteed set, exact counts of the sketched terms) and an
+    // unpinned frame re-ran the full tokenize+count pass per read. Lazy
+    // checkpoint, vocab-sized blocks, released before returning (the
+    // emitted row is driver-side scalars).
     val counts = CountTable.counts(floored, "text", n = 1)
-    val totalN = counts.agg(sum(col("tf"))).head.getLong(0)
-    val bound = Sketches.mgErrorBound(totalN, HhK)
-    val guaranteed = counts.filter(col("tf") > bound)
-      .select(col("ngram")).as[String].collect().toSet
-    val exact = counts
-      .filter(col("ngram").isin(sketch.keys.toSeq: _*))
-      .select(col("ngram"), col("tf")).as[(String, Long)].collect().toMap
-    val allFound = guaranteed.subsetOf(sketch.keySet)
-    val boundsOk = sketch.forall { case (t, est) =>
-      val f = exact.getOrElse(t, 0L)
-      est <= f && est >= f - bound
-    }
-    Seq((HhK.toLong, guaranteed.size.toLong,
-        if (allFound) 1L else 0L, if (boundsOk) 1L else 0L))
-      .toDF("k", "n_guaranteed", "all_found", "bounds_ok")
+      .localCheckpoint(eager = false)
+    try {
+      val totalN = counts.agg(sum(col("tf"))).head.getLong(0)
+      val bound = Sketches.mgErrorBound(totalN, HhK)
+      val guaranteed = counts.filter(col("tf") > bound)
+        .select(col("ngram")).as[String].collect().toSet
+      val exact = counts
+        .filter(col("ngram").isin(sketch.keys.toSeq: _*))
+        .select(col("ngram"), col("tf")).as[(String, Long)].collect().toMap
+      val allFound = guaranteed.subsetOf(sketch.keySet)
+      val boundsOk = sketch.forall { case (t, est) =>
+        val f = exact.getOrElse(t, 0L)
+        est <= f && est >= f - bound
+      }
+      Seq((HhK.toLong, guaranteed.size.toLong,
+          if (allFound) 1L else 0L, if (boundsOk) 1L else 0L))
+        .toDF("k", "n_guaranteed", "all_found", "bounds_ok")
+    } finally Dedup.releaseCheckpointBlocks(counts)
   }
 
   /** The BM25 query of the keyword rows — three mid-frequency fixture

@@ -27,6 +27,22 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.jsonEscape(plain) == plain)
   }
 
+  test("compactQueriesJson packs slowest-first within budget and stays valid JSON") {
+    val rows = (1 to 147).map(i => f"query_name_number_$i%03d" -> i * 0.01).toMap
+    val js = Bench.compactQueriesJson(rows, 1500)
+    assert(js.length <= 1500, s"over budget: ${js.length}")
+    // valid JSON object
+    val parsed = org.json4s.jackson.JsonMethods.parse(js)
+    val fields = parsed.asInstanceOf[org.json4s.JObject].obj
+    // strictly more coverage than the r14 fixed top-8, slowest rows first
+    assert(fields.size > 8, s"only ${fields.size} rows packed")
+    assert(fields.head._1 == "query_name_number_147")
+    val names = fields.map(_._1).toSet
+    (147 to 140 by -1).foreach(i => assert(names.contains(f"query_name_number_$i%03d")))
+    // tiny budget still yields a valid (possibly empty) object, never a cut
+    assert(Bench.compactQueriesJson(rows, 10) == "{}")
+  }
+
   test("parallel canary runs the fixed work on every thread (wall >= ~1 unit)") {
     // With 2 threads the wall-clock must be at least one unit of the
     // single-thread work (both threads genuinely execute the loop); a
