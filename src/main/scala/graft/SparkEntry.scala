@@ -157,16 +157,9 @@ object SparkEntry {
   private def hhInvariantRow(s: SparkSession, dir: String,
                              sketch: Map[String, Long]): DataFrame = {
     import s.implicits._
-    // scan-parallelism floor for the exact-count pass (r21; the
-    // Sketches.heavyHitterTokens rationale): the fixture's single
-    // row group would otherwise run the whole tokenize+count map side
-    // on one task; counts are a commutative aggregation, so the split
-    // cannot change them
-    val floored = {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val target = s.sparkContext.defaultParallelism
-      if (d.rdd.getNumPartitions >= target) d else d.repartition(target)
-    }
+    // (the r21 caller-side scan floor moved INTO CountTable.counts in
+    // r22 — TextAnalysis.scanFloor — so every counts consumer gets it)
+    val floored = docs(s, dir).select(col("doc_id"), col("text"))
     // ONE evaluation of the exact-count aggregation (r22, guide §1.2):
     // the invariant check reads `counts` three times (total mass,
     // guaranteed set, exact counts of the sketched terms) and an

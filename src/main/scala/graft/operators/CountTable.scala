@@ -35,7 +35,11 @@ object CountTable {
     */
   def counts(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    docs.select(TextAnalysis.wordNgrams(col(textCol), n).as("__ngrams"))
+    // scanFloor (r22): the tokenize+ngram map side is charged to the
+    // scan's tasks — serial on a single-row-group file; the agg below
+    // is commutative, so the round-robin split cannot change it
+    TextAnalysis.scanFloor(docs.select(col(textCol)))
+      .select(TextAnalysis.wordNgrams(col(textCol), n).as("__ngrams"))
       .select(explode(concat(
         transform(col("__ngrams"),
           g => struct(g.as("ngram"), lit(1L).as("tf"), lit(0L).as("df"))),

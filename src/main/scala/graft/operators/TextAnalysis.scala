@@ -22,6 +22,29 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Scan-parallelism floor for tokenize-heavy map passes (r22,
+    * generalizing the r21 [[Sketches.heavyHitterTokens]] fix; guide
+    * §2.5 "input skew — one huge unsplittable file"): the tokenize
+    * work is charged to the SCAN's tasks, and a single-row-group
+    * parquet (any small-file corpus — the fixture shape) yields one
+    * task no matter how many cores the session has, so the whole pass
+    * runs serial. A round-robin repartition of the projected rows
+    * (bytes-cheap next to the tokenize) restores parallelism; it is a
+    * NO-OP whenever the scan already meets the session's parallelism —
+    * any real corpus — or the frame is streaming (per-micro-batch
+    * frames are batch-bounded; adding an exchange per trigger buys
+    * nothing). Callers only use it above commutative aggregations or
+    * per-row maps, so the split cannot change any result. Measured
+    * (TokFloorProfile, sf0.1, 32 cpus, warm): unigram counts
+    * 0.64 → 0.43 s, tokenizeToIds 1.10 → 0.82 s.
+    */
+  private[operators] def scanFloor(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
+
   /** Token count — whitespace tokenization, the universal baseline. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -296,7 +319,9 @@ object TextAnalysis {
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
                  topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val pairs = docs.select(tokens(col(textCol)).as("__toks"))
+    // scanFloor (r22): serial-scan tokenize parallelized; sums commute
+    val pairs = scanFloor(docs.select(col(textCol)))
+      .select(tokens(col(textCol)).as("__toks"))
       .select(explode(concat(
         transform(col("__toks"),
           w => struct(w.as("word"), lit(1L).as("tf"), lit(0L).as("df"))),
@@ -344,7 +369,10 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    docs.select(explode(wordNgrams(col(textCol), n)).as("ngram"))
+    // scanFloor: parallelize the tokenize+explode map side on a
+    // single-row-group scan; the count agg is commutative (r22)
+    scanFloor(docs.select(col(textCol)))
+      .select(explode(wordNgrams(col(textCol), n)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("ngram").asc)
@@ -413,7 +441,10 @@ object TextAnalysis {
     val lookup = udf((toks: Seq[String]) =>
       if (toks == null) Seq.empty[Long]
       else toks.map { t => val id = bc.value.get(t); if (id == null) 0L else id.longValue })
-    docs.select(col(idCol), lookup(tokens(col(textCol))).as("token_ids"))
+    // scanFloor: parallelize the per-row tokenize+map on a
+    // single-row-group scan (no-op on any real corpus; r22)
+    scanFloor(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), lookup(tokens(col(textCol))).as("token_ids"))
   }
 
   /** Fully-distributed twin of [[tokenizeToIds]] for vocabularies too
