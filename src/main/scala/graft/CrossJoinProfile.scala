@@ -83,6 +83,22 @@ object CrossJoinProfile {
             max(col("__b_size")).as("__b_size"), max(col("corpus_size")).as("corpus_size"))
           .count()
       }
+      t(s"v6 full dupIds body, batch postings pinned $i") {
+        val bsets = batch.select(col("doc_id").cast("long").as("__b_id"),
+          Dedup.shingles(col("text"), 2).as("__sh")).localCheckpoint(eager = false)
+        val p0 = bsets.select(col("__b_id"), explode(col("__sh")).as("shingle"))
+        val hot = p0.groupBy("shingle").count().filter(col("count") > 1000L)
+        val kept = p0.join(hot.select("shingle"), Seq("shingle"), "left_anti")
+          .withColumn("__b_size", count(lit(1)).over(W))
+        val n = kept.join(postings, Seq("shingle"))
+          .groupBy("__b_id", "corpus_id")
+          .agg(count(lit(1)).as("common"),
+            max(col("__b_size")).as("__b_size"), max(col("corpus_size")).as("corpus_size"))
+          .filter(col("common") / (col("__b_size") + col("corpus_size") - col("common")) >= 0.2)
+          .select("__b_id").distinct().count()
+        graft.operators.Dedup.releaseCheckpointBlocks(bsets)
+        n
+      }
       t(s"v5 packed single-long key $i") {
         val sized = bpost.withColumn("__b_size", count(lit(1)).over(W))
         sized.join(postings, Seq("shingle"))
